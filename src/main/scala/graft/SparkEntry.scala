@@ -1,13 +1,141 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.streaming.EventStream
+import graft.functions.{vectors, FakeEmbedder}
+
+/** Driver contract — see SURVEY.md §2 for the inventory and §5 for
+  * the oracle-parity conventions every entry follows.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The flagship: end-to-end semantic search (the reference's
+    * find_similar_customer_records tool) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SimilaritySearch.semanticSearch(spark, "/root/testdata/sf0.001",
+      "fast vector search over spark tables", 10)
+
+  private val SearchText = "fast vector search over spark tables"
+  private val JoinQueryFilter = 50 // query set = vec_id % 50 == 0
+
+  /** literal SQL array for the (deterministic) fake query embedding —
+    * exact float→double widening so the oracle scores identical bits */
+  private def queryVecSql: String =
+    FakeEmbedder.embed(SearchText).map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core SQL
+    "q1_pricing_summary" -> CoreQueries.q1PricingSummary _,
+    "q2_topn_revenue" -> CoreQueries.q2TopNRevenue _,
+    "q3_cust_order_revenue" -> CoreQueries.q3CustOrderRevenue _,
+    "q4_semi_join" -> CoreQueries.q4SemiJoin _,
+    "q5_region_nation_rollup" -> CoreQueries.q5RegionNation _,
+    "q6_selective_filter" -> CoreQueries.q6SelectiveFilter _,
+    "q7_window_rank" -> CoreQueries.q7WindowRank _,
+    "q8_rollup" -> CoreQueries.q8Rollup _,
+    "q9_anti_join" -> CoreQueries.q9AntiJoin _,
+    "q10_distinct_agg" -> CoreQueries.q10DistinctAgg _,
+    "q11_event_window" -> CoreQueries.q11EventWindow _,
+    "q12_sessionize" -> CoreQueries.q12Sessionize _,
+    "q13_json_extract" -> CoreQueries.q13JsonExtract _,
+    "q14_funnel" -> CoreQueries.q14Funnel _,
+    // vector search
+    "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
+      Tables.embeddings(s, d), "embedding", "vec_id",
+      FakeEmbedder.embed(SearchText), 10, "cosine")),
+    "v2_knn_l2" -> ((s, d) => SimilaritySearch.knn(
+      Tables.embeddings(s, d), "embedding", "vec_id",
+      FakeEmbedder.embed(SearchText), 10, "l2")),
+    "v3_knn_dot" -> ((s, d) => SimilaritySearch.knn(
+      Tables.embeddings(s, d), "embedding", "vec_id",
+      FakeEmbedder.embed(SearchText), 10, "dot")),
+    "v4_similarity_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.similarityJoin(
+        emb.filter(col("vec_id") % JoinQueryFilter === 0), emb,
+        "vec_id", "embedding", "vec_id", "embedding", 5, "cosine")
+        .orderBy(col("query_id"), col("score").desc, col("neighbor_id"))
+    }),
+    "v5_ivf_build" -> ((s, d) => IvfIndex.buildSummary(s, d)),
+    "v6_ivf_search" -> ((s, d) => IvfIndex.searchSummary(s, d, SearchText)),
+    "v7_record_lookup" -> ((s, d) =>
+      SimilaritySearch.recordById(Tables.documents(s, d), "doc_id", 42L)),
+    "v8_semantic_search" -> ((s, d) =>
+      SimilaritySearch.semanticSearch(s, d, SearchText, 10)),
+    "v9_embed_ingest" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), vectors.embed_text(col("text")).as("embedding"))
+        .orderBy(col("doc_id"))),
+    // dedup
+    "d1_exact_dedup" -> Dedup.exactDedup _,
+    "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "d3_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // text analysis
+    "t1_lang_profile" -> TextOps.langProfile _,
+    "t2_quality_score" -> TextOps.qualityScore _,
+    "t3_token_count" -> TextOps.tokenCount _,
+    "t4_fingerprint" -> TextOps.fingerprint _,
+    // multimodal
+    "m1_blob_metadata" -> Multimodal.blobMetadata _,
+    "m2_frame_sample" -> Multimodal.frameSample _,
+    // streaming (batch twin; streaming form spec-tested)
+    "s1_stream_counts" -> EventStream.dailyCountsBatch _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> CoreQueries.q1Sql,
+    "q2_topn_revenue" -> CoreQueries.q2Sql,
+    "q3_cust_order_revenue" -> CoreQueries.q3Sql,
+    "q4_semi_join" -> CoreQueries.q4Sql,
+    "q5_region_nation_rollup" -> CoreQueries.q5Sql,
+    "q6_selective_filter" -> CoreQueries.q6Sql,
+    "q7_window_rank" -> CoreQueries.q7Sql,
+    "q8_rollup" -> CoreQueries.q8Sql,
+    "q9_anti_join" -> CoreQueries.q9Sql,
+    "q10_distinct_agg" -> CoreQueries.q10Sql,
+    "q11_event_window" -> CoreQueries.q11Sql,
+    "q12_sessionize" -> CoreQueries.q12Sql,
+    "q13_json_extract" -> CoreQueries.q13Sql,
+    "q14_funnel" -> CoreQueries.q14Sql,
+    "v1_knn_cosine" ->
+      s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "v2_knn_l2" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
+         |FROM embeddings ORDER BY score ASC, vec_id LIMIT 10""".stripMargin,
+    "v3_knn_dot" ->
+      s"""SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "v4_similarity_join" ->
+      s"""SELECT query_id, neighbor_id, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+         |  FROM embeddings c, (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $JoinQueryFilter = 0) q
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5)
+         |ORDER BY query_id, score DESC, neighbor_id""".stripMargin,
+    "v7_record_lookup" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "v8_semantic_search" ->
+      s"""SELECT e.vec_id AS doc_id, d.lang AS lang, d.source AS source, d.n_chars AS n_chars,
+         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS similarity
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY similarity DESC, doc_id LIMIT 10""".stripMargin,
+    "d1_exact_dedup" -> Dedup.exactDedupSql,
+    "d4_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "d5_embedding_neardup" -> Dedup.embeddingNearDupSql(),
+    "t1_lang_profile" -> TextOps.langProfileSql,
+    "t2_quality_score" -> TextOps.qualityScoreSql,
+    "t3_token_count" -> TextOps.tokenCountSql,
+    "t4_fingerprint" -> TextOps.fingerprintSql,
+    "m1_blob_metadata" -> Multimodal.blobMetadataSql,
+    "m2_frame_sample" -> Multimodal.frameSampleSql,
+    "s1_stream_counts" -> EventStream.dailyCountsSql,
+    // v5_ivf_build, v6_ivf_search, v9_embed_ingest, d2_minhash_lsh,
+    // d3_simhash: not SQL-expressible (k-means / custom hashes) →
+    // rows-only check; invariants covered in ScalaTest specs.
+  )
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float>`
+  * columns — the Spark-side equivalent of pgvector's `<=>`, `<->`,
+  * `<#>` operators (reference: tools.yaml:24-26, sql/05_vector_index
+  * .sql:5 `vector_l2_ops`).
+  *
+  * Implemented with `doGenCode` so the scoring loop stays inside
+  * whole-stage codegen: a tight primitive `for` over the two
+  * `ArrayData`s, no boxing, no UDF serialization. At 100 TB this is
+  * the hot path — every corpus row is scored once per query batch.
+  */
+abstract class VectorScoreExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override val nullIntolerant: Boolean = true
+
+  /** scalar kernel over primitive arrays (interpreted path) */
+  protected def kernel(a: ArrayData, b: ArrayData): Double
+
+  /** java source for the codegen'd kernel; `a`,`b` are ArrayData vars,
+    * must assign the result to `ev` (a declared double). */
+  protected def genKernel(a: String, b: String, ev: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("vecScore")
+      s"""
+         |double $res = 0.0;
+         |${genKernel(a, b, res)}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+}
+
+/** Cosine similarity (pgvector similarity = `1 - (a <=> b)`). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorScoreExpression {
+  override def prettyName: String = "cosine_sim"
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def genKernel(a: String, b: String, ev: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double x = (double) $a.getFloat(i);
+       |  double y = (double) $b.getFloat(i);
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+       |$ev = denom == 0.0 ? 0.0 : dot / denom;
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance — pgvector `<->` / `vector_l2_ops`. */
+case class L2Distance(left: Expression, right: Expression)
+    extends VectorScoreExpression {
+  override def prettyName: String = "l2_dist"
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+  override protected def genKernel(a: String, b: String, ev: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double s = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+       |  s += d * d;
+       |}
+       |$ev = java.lang.Math.sqrt(s);
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Inner product — pgvector `<#>` (negated there for index order;
+  * here the raw dot product, larger = more similar). */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorScoreExpression {
+  override def prettyName: String = "dot_product"
+  override protected def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def genKernel(a: String, b: String, ev: String): String =
+    s"""
+       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double s = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$ev = s;
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Index of the nearest centroid (squared-L2) — the IVF coarse
+  * quantizer assignment (reference: sql/05_vector_index.sql ivfflat).
+  * The centroid matrix rides along as a broadcast-sized reference
+  * object, so assignment is map-only: no shuffle, no join.
+  */
+case class ClosestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "closest_centroid"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    ClosestCentroid.nearest(a, centroids)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ClosestCentroid.nearestJ($a, $cRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ClosestCentroid {
+  def nearest(a: ArrayData, cs: Array[Array[Float]]): Int = nearestJ(a, cs)
+  /** static, codegen-callable */
+  def nearestJ(a: ArrayData, cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val cen = cs(c)
+      val n = math.min(a.numElements(), cen.length)
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cen(i).toDouble
+        s += d * d; i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+}

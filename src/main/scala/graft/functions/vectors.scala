@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+
+/** Column-level API over the native vector expressions, plus SQL
+  * registration so `spark.sql("SELECT cosine_sim(a, b) ...")` works —
+  * mirroring how pgvector exposes operators inside SQL.
+  */
+object vectors {
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def e(col: Column) = GraftBridge.expression(col)
+
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def embed_text(t: Column): Column = c(EmbedText(e(t)))
+  def closest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
+    c(ClosestCentroid(e(v), centroids))
+
+  /** register SQL names on the session (temp functions) */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", xs => CosineSimilarity(xs(0), xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_dist", xs => L2Distance(xs(0), xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", xs => DotProduct(xs(0), xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("embed_text", xs => EmbedText(xs.head), "scala_udf")
+  }
+}

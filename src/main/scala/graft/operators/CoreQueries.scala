@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** General SQL/analytics surface (§2 q1–q14) — the Postgres
+  * capability class behind the reference's tool layer, re-expressed
+  * as declarative DataFrame plans so Catalyst drives pushdown,
+  * partial aggregation, and join strategy.
+  *
+  * Oracle-parity conventions (see SURVEY.md §5):
+  * - money sums go through `decimal(18,2)` (exact) then one final
+  *   cast to double — identical bits in Spark and DuckDB;
+  * - integer-valued doubles (quantities) sum exactly in binary;
+  * - ratios stay raw double divisions (IEEE-identical both engines);
+  * - timestamps never appear raw in output — epoch millis or
+  *   formatted strings.
+  */
+object CoreQueries {
+  private val dec = "decimal(18,2)"
+
+  /** q1: pricing summary — groupBy multi-aggregate over lineitem. */
+  def q1PricingSummary(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val price = col("l_extendedprice").cast(dec)
+    val disc = col("l_discount").cast(dec)
+    val tax = col("l_tax").cast(dec)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast(dec) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast(dec) - disc) * (lit(1).cast(dec) + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: per-row score + global top-N (plans as TakeOrderedAndProject —
+    * per-partition heap, no global sort even at 100 TB). */
+  def q2TopNRevenue(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+  }
+
+  def q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+
+  /** q3: customer⋈orders⋈lineitem, revenue per order, top 10.
+    * Customer side is broadcast (dimension-sized after the segment
+    * filter); the lineitem fact never shuffles for the join. */
+  def q3CustOrderRevenue(spark: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  def q3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q4: EXISTS → left-semi join; order-priority histogram. */
+  def q4SemiJoin(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d)
+    val bigLines = Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 45).select("l_orderkey")
+    ord.join(bigLines, ord("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q5: fact⋈4 dims — all dimension joins broadcast. Revenue by
+    * supplier nation within one region. */
+  def q5RegionNation(spark: SparkSession, d: String): DataFrame = {
+    val reg = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, d)
+    val sup = Tables.supplier(spark, d)
+    val li = Tables.lineitem(spark, d).select(col("l_suppkey"),
+      (col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+    val dims = sup
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    li.join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q6: tight filter + single agg — the predicate-pushdown showcase. */
+  def q6SelectiveFilter(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  def q6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q7: per-group top-3 by window rank. */
+  def q7WindowRank(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("price_rank", row_number().over(w))
+      .filter(col("price_rank") <= 3)
+      .orderBy(col("p_brand"), col("price_rank"))
+  }
+
+  def q7Sql: String =
+    """SELECT p_brand, p_partkey, p_retailprice,
+      |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+      |FROM part
+      |QUALIFY price_rank <= 3
+      |ORDER BY p_brand, price_rank""".stripMargin
+
+  /** q8: hierarchical ROLLUP over nation × segment. */
+  def q8Rollup(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
+      .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  def q8Sql: String =
+    """SELECT coalesce(n_name, '(all)') AS nation, coalesce(c_mktsegment, '(all)') AS segment,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  /** q9: NOT EXISTS → left-anti join (customers with no 1995 order). */
+  def q9AntiJoin(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o95 = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def q9Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q10: exact distinct aggregates (approx variant covered in spec —
+    * HLL estimates are engine-specific so not oracle-comparable). */
+  def q10DistinctAgg(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def q10Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q11: tumbling 1-hour event-time window aggregate. */
+  def q11EventWindow(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  def q11Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin
+
+  /** q12: 30-min-gap sessionization via lag + conditional count.
+    * Batch analogue of streaming session windows; one shuffle on
+    * user_id serves both the lag window and the final aggregate. */
+  def q12Sessionize(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    ev.select(col("user_id"), expr("unix_millis(ts)").as("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  def q12Sql: String =
+    """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, epoch_ms(ts) AS ms,
+      |      lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q13: JSON property extraction + aggregate over events.props. */
+  def q13JsonExtract(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("k_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  def q13Sql: String =
+    """SELECT event_type, count(*) AS n, sum(k) AS k_sum,
+      |  CAST(sum(k) AS DOUBLE) / count(*) AS k_avg
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q14: view→click→purchase funnel — users whose first view precedes
+    * first click precedes first purchase. */
+  def q14Funnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.select(col("user_id"), col("event_type"), expr("unix_millis(ts)").as("ms"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("ms_view"),
+        min(when(col("event_type") === "click", col("ms"))).as("ms_click"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("ms_purchase"))
+      .filter(col("ms_view") < col("ms_click") && col("ms_click") < col("ms_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  def q14Sql: String =
+    """SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS ms_view,
+      |  min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS ms_click,
+      |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS ms_purchase
+      |FROM events GROUP BY user_id
+      |HAVING ms_view < ms_click AND ms_click < ms_purchase
+      |ORDER BY user_id""".stripMargin
+}

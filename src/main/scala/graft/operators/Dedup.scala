@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{text, vectors}
+
+/** Deduplication suite (§2 d1–d5) — the LLM-training-pipeline
+  * operators, each designed so the 100 TB version never does an
+  * all-pairs comparison:
+  *
+  * - exact: one hash shuffle on a 16-byte key;
+  * - MinHash/LSH: only docs sharing a band bucket ever meet;
+  * - SimHash: only docs sharing a 16-bit simhash band ever meet;
+  * - blocked Jaccard / embedding near-dup: quadratic only inside
+  *   small explicit blocks (at scale the block key would come from
+  *   LSH, same plan shape).
+  */
+object Dedup {
+
+  /** d1: exact dedup by content hash. Emits every doc with its
+    * canonical keeper (min doc_id of the identical-text group). */
+  def exactDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val w = Window.partitionBy(col("h"))
+    docs.select(col("doc_id"), col("h").as("content_md5"),
+        min(col("doc_id")).over(w).as("keeper_id"),
+        count(lit(1)).over(w).as("group_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  def exactDedupSql: String =
+    """SELECT doc_id, md5(text) AS content_md5,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+      |  count(*) OVER (PARTITION BY md5(text)) AS group_n
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d2: MinHash + LSH near-dup pairs.
+    * shingle(5-gram) → 32 minhashes → 8 bands × 4 rows → band-bucket
+    * join → exact-Jaccard verify ≥ `threshold`. Only the band keys
+    * shuffle; candidate verification re-reads just the paired texts.
+    */
+  def minhashLsh(spark: SparkSession, d: String,
+                 numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), text.minhash_sig(col("text"), 5, numHashes).as("sig"))
+    // band key: xxhash64 over the band's slice of the signature
+    val banded = docs.select(col("doc_id"), col("text"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("id_b"), col("text").as("text_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .dropDuplicates("id_a", "id_b")
+    val jac = udf((x: String, y: String) => graft.functions.TextHash.shingleJaccard(x, y, 5))
+    candidates
+      .select(col("id_a"), col("id_b"), round(jac(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d3: SimHash near-dup pairs — 64-bit simhash, candidates share one
+    * of four 16-bit bands, verified by hamming distance ≤ maxHamming. */
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), text.simhash64(col("text")).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> cast(shiftright(sh, b * 16) & 65535 as bigint))"))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col("band"), col("band_bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d4: exact token-set Jaccard within (lang, source) blocks. */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) -
+            size(array_intersect(col("toks_a"), col("toks_b")))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .orderBy(col("lang"), col("source"), col("id_a"), col("id_b"))
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.3): String =
+    s"""SELECT lang, source, id_a, id_b FROM (
+       |  SELECT a.lang AS lang, a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+       |  FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+       |  JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE jaccard >= $threshold
+       |ORDER BY lang, source, id_a, id_b""".stripMargin
+
+  /** d5: embedding-cosine near-dup pairs within label blocks — ids
+    * only in the output so float rounding can't break the oracle. */
+  def embeddingNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, d).select(col("label"), col("vec_id"), col("embedding"))
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(vectors.cosine_sim(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("label"), col("id_a"), col("id_b"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  def embeddingNearDupSql(tau: Double = 0.35): String =
+    s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $tau
+       |ORDER BY label, id_a, id_b""".stripMargin
+}

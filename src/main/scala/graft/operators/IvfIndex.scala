@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.vectors
+
+/** IVF (inverted-file) index — the Spark-native analogue of the
+  * reference's `CREATE INDEX ... USING ivfflat (lists = N)`
+  * (sql/05_vector_index.sql:3-6).
+  *
+  * Build = Lloyd k-means with deterministic init (first k vectors by
+  * id). Every step is scale-shaped:
+  * - assignment is map-only (centroid matrix rides as a broadcast
+  *   reference object inside a codegen'd expression — no join, no
+  *   shuffle of the corpus);
+  * - the update step shuffles only (k × dim) partial sums (posexplode
+  *   → groupBy (cluster, dim) with map-side combine);
+  * - centroids collect to the driver (k × dim floats — tiny at any
+  *   corpus size).
+  * At cluster scale the assigned corpus would be written back
+  * partitioned by `list_id` so a probe reads nprobe/nlists of the
+  * files; locally `search` filters on the assignment column, which is
+  * the same pruning logic.
+  */
+object IvfIndex {
+
+  case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Deterministic Lloyd k-means over an `array<float>` column. */
+  def fit(emb: DataFrame, vecCol: String, idCol: String,
+          k: Int, iters: Int): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect()
+
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(
+        vectors.closest_centroid(col(vecCol), centroids).as("list_id"),
+        col(vecCol).as("v"))
+      val sums = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val dim = centroids(0).length
+      val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
+      val byList = sums.groupBy(_.getInt(0))
+      byList.foreach { case (listId, rows) =>
+        val c = new Array[Float](dim)
+        rows.foreach { r =>
+          c(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        }
+        next(listId) = c
+      }
+      centroids = next
+    }
+    Model(centroids)
+  }
+
+  /** Corpus with its list assignment — the inverted-file layout. At
+    * scale: `.write.partitionBy("list_id").parquet(...)`. */
+  def assign(emb: DataFrame, vecCol: String, model: Model): DataFrame =
+    emb.withColumn("list_id", vectors.closest_centroid(col(vecCol), model.centroids))
+
+  /** Per-list stats — the index summary (v5 output). */
+  def buildSummary(spark: SparkSession, d: String, k: Int = 16, iters: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val model = fit(emb, "embedding", "vec_id", k, iters)
+    assign(emb, "embedding", model)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("list_id"))
+  }
+
+  /** IVF probe: rank lists by centroid distance to the query, scan
+    * only the top `nprobe` lists, exact top-k inside them. */
+  def search(emb: DataFrame, vecCol: String, idCol: String, model: Model,
+             query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
+    val ranked = model.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0
+      while (j < math.min(c.length, query.length)) {
+        val dd = c(j) - query(j); s += dd * dd; j += 1
+      }
+      (i, s)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    assign(emb, vecCol, model)
+      .filter(col("list_id").isin(ranked.toSeq: _*))
+      .select(col(idCol),
+        round(vectors.cosine_sim(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  def searchSummary(spark: SparkSession, d: String, queryText: String,
+                    k: Int = 16, iters: Int = 5, topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val model = fit(emb, "embedding", "vec_id", k, iters)
+    search(emb, "embedding", "vec_id", model,
+      graft.functions.FakeEmbedder.embed(queryText), topK, nprobe)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (§2 m1–m2): media as opaque `binary`
+  * columns + typed metadata, with the decode step stubbed (no media
+  * libs in this container — a real deployment swaps the stub for
+  * batched decode inside `mapPartitions`, the plan shape is
+  * identical: map-only, no shuffle, explode for frames).
+  */
+object Multimodal {
+
+  /** m1: synthesize a deterministic blob from text (stand-in for an
+    * image payload) and extract binary metadata. */
+  def blobMetadata(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .select(col("doc_id"),
+        octet_length(col("blob")).as("blob_len"),
+        lower(hex(substring(col("blob"), 1, 4))).as("magic_hex"),
+        md5(col("blob")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def blobMetadataSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS blob_len,
+      |  lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** m2: deterministic frame-sampling stub — each "video" doc explodes
+    * into `1 + n_chars % 7` frame rows with a per-frame content key.
+    * The real decoder would replace the md5 with pixel bytes; the
+    * schema, explode plan and partitioning are the production shape. */
+  def frameSample(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), (col("n_chars") % 7).cast("int"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_key"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  def frameSampleSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS frame_key
+      |FROM (SELECT doc_id, unnest(range(0, n_chars % 7 + 1)) AS i FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+}

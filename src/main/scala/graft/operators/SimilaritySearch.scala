@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{vectors, FakeEmbedder}
+
+/** The reference's pgvector query surface, Spark-first.
+  *
+  * - `knn*`: tools.yaml:22-27 `find_similar_customer_records` —
+  *   ORDER BY distance LIMIT k. Spark plans `orderBy(...).limit(k)`
+  *   as TakeOrderedAndProject: each partition keeps its local top-k,
+  *   the driver merges — no global sort, no shuffle of the corpus.
+  *   That shape survives a 1000-executor / 100 TB scan.
+  * - `similarityJoin`: the batch version — a whole table of query
+  *   vectors at once. Queries are broadcast (small side), the corpus
+  *   is scanned once; per-query top-k via window over (query id).
+  * - `recordById`: tools.yaml:29-39 `get_record_by_id` — a predicate
+  *   that pushes down to the parquet scan.
+  * - `semanticSearch`: the end-to-end tool — embed query text with
+  *   the (stubbed) embedder, score, top-k, join doc metadata.
+  */
+object SimilaritySearch {
+
+  /** similarity score column for a constant query vector */
+  def score(metric: String, vec: Column, query: Array[Float]): Column = {
+    val q = typedLit(query)
+    metric match {
+      case "cosine" => vectors.cosine_sim(vec, q)
+      case "l2"     => vectors.l2_dist(vec, q)
+      case "dot"    => vectors.dot_product(vec, q)
+      case m        => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+  }
+
+  /** Exact top-k scan: brute-force over the corpus, TakeOrderedAndProject. */
+  def knn(corpus: DataFrame, vecCol: String, idCol: String,
+          query: Array[Float], k: Int, metric: String = "cosine"): DataFrame = {
+    val asc = metric == "l2" // distances: smaller is better
+    val s = round(score(metric, col(vecCol), query), 6).as("score")
+    val scored = corpus.select(col(idCol), s)
+    val ord = if (asc) Seq(col("score").asc, col(idCol).asc)
+              else Seq(col("score").desc, col(idCol).asc)
+    scored.orderBy(ord: _*).limit(k)
+  }
+
+  /** Batch similarity join: top-k corpus neighbors for EACH query row.
+    * `queries` must be broadcast-sized (it is hinted); the corpus side
+    * is never shuffled — only the scored (qid, id, score) pairs move,
+    * and those are pre-pruned to per-partition candidates by the
+    * window rank.
+    */
+  def similarityJoin(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, qVecCol: String,
+                     cIdCol: String, cVecCol: String,
+                     k: Int, metric: String = "cosine"): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec")))
+    val scoreCol = metric match {
+      case "cosine" => vectors.cosine_sim(col(cVecCol), col("q_vec"))
+      case "l2"     => vectors.l2_dist(col(cVecCol), col("q_vec"))
+      case "dot"    => vectors.dot_product(col(cVecCol), col("q_vec"))
+    }
+    val asc = metric == "l2"
+    val scored = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol))
+      .join(q) // broadcast nested-loop: corpus x queries, map-only
+      .select(col("query_id"), col("neighbor_id"),
+        round(scoreCol, 6).as("score"))
+    val ord = if (asc) Seq(col("score").asc, col("neighbor_id").asc)
+              else Seq(col("score").desc, col("neighbor_id").asc)
+    val w = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** Point lookup — get_record_by_id. Filter pushes to the scan. */
+  def recordById(documents: DataFrame, idCol: String, id: Long): DataFrame =
+    documents.filter(col(idCol) === id)
+
+  /** End-to-end semantic search over documents (find_similar_customer_records):
+    * embed the query text, score embeddings, top-k, attach metadata. */
+  def semanticSearch(spark: SparkSession, sfDir: String,
+                     queryText: String, k: Int): DataFrame = {
+    val qv = FakeEmbedder.embed(queryText)
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val top = knn(emb, "embedding", "vec_id", qv, k, "cosine")
+      .withColumnRenamed("score", "similarity")
+    // doc_id == vec_id in the synthetic corpus (one embedding per doc)
+    top.join(docs, top("vec_id") === docs("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("similarity"))
+      .orderBy(col("similarity").desc, col("doc_id").asc)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis suite (§2 t1–t4): corpus profiling, quality scoring,
+  * token counting, content fingerprinting. All map-side expression
+  * work over the documents table — the only shuffles are the final
+  * grain aggregates.
+  */
+object TextOps {
+
+  private val StopWords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "data")
+
+  /** t1: per-language corpus profile. */
+  def langProfile(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  def langProfileSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** t2: per-document quality scoring — length, stopword ratio, mean
+    * token length, composite score. Pure row-level arithmetic (raw
+    * IEEE doubles are bit-identical to the oracle's). */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val stopArr = array(StopWords.map(lit): _*)
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(filter(split(col("text"), " "), t => array_contains(stopArr, t))).as("n_stop"),
+        length(regexp_replace(col("text"), " ", "")).as("n_letter"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_letter").cast("double") / col("n_tokens")).as("mean_tok_len"))
+      .withColumn("quality",
+        (lit(1.0) - col("stop_ratio")) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityScoreSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_letter AS DOUBLE) / n_tokens AS mean_tok_len,
+       |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) *
+       |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) AS quality
+       |FROM (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t))) AS n_stop,
+       |    length(replace(text, ' ', '')) AS n_letter
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** t3: token counting — whitespace split vs. a BPE-ish regex of
+    * letter runs / digit runs / single punctuation. */
+  def tokenCount(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenCountSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS re_tokens,
+      |  length(text) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t4: normalized fingerprint (sorted distinct tokens → md5) — the
+    * classic key-collapse dedup key; grouped stats attached. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+    val w = Window.partitionBy(col("fingerprint"))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"),
+        count(lit(1)).over(w).as("fp_group_n"),
+        min(col("doc_id")).over(w).as("fp_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fingerprintSql: String =
+    """SELECT doc_id, fingerprint,
+      |  count(*) OVER (PARTITION BY fingerprint) AS fp_group_n,
+      |  min(doc_id) OVER (PARTITION BY fingerprint) AS fp_keeper
+      |FROM (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic (marker-token voting). The synthetic corpus
+    * carries ground-truth `lang`, so this is exposed for the pipeline
+    * and exercised in specs rather than the oracle. */
+  def langIdHeuristic(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "die"),
+      "es" -> Seq("el", "los", "que"),
+      "fr" -> Seq("le", "les", "des"),
+      "zh" -> Seq("de", "shi", "le"))
+    val toks = split(lower(textCol), " ")
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(size(filter(toks, t => ms.map(m => t === lit(m)).reduce(_ || _))).as("score"),
+        lit(lang).as("lang"))
+    }
+    sort_array(array(scores: _*), asc = false).getItem(0).getField("lang")
+  }
+}

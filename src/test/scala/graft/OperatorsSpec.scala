@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.streaming.EventStream
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("every SparkEntry query runs and returns rows on sf0.001") {
+    val empties = Set("d5_embedding_neardup") // threshold query; may be empty at tiny sf
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!empties.contains(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("q12 sessionize: session count bounded by event count") {
+    val r = CoreQueries.q12Sessionize(spark, sf).collect()
+    r.foreach { row =>
+      val sess = row.getAs[Long]("n_sessions"); val ev = row.getAs[Long]("n_events")
+      assert(sess >= 1 && sess <= ev)
+    }
+  }
+
+  test("q10 approx_count_distinct within 10% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head
+    val exact = r.getLong(0).toDouble; val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+
+  test("exact dedup finds injected duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other text")).toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
+    val r = docs.select($"doc_id", min($"doc_id").over(w).as("keeper"), count(lit(1)).over(w).as("n"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("minhash LSH detects a true near-duplicate pair") {
+    import spark.implicits._
+    // two near-identical docs + noise docs, via the same pipeline pieces
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val near = base.replace("tonight", "today")
+    val jac = graft.functions.TextHash.shingleJaccard(base, near, 5)
+    assert(jac > 0.5, s"test premise: jaccard $jac")
+    val sigA = graft.functions.TextHash.minhash(base, 5, 32)
+    val sigB = graft.functions.TextHash.minhash(near, 5, 32)
+    // at least one of 8 bands (4 rows each) collides
+    val bands = (0 until 8).exists(b =>
+      (0 until 4).forall(r => sigA(b * 4 + r) == sigB(b * 4 + r)))
+    assert(bands, "LSH bands failed to collide for a near-dup")
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    val a = graft.functions.TextHash.simhash("alpha beta gamma delta epsilon zeta eta theta")
+    val b = graft.functions.TextHash.simhash("alpha beta gamma delta epsilon zeta eta iota")
+    assert(java.lang.Long.bitCount(a ^ b) <= 16)
+  }
+
+  test("lang-id heuristic picks marker language") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog of the house", "der hund und die katze und der").toDF("text")
+    val r = df.select(TextOps.langIdHeuristic($"text").as("lang")).collect().map(_.getString(0))
+    assert(r(0) == "en")
+    assert(r(1) == "de")
+  }
+
+  test("streaming daily counts equals batch twin") {
+    val batch = EventStream.dailyCountsBatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val stream = EventStream.runOnce(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("m2 frame explode is deterministic and bounded") {
+    val r = Multimodal.frameSample(spark, sf)
+    val counts = r.groupBy(col("doc_id")).count().collect()
+    counts.foreach(c => assert(c.getLong(1) >= 1 && c.getLong(1) <= 7))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, SimilaritySearch}
+import graft.functions.FakeEmbedder
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  val queryText = "fast vector search over spark tables"
+
+  test("knn returns k sorted rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val top = SimilaritySearch.knn(emb, "embedding", "vec_id",
+      FakeEmbedder.embed(queryText), 10, "cosine").collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("knn l2 ascending, dot descending") {
+    val emb = Tables.embeddings(spark, sf)
+    val l2 = SimilaritySearch.knn(emb, "embedding", "vec_id",
+      FakeEmbedder.embed(queryText), 5, "l2").collect().map(_.getDouble(1))
+    assert(l2.zip(l2.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("similarity join: every query gets exactly k neighbors, self is top hit") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val nQueries = queries.count()
+    val res = SimilaritySearch.similarityJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5, "cosine")
+    val rows = res.collect()
+    assert(rows.length == nQueries * 5)
+    // a vector's nearest neighbor is itself (cosine 1.0)
+    val best = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.maxBy(_.getDouble(2)) }
+    best.foreach { case (q, r) => assert(r.getLong(1) == q, s"query $q top hit should be itself") }
+  }
+
+  test("record lookup returns the row") {
+    val r = SimilaritySearch.recordById(Tables.documents(spark, sf), "doc_id", 42L).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("doc_id") == 42L)
+  }
+
+  test("semantic search end-to-end") {
+    val r = SimilaritySearch.semanticSearch(spark, sf, queryText, 10).collect()
+    assert(r.length == 10)
+    assert(r.map(_.getAs[Double]("similarity")).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("IVF search recall vs exact knn") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = FakeEmbedder.embed(queryText)
+    val exact = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "cosine")
+      .collect().map(_.getLong(0)).toSet
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 16, 5)
+    assert(model.k == 16)
+    val approx = IvfIndex.search(emb, "embedding", "vec_id", model, q, 10, 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    // full probe = exact
+    val full = IvfIndex.search(emb, "embedding", "vec_id", model, q, 10, 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
+  test("IVF assignment covers all vectors, lists are nonempty-ish") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    val assigned = IvfIndex.assign(emb, "embedding", model)
+    assert(assigned.count() == emb.count())
+    val lists = assigned.groupBy(col("list_id")).count().collect()
+    assert(lists.map(_.getLong(1)).sum == emb.count())
+    assert(lists.length >= 4, "k-means collapsed to too few lists")
+  }
+}

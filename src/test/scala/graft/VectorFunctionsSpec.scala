@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{vectors, FakeEmbedder, TextHash}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine_sim / l2_dist / dot_product match hand-computed values") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(1f, 2f, 2f)),
+      (Array(3f, 4f, 0f), Array(0f, 0f, 0f))).toDF("a", "b")
+    val r = df.select(
+      vectors.cosine_sim($"a", $"b").as("cos"),
+      vectors.l2_dist($"a", $"b").as("l2"),
+      vectors.dot_product($"a", $"b").as("dot")).collect()
+    assert(math.abs(r(0).getDouble(0)) < 1e-12)
+    assert(math.abs(r(0).getDouble(1) - math.sqrt(2)) < 1e-12)
+    assert(r(0).getDouble(2) == 0.0)
+    assert(math.abs(r(1).getDouble(0) - 1.0) < 1e-12)
+    assert(r(1).getDouble(1) == 0.0)
+    assert(math.abs(r(1).getDouble(2) - 9.0) < 1e-12)
+    assert(r(2).getDouble(0) == 0.0) // zero-vector guard
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = Seq((Array(0.3f, -1.2f, 5.5f, 0.01f), Array(2.2f, 0.4f, -3.3f, 1.0f))).toDF("a", "b")
+    val gen = df.select(vectors.cosine_sim($"a", $"b")).head.getDouble(0)
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(vectors.cosine_sim($"a", $"b")).head.getDouble(0)
+      assert(gen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev.getOrElse("true"))
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration works") {
+    vectors.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("FakeEmbedder: deterministic, unit-norm, text-sensitive") {
+    val a = FakeEmbedder.embed("hello world this is a test")
+    val b = FakeEmbedder.embed("hello world this is a test")
+    val c = FakeEmbedder.embed("a completely different sentence")
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(a.length == FakeEmbedder.Dim)
+    val norm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // expression path must equal driver path
+    val viaExpr = Seq("hello world this is a test").toDF("t")
+      .select(vectors.embed_text($"t")).head.getSeq[Float](0)
+    assert(viaExpr == a.toSeq)
+  }
+
+  test("TextHash: shingles, minhash, simhash basics") {
+    assert(TextHash.shingles("abcd", 3).toSeq == Seq("abc", "bcd"))
+    assert(TextHash.shingles("ab", 3).isEmpty)
+    val s1 = TextHash.minhash("the quick brown fox jumps over the lazy dog", 5, 32)
+    val s2 = TextHash.minhash("the quick brown fox jumps over the lazy dog", 5, 32)
+    val s3 = TextHash.minhash("entirely unrelated content with other words", 5, 32)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.toSeq != s3.toSeq)
+    assert(TextHash.simhash("same text here") == TextHash.simhash("same text here"))
+    assert(TextHash.shingleJaccard("abcdefgh", "abcdefgh", 5) == 1.0)
+    assert(TextHash.shingleJaccard("abcdefgh", "zzzzzzzz", 5) == 0.0)
+  }
+
+  test("minhash similarity estimates jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    val near = base + " today"
+    val s1 = TextHash.minhash(base, 5, 128)
+    val s2 = TextHash.minhash(near, 5, 128)
+    val est = s1.zip(s2).count { case (x, y) => x == y }.toDouble / 128
+    val actual = TextHash.shingleJaccard(base, near, 5)
+    assert(math.abs(est - actual) < 0.25)
+  }
+}
