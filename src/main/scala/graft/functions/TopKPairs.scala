@@ -1,0 +1,136 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer of (id, score) pairs. Keeps at most 2k entries
+  * between compactions — O(n log k) overall, fixed memory, no full
+  * sort of the scored stream. Ordering: best = (score better, then
+  * lower id), matching `row_number() OVER (ORDER BY score [DESC|ASC],
+  * id)` so results are deterministic and oracle-comparable.
+  */
+final class TopKBuffer(val k: Int, val asc: Boolean) {
+  var ids = new Array[Long](math.max(4, 2 * k))
+  var scores = new Array[Double](math.max(4, 2 * k))
+  var size = 0
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+
+  def add(id: Long, score: Double): Unit = {
+    if (size == ids.length) compact()
+    if (size == ids.length) { // buffer full of winners: replace-if-better
+      // after compact, size == k only when k*2 <= 4; handle by linear check
+      var worst = 0
+      var i = 1
+      while (i < size) { if (better(scores(worst), ids(worst), scores(i), ids(i))) worst = i; i += 1 }
+      if (better(score, id, scores(worst), ids(worst))) { ids(worst) = id; scores(worst) = score }
+    } else {
+      ids(size) = id; scores(size) = score; size += 1
+    }
+  }
+
+  /** sort by goodness and trim to k */
+  def compact(): Unit = {
+    val idx = (0 until size).sortWith((a, b) =>
+      better(scores(a), ids(a), scores(b), ids(b))).toArray
+    val n = math.min(k, size)
+    val nIds = new Array[Long](ids.length)
+    val nScores = new Array[Double](scores.length)
+    var i = 0
+    while (i < n) { nIds(i) = ids(idx(i)); nScores(i) = scores(idx(i)); i += 1 }
+    ids = nIds; scores = nScores; size = n
+  }
+
+  def mergeIn(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.ids(i), o.scores(i)); i += 1 }
+  }
+
+  /** final (id, score) rows, best first, exactly ≤ k */
+  def result(): Array[(Long, Double)] = {
+    compact()
+    Array.tabulate(size)(i => (ids(i), scores(i)))
+  }
+}
+
+/** `top_k_pairs(id, score, k, asc)` — aggregate returning the top-k
+  * (id, score) structs per group. The Spark-shaped replacement for
+  * `window row_number <= k` in per-query knn joins: partial buffers
+  * combine map-side, so only k rows per partition per group ever
+  * shuffle, and nothing is fully sorted.
+  */
+case class TopKPairs(idExpr: Expression, scoreExpr: Expression, k: Int, asc: Boolean,
+                     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, asc)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val id = idExpr.eval(input)
+    val sc = scoreExpr.eval(input)
+    if (id != null && sc != null)
+      buf.add(id.asInstanceOf[Long], sc.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = buf.result().map { case (id, sc) =>
+      new GenericInternalRow(Array[Any](id, sc)): Any
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    buf.compact()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) { out.writeLong(buf.ids(i)); out.writeDouble(buf.scores(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKBuffer(k, asc)
+    var i = 0
+    while (i < n) { buf.add(in.readLong(), in.readDouble()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(idExpr = newChildren(0), scoreExpr = newChildren(1))
+  override def prettyName: String = "top_k_pairs"
+}
+
+object TopKPairs {
+  import org.apache.spark.sql.{Column, GraftBridge}
+  /** Column API: `groupBy(q).agg(top_k_pairs($"id", $"score", 5))` */
+  def top_k_pairs(id: Column, score: Column, k: Int, asc: Boolean = false): Column =
+    GraftBridge.column(
+      TopKPairs(GraftBridge.expression(id), GraftBridge.expression(score), k, asc)
+        .toAggregateExpression())
+}

@@ -37,31 +37,46 @@ object Dedup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** d2: MinHash + LSH near-dup pairs.
-    * shingle(5-gram) → 32 minhashes → 8 bands × 4 rows → band-bucket
+    * shingle(5-gram) → 32 minhashes → 4 bands × 8 rows → band-bucket
     * join → exact-Jaccard verify ≥ `threshold`. Only the band keys
     * shuffle; candidate verification re-reads just the paired texts.
+    *
+    * 8-row bands put the LSH S-curve threshold near j≈0.8 — the
+    * near-dup regime — so low-similarity pairs rarely collide.
+    * `maxBucket` additionally drops degenerate buckets (a bucket of
+    * b docs costs b² candidate pairs; at 100 TB one hot bucket can
+    * dominate the whole job — exact duplicates are d1's job anyway).
     */
   def minhashLsh(spark: SparkSession, d: String,
-                 numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.5): DataFrame = {
+                 numHashes: Int = 32, bands: Int = 4,
+                 threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
     val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"), text.minhash_sig(col("text"), 5, numHashes).as("sig"))
-    // band key: xxhash64 over the band's slice of the signature
-    val banded = docs.select(col("doc_id"), col("text"),
+      .select(col("doc_id"), text.minhash_sig(col("text"), 5, numHashes).as("sig"))
+    // band key: xxhash64 over the band's slice of the signature.
+    // Only (doc_id, band, key) triples shuffle — texts never ride
+    // through the band exchange (at 100 TB the text column dominates).
+    val banded = docs.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
         .as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("id_b"), col("text").as("text_b"))
+    val bounded = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    val b = bounded.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact-Jaccard verification only on the candidate pairs
+    val texts = Tables.documents(spark, d).select(col("doc_id"), col("text"))
     val jac = udf((x: String, y: String) => graft.functions.TextHash.shingleJaccard(x, y, 5))
     candidates
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(jac(col("text_a"), col("text_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))

@@ -29,6 +29,17 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
+  /** Index builds are expensive and reusable (the reference builds its
+    * ivfflat index once, then serves queries); memoize per
+    * (dataset, k, iters) so build + search queries in one session
+    * share the model. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+
+  def fitCached(spark: SparkSession, d: String, k: Int, iters: Int): Model =
+    modelCache.getOrElseUpdate((d, k, iters),
+      fit(Tables.embeddings(spark, d), "embedding", "vec_id", k, iters))
+
   /** Deterministic Lloyd k-means over an `array<float>` column. */
   def fit(emb: DataFrame, vecCol: String, idCol: String,
           k: Int, iters: Int): Model = {
@@ -71,7 +82,7 @@ object IvfIndex {
   /** Per-list stats — the index summary (v5 output). */
   def buildSummary(spark: SparkSession, d: String, k: Int = 16, iters: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val model = fit(emb, "embedding", "vec_id", k, iters)
+    val model = fitCached(spark, d, k, iters)
     assign(emb, "embedding", model)
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
@@ -101,7 +112,7 @@ object IvfIndex {
   def searchSummary(spark: SparkSession, d: String, queryText: String,
                     k: Int = 16, iters: Int = 5, topK: Int = 10, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val model = fit(emb, "embedding", "vec_id", k, iters)
+    val model = fitCached(spark, d, k, iters)
     search(emb, "embedding", "vec_id", model,
       graft.functions.FakeEmbedder.embed(queryText), topK, nprobe)
   }

@@ -47,9 +47,11 @@ object SimilaritySearch {
 
   /** Batch similarity join: top-k corpus neighbors for EACH query row.
     * `queries` must be broadcast-sized (it is hinted); the corpus side
-    * is never shuffled — only the scored (qid, id, score) pairs move,
-    * and those are pre-pruned to per-partition candidates by the
-    * window rank.
+    * is never shuffled — scoring is map-only, and the per-query top-k
+    * runs through the custom [[graft.functions.TopKPairs]] aggregate:
+    * partial k-bounded heaps combine map-side, so only
+    * k × partitions × queries rows ever reach the exchange, with no
+    * full sort anywhere (O(n log k) vs the window's O(n log n)).
     */
   def similarityJoin(queries: DataFrame, corpus: DataFrame,
                      qIdCol: String, qVecCol: String,
@@ -66,12 +68,12 @@ object SimilaritySearch {
       .join(q) // broadcast nested-loop: corpus x queries, map-only
       .select(col("query_id"), col("neighbor_id"),
         round(scoreCol, 6).as("score"))
-    val ord = if (asc) Seq(col("score").asc, col("neighbor_id").asc)
-              else Seq(col("score").desc, col("neighbor_id").asc)
-    val w = Window.partitionBy(col("query_id")).orderBy(ord: _*)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("neighbor_id"), col("score"), k, asc).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.score").as("score"))
   }
 
   /** Point lookup — get_record_by_id. Filter pushes to the scan. */

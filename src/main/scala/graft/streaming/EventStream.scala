@@ -53,4 +53,64 @@ object EventStream {
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |  event_type, count(*) AS n
       |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  case class SessionState(lastMs: Long, sessions: Long, events: Long)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom-state streaming sessionization: per-user 30-min-gap
+    * session counting via `flatMapGroupsWithState`. Semantically the
+    * batch q12 (CoreQueries.q12Sessionize); the spec asserts they
+    * agree on the same files. State is O(1) per user — the shape that
+    * survives unbounded streams.
+    */
+  def sessionizeStream(spark: SparkSession, d: String, gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = Tables.eventsRaw(spark, d).schema
+    val events = Tables.eventsNormalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"))
+      .as[(Long, Long)]
+
+    def update(userId: Long, rows: Iterator[(Long, Long)],
+               state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      // within one micro-batch the iterator is not time-ordered; sort
+      // (bounded by batch size, not stream size)
+      val sorted = rows.map(_._2).toArray.sorted
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      sorted.foreach { ms =>
+        val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+        st = SessionState(ms, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+      }
+      state.update(st)
+      Iterator.single(SessionSummary(userId, st.sessions, st.events))
+    }
+
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
+  /** run the sessionization stream to completion over the static files */
+  def runSessionizeOnce(spark: SparkSession, d: String,
+                        name: String = "graft_s2"): DataFrame = {
+    val q = sessionizeStream(spark, d)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // memory sink in update mode appends updated rows; last row per
+    // user is the final state
+    val t = spark.table(name)
+    import org.apache.spark.sql.expressions.Window
+    t.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

@@ -89,6 +89,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stateful streaming sessionization equals batch q12") {
+    val batch = CoreQueries.q12Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = EventStream.runSessionizeOnce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toSet
+    assert(stream == batch)
+  }
+
+  test("top_k_pairs aggregate matches window row_number semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.95), (1L, 13L, 0.8),
+      (2L, 20L, 0.1), (2L, 21L, 0.2)).toDF("q", "id", "s")
+    val viaAgg = df.groupBy($"q")
+      .agg(graft.functions.TopKPairs.top_k_pairs($"id", $"s", 2).as("topk"))
+      .select($"q", explode($"topk").as("p"))
+      .select($"q", $"p.neighbor_id", $"p.score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // expected: per q, top-2 by (score desc, id asc)
+    assert(viaAgg == Set((1L, 12L, 0.95), (1L, 10L, 0.9), (2L, 21L, 0.2), (2L, 20L, 0.1)))
+  }
+
+  test("top_k_pairs handles ties and overflow deterministically") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (1L, i, if (i % 2 == 0) 0.5 else 0.25))
+    val r = rows.toDF("q", "id", "s").repartition(7)
+      .groupBy($"q")
+      .agg(graft.functions.TopKPairs.top_k_pairs($"id", $"s", 3).as("topk"))
+      .select(explode($"topk").as("p")).select($"p.neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(2L, 4L, 6L)) // score ties broken by lowest id
+  }
+
   test("m2 frame explode is deterministic and bounded") {
     val r = Multimodal.frameSample(spark, sf)
     val counts = r.groupBy(col("doc_id")).count().collect()
