@@ -324,4 +324,29 @@ object CoreQueries {
       |FROM events GROUP BY user_id
       |HAVING ms_view < ms_click AND ms_click < ms_purchase
       |ORDER BY user_id""".stripMargin
+
+  /** q15: as-of join via the custom operator (graft.plans.AsOfJoin) —
+    * every event annotated with the user's most recent prior-or-equal
+    * purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def q15AsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"), col("event_type"))
+    val purchases = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("unix_millis(ts)").as("p_ms"), col("value"))
+      .groupBy(col("pu"), col("p_ms"))
+      .agg(max(col("value")).as("p_value"))
+    graft.plans.AsOfJoinOps.asofJoin(ev, purchases, "user_id", "pu", "ms", "p_ms")
+      .select(col("user_id"), col("ms"), col("event_type"), col("p_ms"), col("p_value"))
+      .orderBy(col("user_id"), col("ms"), col("event_type"))
+  }
+
+  def q15Sql: String =
+    """SELECT e.user_id, e.ms, e.event_type, p.p_ms, p.p_value
+      |FROM (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events) e
+      |ASOF LEFT JOIN (
+      |  SELECT user_id AS pu, epoch_ms(ts) AS p_ms, max(value) AS p_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY pu, p_ms) p
+      |ON e.user_id = p.pu AND e.ms >= p.p_ms
+      |ORDER BY user_id, ms, event_type""".stripMargin
 }

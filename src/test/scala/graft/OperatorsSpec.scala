@@ -122,6 +122,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Seq(2L, 4L, 6L)) // score ties broken by lowest id
   }
 
+  test("custom as-of join matches window-function encoding") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"), col("event_type"))
+    val purch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("unix_millis(ts)").as("p_ms"), col("value"))
+      .groupBy($"pu", $"p_ms").agg(max($"value").as("p_value"))
+    val custom = graft.plans.AsOfJoinOps
+      .asofJoin(ev, purch, "user_id", "pu", "ms", "p_ms")
+      .select($"user_id", $"ms", $"event_type", $"p_ms", $"p_value")
+    // reference encoding: union trick via last() ignoring nulls over time order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"t", $"is_left")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tagged = purch.select($"pu".as("k"), $"p_ms".as("t"), lit(0).as("is_left"),
+        lit(null).cast("bigint").as("ms"), lit(null).cast("string").as("event_type"),
+        $"p_ms".as("r_ms"), $"p_value".as("r_val"))
+      .unionByName(ev.select($"user_id".as("k"), $"ms".as("t"), lit(1).as("is_left"),
+        $"ms", $"event_type", lit(null).cast("bigint").as("r_ms"),
+        lit(null).cast("double").as("r_val")))
+    val expected = tagged
+      .withColumn("p_ms", last($"r_ms", ignoreNulls = true).over(w))
+      .withColumn("p_value", last($"r_val", ignoreNulls = true).over(w))
+      .filter($"is_left" === 1)
+      .select($"k".as("user_id"), $"ms", $"event_type", $"p_ms", $"p_value")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getString(2),
+      Option(r.get(3)).map(_.toString).getOrElse(""), Option(r.get(4)).map(_.toString).getOrElse(""))
+    assert(custom.collect().map(key).sorted.toSeq == expected.collect().map(key).sorted.toSeq)
+    // the physical plan really is the custom operator
+    assert(custom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
   test("m2 frame explode is deterministic and bounded") {
     val r = Multimodal.frameSample(spark, sf)
     val counts = r.groupBy(col("doc_id")).count().collect()
