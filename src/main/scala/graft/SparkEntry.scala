@@ -89,9 +89,11 @@ object SparkEntry {
     "t2_quality_score" -> TextOps.qualityScore _,
     "t3_token_count" -> TextOps.tokenCount _,
     "t4_fingerprint" -> TextOps.fingerprint _,
+    "t5_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
+    "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatched(s, d)),
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
   )
@@ -156,6 +158,7 @@ object SparkEntry {
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
+    "t5_sequence_pack" -> TextOps.sequencePackSql(),
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,

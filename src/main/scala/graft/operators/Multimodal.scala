@@ -49,4 +49,39 @@ object Multimodal {
       |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS frame_key
       |FROM (SELECT doc_id, unnest(range(0, n_chars % 7 + 1)) AS i FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  case class MediaRow(doc_id: Long, blob: Array[Byte])
+  case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Float])
+
+  /** The batched-inference stub: the real system would decode images /
+    * run a vision encoder per batch inside `mapPartitions` (the Scala
+    * analogue of `mapInPandas`) — amortizing model setup over a
+    * partition and keeping the plan map-only. Here `decodeBatch` is a
+    * deterministic fake (byte histogram → 8-dim feature); the
+    * batching, schema, and partitioning are the production shape.
+    */
+  def decodeBatched(spark: SparkSession, d: String, batchSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "model call" per batch — the expensive-setup boundary
+        decodeBatch(batch)
+      }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** deterministic fake decoder (stands in for image/audio libs not
+    * present in this container) */
+  private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeature] =
+    batch.map { m =>
+      val f = new Array[Float](8)
+      var i = 0
+      while (i < m.blob.length) { f(m.blob(i) & 7) += 1f; i += 1 }
+      val n = math.max(1, m.blob.length).toFloat
+      MediaFeature(m.doc_id, m.blob.length, f.map(_ / n))
+    }
 }

@@ -104,6 +104,30 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** t5: greedy sequence packing — assign documents (in doc_id order)
+    * to fixed-token-budget packs, the training-batch construction
+    * step. Cumulative token count over a global order then bucket by
+    * budget. At scale the ordering column would be a partition-local
+    * (file, row) key so the cumsum window never needs one global
+    * partition — here doc_id is already that key. */
+  def sequencePack(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("tok_before") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sequencePackSql(budget: Int = 2048): String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $budget) AS BIGINT) AS pack_id
+       |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic (marker-token voting). The synthetic corpus
     * carries ground-truth `lang`, so this is exposed for the pipeline
     * and exercised in specs rather than the oracle. */

