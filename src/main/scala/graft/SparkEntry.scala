@@ -90,6 +90,8 @@ object SparkEntry {
     "t3_token_count" -> TextOps.tokenCount _,
     "t4_fingerprint" -> TextOps.fingerprint _,
     "t5_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
+    "t6_hash_sample" -> ((s, d) => TextOps.hashSample(s, d)),
+    "t7_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -159,6 +161,8 @@ object SparkEntry {
     "t3_token_count" -> TextOps.tokenCountSql,
     "t4_fingerprint" -> TextOps.fingerprintSql,
     "t5_sequence_pack" -> TextOps.sequencePackSql(),
+    "t6_hash_sample" -> TextOps.hashSampleSql(),
+    "t7_tfidf_top_terms" -> TextOps.tfidfTopTermsSql(),
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,

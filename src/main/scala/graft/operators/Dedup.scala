@@ -112,10 +112,10 @@ object Dedup {
     a.join(b, Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) -
-            size(array_intersect(col("toks_a"), col("toks_b")))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
       .select(col("lang"), col("source"), col("id_a"), col("id_b"))
       .orderBy(col("lang"), col("source"), col("id_a"), col("id_b"))
   }

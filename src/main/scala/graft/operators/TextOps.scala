@@ -128,6 +128,75 @@ object TextOps {
        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** t6: deterministic hash sampling — the train/holdout split for a
+    * training-data pipeline. md5 of the id keys the split so it is
+    * stable across runs, engines, and re-partitions (no RNG state);
+    * sampling 100 TB is a map-only filter. Rate = pct/100 by first
+    * two hex chars of the hash. */
+  def hashSample(spark: SparkSession, d: String, pct: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    // hex-prefix compare: lowercase-hex md5 in both engines, so a
+    // plain string inequality keys the split with zero cast hazards
+    val nBuckets = pct * 256 / 100
+    val cut = f"$nBuckets%02x"
+    docs.select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+      .filter(col("h") < cut)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def hashSampleSql(pct: Int = 10): String = {
+    val cut = f"${pct * 256 / 100}%02x"
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+       |  FROM documents)
+       |WHERE h < '$cut'
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** t7: TF-IDF top terms per language — corpus-statistics shape:
+    * explode to (lang, token), two grains of counts, idf from the doc
+    * count, per-lang top-5 by window rank. The explode shuffles only
+    * (lang, token) pairs; all counting is partial-aggregated. */
+  def tfidfTopTerms(spark: SparkSession, d: String, topN: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val nDocs = docs.count() // corpus constant (one cheap count job)
+    val tokens = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val df = tokens.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val tf = tokens.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("term_freq"))
+    val scored = tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        col("term_freq").cast("double") *
+          log(lit(nDocs.toDouble) / col("doc_freq").cast("double")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("lang"), col("token"), col("term_freq"), col("doc_freq"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def tfidfTopTermsSql(topN: Int = 5): String =
+    s"""SELECT lang, token, term_freq, doc_freq, rank FROM (
+       |  SELECT lang, token, term_freq, doc_freq,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY term_freq * ln((SELECT count(*) FROM documents) / CAST(doc_freq AS DOUBLE)) DESC,
+       |      token ASC) AS rank
+       |  FROM (
+       |    SELECT lang, token, count(*) AS term_freq FROM (
+       |      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+       |    GROUP BY lang, token) tf
+       |  JOIN (
+       |    SELECT token, count(DISTINCT doc_id) AS doc_freq FROM (
+       |      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+       |    GROUP BY token) df USING (token))
+       |WHERE rank <= $topN
+       |ORDER BY lang, rank""".stripMargin
+
   /** Language-ID heuristic (marker-token voting). The synthetic corpus
     * carries ground-truth `lang`, so this is exposed for the pipeline
     * and exercised in specs rather than the oracle. */
