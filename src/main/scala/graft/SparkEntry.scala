@@ -42,6 +42,7 @@ object SparkEntry {
     "q13_json_extract" -> CoreQueries.q13JsonExtract _,
     "q14_funnel" -> CoreQueries.q14Funnel _,
     "q15_asof_join" -> CoreQueries.q15AsofJoin _,
+    "q16_percentiles" -> CoreQueries.q16Percentiles _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -116,6 +117,7 @@ object SparkEntry {
     "q13_json_extract" -> CoreQueries.q13Sql,
     "q14_funnel" -> CoreQueries.q14Sql,
     "q15_asof_join" -> CoreQueries.q15Sql,
+    "q16_percentiles" -> CoreQueries.q16Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,

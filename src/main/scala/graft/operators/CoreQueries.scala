@@ -325,6 +325,25 @@ object CoreQueries {
       |HAVING ms_view < ms_click AND ms_click < ms_purchase
       |ORDER BY user_id""".stripMargin
 
+  /** q16: exact interpolated percentiles per event type — both engines
+    * define the continuous quantile as linear interpolation between
+    * closest ranks, so the doubles match bit-for-bit. */
+  def q16Percentiles(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  def q16Sql: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q15: as-of join via the custom operator (graft.plans.AsOfJoin) —
     * every event annotated with the user's most recent prior-or-equal
     * purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */

@@ -54,6 +54,31 @@ object EventStream {
       |  event_type, count(*) AS n
       |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
+  /** Streaming dedup — `dropDuplicates` with a watermark bounds the
+    * dedup state to the watermark horizon: the streaming-ingest guard
+    * against replayed/duplicated events (at 100 TB/day the state
+    * store only ever holds one horizon's worth of keys). */
+  def dedupStream(spark: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, d).schema
+    Tables.eventsNormalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def runDedupOnce(spark: SparkSession, d: String,
+                   name: String = "graft_s3"): DataFrame = {
+    val q = dedupStream(spark, d)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionState(lastMs: Long, sessions: Long, events: Long)

@@ -89,6 +89,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming dedup equals batch distinct counts") {
+    val batch = Tables.events(spark, sf).dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val stream = EventStream.runDedupOnce(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream == batch)
+  }
+
   test("stateful streaming sessionization equals batch q12") {
     val batch = CoreQueries.q12Sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
