@@ -93,6 +93,7 @@ object SparkEntry {
     "t5_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
     "t6_hash_sample" -> ((s, d) => TextOps.hashSample(s, d)),
     "t7_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "t8_dq_profile" -> TextOps.dqProfile _,
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -165,6 +166,7 @@ object SparkEntry {
     "t5_sequence_pack" -> TextOps.sequencePackSql(),
     "t6_hash_sample" -> TextOps.hashSampleSql(),
     "t7_tfidf_top_terms" -> TextOps.tfidfTopTermsSql(),
+    "t8_dq_profile" -> TextOps.dqProfileSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,

@@ -53,6 +53,7 @@ object FakeEmbedder {
   * (reference sql/04_embeddings.sql) stays inside whole-stage codegen. */
 case class EmbedText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def foldable: Boolean = child.foldable
   override val nullIntolerant: Boolean = true
   override def prettyName: String = "embed_text"
 

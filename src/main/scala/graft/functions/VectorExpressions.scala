@@ -18,6 +18,7 @@ import org.apache.spark.sql.types._
 abstract class VectorScoreExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override val nullIntolerant: Boolean = true
+  override def foldable: Boolean = left.foldable && right.foldable
 
   /** scalar kernel over primitive arrays (interpreted path) */
   protected def kernel(a: ArrayData, b: ArrayData): Double

@@ -40,8 +40,11 @@ object SimilaritySearch {
     val asc = metric == "l2" // distances: smaller is better
     val s = round(score(metric, col(vecCol), query), 6).as("score")
     val scored = corpus.select(col(idCol), s)
-    val ord = if (asc) Seq(col("score").asc, col(idCol).asc)
-              else Seq(col("score").desc, col(idCol).asc)
+    // explicit NULLS LAST: Spark's asc defaults to NULLS FIRST while
+    // the oracle engine defaults to NULLS LAST — a null embedding row
+    // must never outrank a scored one
+    val ord = if (asc) Seq(col("score").asc_nulls_last, col(idCol).asc)
+              else Seq(col("score").desc_nulls_last, col(idCol).asc)
     scored.orderBy(ord: _*).limit(k)
   }
 

@@ -197,6 +197,32 @@ object TextOps {
        |WHERE rank <= $topN
        |ORDER BY lang, rank""".stripMargin
 
+  /** t8: data-quality profile — the pipeline pre-flight check: row
+    * count, null/blank rate, distinctness, metadata consistency
+    * (`n_chars` really is `length(text)`), all in one scan. */
+  def dqProfile(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L)).as("n_blank_text"),
+      countDistinct(col("text")).as("n_distinct_text"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_chars_mismatch"))
+  }
+
+  def dqProfileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_blank_text,
+      |  count(DISTINCT text) AS n_distinct_text,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS n_chars_mismatch
+      |FROM documents""".stripMargin
+
   /** Language-ID heuristic (marker-token voting). The synthetic corpus
     * carries ground-truth `lang`, so this is exposed for the pipeline
     * and exercised in specs rather than the oracle. */

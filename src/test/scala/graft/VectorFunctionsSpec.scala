@@ -63,6 +63,18 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(viaExpr == a.toSeq)
   }
 
+  test("constant arguments fold at plan time") {
+    import org.apache.spark.sql.functions._
+    val plan = spark.range(1)
+      .select(vectors.cosine_sim(
+        vectors.embed_text(lit("some query")),
+        vectors.embed_text(lit("some query"))).as("c"))
+      .queryExecution.optimizedPlan.toString
+    // after ConstantFolding the projection is a literal 1.0 — no
+    // embed/cosine calls survive into the per-row plan
+    assert(!plan.contains("embed_text") && !plan.contains("cosine_sim"), plan)
+  }
+
   test("TextHash: shingles, minhash, simhash basics") {
     assert(TextHash.shingles("abcd", 3).toSeq == Seq("abc", "bcd"))
     assert(TextHash.shingles("ab", 3).isEmpty)
