@@ -43,6 +43,7 @@ object SparkEntry {
     "q14_funnel" -> CoreQueries.q14Funnel _,
     "q15_asof_join" -> CoreQueries.q15AsofJoin _,
     "q16_percentiles" -> CoreQueries.q16Percentiles _,
+    "q17_set_ops" -> CoreQueries.q17SetOps _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -85,6 +86,7 @@ object SparkEntry {
     "d3_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "d6_dup_components" -> ((s, d) => Dedup.dupComponents(s, d)),
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
@@ -119,6 +121,7 @@ object SparkEntry {
     "q14_funnel" -> CoreQueries.q14Sql,
     "q15_asof_join" -> CoreQueries.q15Sql,
     "q16_percentiles" -> CoreQueries.q16Sql,
+    "q17_set_ops" -> CoreQueries.q17Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
@@ -159,6 +162,7 @@ object SparkEntry {
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d4_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d5_embedding_neardup" -> Dedup.embeddingNearDupSql(),
+    "d6_dup_components" -> Dedup.dupComponentsSql(),
     "t1_lang_profile" -> TextOps.langProfileSql,
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,

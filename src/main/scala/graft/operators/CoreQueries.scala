@@ -344,6 +344,34 @@ object CoreQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q17: set operations — INTERSECT / EXCEPT over derived key sets
+    * (parts that ship in both halves of 1997 vs only the first). */
+  def q17SetOps(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    def shipped(from: String, until: String) =
+      li.filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+          col("l_shipdate") < lit(until).cast("timestamp"))
+        .select(col("l_partkey")).distinct()
+    val h1 = shipped("1997-01-01", "1997-07-01")
+    val h2 = shipped("1997-07-01", "1998-01-01")
+    val both = h1.intersect(h2).agg(count(lit(1)).as("n")).select(lit("both_halves").as("bucket"), col("n"))
+    val only1 = h1.except(h2).agg(count(lit(1)).as("n")).select(lit("h1_only").as("bucket"), col("n"))
+    val only2 = h2.except(h1).agg(count(lit(1)).as("n")).select(lit("h2_only").as("bucket"), col("n"))
+    both.unionByName(only1).unionByName(only2).orderBy(col("bucket"))
+  }
+
+  def q17Sql: String =
+    """WITH h1 AS (SELECT DISTINCT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'),
+      |h2 AS (SELECT DISTINCT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT 'both_halves' AS bucket, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+      |UNION ALL
+      |SELECT 'h1_only' AS bucket, count(*) AS n FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+      |UNION ALL
+      |SELECT 'h2_only' AS bucket, count(*) AS n FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
+      |ORDER BY bucket""".stripMargin
+
   /** q15: as-of join via the custom operator (graft.plans.AsOfJoin) —
     * every event annotated with the user's most recent prior-or-equal
     * purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */

@@ -131,6 +131,62 @@ object Dedup {
        |WHERE jaccard >= $threshold
        |ORDER BY lang, source, id_a, id_b""".stripMargin
 
+  /** d6: duplicate-cluster resolution — collapse the near-dup pair
+    * graph (d4's blocked Jaccard pairs) into connected components so
+    * each cluster keeps one canonical doc. Distributed min-label
+    * propagation: every iteration each node adopts the smallest label
+    * among itself and its neighbors; converges in O(diameter)
+    * iterations, each one a join + groupBy-min on the (small) edge
+    * set — the standard Spark CC shape, no driver-side graph.
+    */
+  def dupComponents(spark: SparkSession, d: String, threshold: Double = 0.3,
+                    maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(spark, d, threshold)
+      .select(col("id_a"), col("id_b"))
+    // undirected edge list + self
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    val nodes = edges.select(col("id_a").as("id")).distinct()
+    var labels = nodes.withColumn("root", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("id_a") === labels("id"))
+        .select(col("id_b").as("id"), col("root"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("root")).as("root"))
+      val next = neighborMin.cache()
+      val changed = next.join(labels.withColumnRenamed("root", "old_root"), Seq("id"))
+        .filter(col("root") =!= col("old_root")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("root").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dupComponentsSql(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+       |    FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+       |    JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+       |      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $threshold),
+       |bidir AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+       |reach(id, root) AS (
+       |  SELECT id_a, id_a FROM bidir
+       |  UNION
+       |  SELECT b.id_b, r.root FROM reach r JOIN bidir b ON b.id_a = r.id)
+       |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** d5: embedding-cosine near-dup pairs within label blocks — ids
     * only in the output so float rounding can't break the oracle. */
   def embeddingNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {

@@ -54,6 +54,40 @@ object EventStream {
       |  event_type, count(*) AS n
       |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
+  /** Streaming similarity search — a stream of query texts scored
+    * against the static embedding corpus (stream-static join): each
+    * micro-batch embeds its queries with the native expression,
+    * broadcast-joins the static side, and emits per-query top-k via
+    * the TopKPairs aggregate. The serving-adjacent shape the
+    * reference's find_similar tool would take on Spark. */
+  def knnStream(spark: SparkSession, queriesDir: String, corpusDir: String,
+                k: Int = 5): DataFrame = {
+    import graft.functions.vectors
+    val queries = spark.readStream
+      .schema("query_id LONG, query_text STRING")
+      .json(queriesDir)
+      .select(col("query_id"), vectors.embed_text(col("query_text")).as("q_vec"))
+    val corpus = Tables.embeddings(spark, corpusDir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    queries.join(corpus) // stream-static cross: corpus broadcast per batch
+      .select(col("query_id"), col("neighbor_id"),
+        round(vectors.cosine_sim(col("embedding"), col("q_vec")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(col("neighbor_id"), col("score"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"), col("p.score").as("score"))
+  }
+
+  def runKnnStreamOnce(spark: SparkSession, queriesDir: String, corpusDir: String,
+                       k: Int = 5, name: String = "graft_s4"): DataFrame = {
+    val q = knnStream(spark, queriesDir, corpusDir, k)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming dedup — `dropDuplicates` with a watermark bounds the
     * dedup state to the watermark horizon: the streaming-ingest guard
     * against replayed/duplicated events (at 100 TB/day the state

@@ -89,6 +89,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("dup components: labels are cluster minima and respect edges") {
+    val comp = Dedup.dupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // every edge's endpoints share a cluster, and the label is the min id reachable
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b) split") }
+    comp.foreach { case (id, root) => assert(root <= id) }
+  }
+
+  test("streaming knn: stream of queries scores against static corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("knnstream").toString
+    Seq("""{"query_id": 1, "query_text": "fast vector search over spark tables"}""",
+      """{"query_id": 2, "query_text": "slow filter batch"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = EventStream.runKnnStreamOnce(spark, tmp, sf, k = 3).collect()
+    assert(out.length == 6) // 2 queries x 3 neighbors
+    // query 1 must match the batch knn result
+    val batch = operators.SimilaritySearch.knn(Tables.embeddings(spark, sf),
+      "embedding", "vec_id",
+      graft.functions.FakeEmbedder.embed("fast vector search over spark tables"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val stream1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(stream1 == batch)
+  }
+
   test("streaming dedup equals batch distinct counts") {
     val batch = Tables.events(spark, sf).dropDuplicates("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
