@@ -80,6 +80,7 @@ object SparkEntry {
     }),
     "v11_hybrid_search" -> ((s, d) =>
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
+    "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
     // dedup
     "d1_exact_dedup" -> Dedup.exactDedup _,
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),

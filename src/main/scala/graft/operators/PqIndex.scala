@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftBridge
+import graft.Tables
+
+/** Product quantization — the compressed-vector tier of a vector
+  * store (public technique: Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011; the same family pgvector
+  * exposes as `halfvec`/quantized IVFPQ variants).
+  *
+  * The 64-dim float corpus (256 B/vector) is encoded as `m` one-byte
+  * codes (here 8 B/vector — 32×): each of the `m` subspaces gets its
+  * own k-means codebook. Queries score the codes with an asymmetric
+  * distance table (m × k floats, computed once per query on the
+  * driver) — a table lookup + add per subspace instead of a 64-wide
+  * float loop. At 100 TB this is the difference between scanning
+  * 100 TB and scanning 3 TB; the exact-rerank step then touches only
+  * the top candidates' full vectors.
+  */
+object PqIndex {
+
+  /** codebooks(j)(c) = centroid c of subspace j */
+  case class Model(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /** distance table for a query: table(j)(c) = ||q_j - codebook(j)(c)||² */
+  def distanceTable(model: Model, query: Array[Float]): Array[Array[Float]] =
+    Array.tabulate(model.m) { j =>
+      Array.tabulate(model.k) { c =>
+        val cen = model.codebooks(j)(c)
+        var s = 0.0f
+        var i = 0
+        while (i < cen.length) {
+          val d = query(j * model.dsub + i) - cen(i); s += d * d; i += 1
+        }
+        s
+      }
+    }
+
+  /** Fit per-subspace codebooks with deterministic Lloyd iterations.
+    * One distributed pass per iteration covers ALL subspaces: encode →
+    * posexplode (subspace, code, dim, x) → groupBy mean. */
+  def fit(emb: DataFrame, vecCol: String, idCol: String,
+          m: Int = 8, k: Int = 16, iters: Int = 4): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    val dsub = dim / m
+    // init: subspace slices of the first k vectors by id
+    val init = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    var books = Array.tabulate(m)(j =>
+      Array.tabulate(k)(c => init(c).slice(j * dsub, (j + 1) * dsub)))
+
+    for (_ <- 1 to iters) {
+      val enc = encodeColumn(col(vecCol), Model(books))
+      val sums = emb.select(posexplode(enc).as(Seq("j", "code")),
+          col(vecCol).as("v"))
+        .select(col("j"), col("code"),
+          posexplode(expr(s"slice(v, j * $dsub + 1, $dsub)")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, c), rows) =>
+        val cen = new Array[Float](dsub)
+        rows.foreach(r => cen(r.getInt(2)) = (r.getDouble(3) / r.getLong(4)).toFloat)
+        next(j)(c) = cen
+      }
+      books = next
+    }
+    Model(books)
+  }
+
+  def encodeColumn(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), model.codebooks))
+
+  def adcColumn(codes: org.apache.spark.sql.Column, table: Array[Array[Float]]): org.apache.spark.sql.Column =
+    GraftBridge.column(PqAdcDistance(GraftBridge.expression(codes), table))
+
+  /** ADC search with exact rerank: approximate distances over the
+    * 8-byte codes select `rerank × topK` candidates; their full
+    * vectors get exact L2 for the final order. */
+  def search(emb: DataFrame, vecCol: String, idCol: String, model: Model,
+             query: Array[Float], topK: Int, rerank: Int = 4): DataFrame = {
+    val table = distanceTable(model, query)
+    val candidates = emb
+      .select(col(idCol), col(vecCol),
+        adcColumn(encodeColumn(col(vecCol), model), table).as("adc"))
+      .orderBy(col("adc").asc_nulls_last, col(idCol).asc)
+      .limit(topK * rerank)
+    candidates
+      .select(col(idCol),
+        round(graft.functions.vectors.l2_dist(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").asc_nulls_last, col(idCol).asc)
+      .limit(topK)
+  }
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+
+  def fitCached(spark: SparkSession, d: String, m: Int = 8, k: Int = 16): Model =
+    pqCache.getOrElseUpdate((d, m, k),
+      fit(Tables.embeddings(spark, d), "embedding", "vec_id", m, k))
+
+  def searchSummary(spark: SparkSession, d: String, queryText: String,
+                    topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val model = fitCached(spark, d)
+    search(emb, "embedding", "vec_id", model,
+      graft.functions.FakeEmbedder.embed(queryText), topK)
+  }
+}
+
+/** `pq_encode(vec)` → array<int> of per-subspace nearest-codeword ids. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.encodeJ(v.asInstanceOf[ArrayData], codebooks)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, s => s"graft.operators.PqEncode.encodeJ($s, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncode {
+  def encodeJ(vec: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = 0
+      var bestD = Float.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var s = 0.0f
+        var i = 0
+        while (i < dsub) {
+          val d = vec.getFloat(j * dsub + i) - cen(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+}
+
+/** `pq_adc(codes)` → approximate squared distance via table lookups. */
+case class PqAdcDistance(child: Expression, table: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+  override def nullSafeEval(v: Any): Any =
+    PqAdcDistance.adcJ(v.asInstanceOf[ArrayData], table)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", table, "float[][]")
+    defineCodeGen(ctx, ev, s => s"graft.operators.PqAdcDistance.adcJ($s, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqAdcDistance {
+  def adcJ(codes: ArrayData, table: Array[Array[Float]]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < table.length) { s += table(j)(codes.getInt(j)); j += 1 }
+    s
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{IvfIndex, SimilaritySearch}
+import graft.operators.{IvfIndex, PqIndex, SimilaritySearch}
 import graft.functions.FakeEmbedder
 
 class SimilaritySearchSpec extends AnyFunSuite {
@@ -105,6 +105,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // doc containing query words should beat pure-vector ranking of a
     // doc with none; weak invariant: all scores within [0, 1]
     scores.foreach(s => assert(s >= -1.0 && s <= 1.0))
+  }
+
+  test("PQ search: codes are valid, recall vs exact is reasonable, rerank is exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = FakeEmbedder.embed(queryText)
+    val model = PqIndex.fit(emb, "embedding", "vec_id", m = 8, k = 16, iters = 3)
+    assert(model.m == 8 && model.k == 16 && model.dsub == 8)
+    // encoded codes all within [0, k)
+    val codes = emb.select(PqIndex.encodeColumn(col("embedding"), model).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // recall@10 against exact L2 with 4x rerank
+    val exact = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "l2")
+      .collect().map(_.getLong(0)).toSet
+    val approx = PqIndex.search(emb, "embedding", "vec_id", model, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall@10 = $recall")
+    // with rerank covering the whole corpus the result is exact
+    val n = emb.count().toInt
+    val full = PqIndex.search(emb, "embedding", "vec_id", model, q, 10, rerank = n)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact)
   }
 
   test("IVF assignment covers all vectors, lists are nonempty-ish") {
