@@ -252,6 +252,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.length == 8 && math.abs(f.sum - 1.0) < 1e-5)
   }
 
+  test("bucketed tables join without any exchange") {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    spark.sql("DROP TABLE IF EXISTS graft_o_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_li_bkt")
+    graft.sources.Bucketed.writeBucketed(o, "graft_o_bkt", "o_orderkey", 8)
+    graft.sources.Bucketed.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), "graft_li_bkt", "o_orderkey", 8)
+    // force the shuffle-join path (tables here are broadcast-sized; at
+    // the scale bucketing targets, neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.sources.Bucketed.cooperativeJoin(
+        spark, "graft_o_bkt", "graft_li_bkt", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and the result is correct vs a plain join
+      val expected = o.join(li, o("o_orderkey") === li("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("m2 frame explode is deterministic and bounded") {
     val r = Multimodal.frameSample(spark, sf)
     val counts = r.groupBy(col("doc_id")).count().collect()
