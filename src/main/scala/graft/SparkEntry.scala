@@ -44,6 +44,7 @@ object SparkEntry {
     "q15_asof_join" -> CoreQueries.q15AsofJoin _,
     "q16_percentiles" -> CoreQueries.q16Percentiles _,
     "q17_set_ops" -> CoreQueries.q17SetOps _,
+    "q18_latest_per_key" -> CoreQueries.q18LatestPerKey _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -123,6 +124,7 @@ object SparkEntry {
     "q15_asof_join" -> CoreQueries.q15Sql,
     "q16_percentiles" -> CoreQueries.q16Sql,
     "q17_set_ops" -> CoreQueries.q17Sql,
+    "q18_latest_per_key" -> CoreQueries.q18Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,

@@ -372,6 +372,29 @@ object CoreQueries {
       |SELECT 'h2_only' AS bucket, count(*) AS n FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
       |ORDER BY bucket""".stripMargin
 
+  /** q18: latest-record-per-key compaction (CDC/upsert semantics) —
+    * each user's most recent event wins. Deterministic tie-break on
+    * (ms desc, event_id desc). */
+  def q18LatestPerKey(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      .orderBy(col("user_id"))
+  }
+
+  def q18Sql: String =
+    """SELECT user_id, event_id, event_type, ms FROM (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** q15: as-of join via the custom operator (graft.plans.AsOfJoin) —
     * every event annotated with the user's most recent prior-or-equal
     * purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */

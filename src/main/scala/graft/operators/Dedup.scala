@@ -141,12 +141,14 @@ object Dedup {
     */
   def dupComponents(spark: SparkSession, d: String, threshold: Double = 0.3,
                     maxIters: Int = 20): DataFrame = {
+    // materialize the pair generation once — the union below consumes
+    // it twice (forward + reversed), and every iteration reads it
     val pairs = ngramJaccard(spark, d, threshold)
-      .select(col("id_a"), col("id_b"))
-    // undirected edge list + self
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     val nodes = edges.select(col("id_a").as("id")).distinct()
     var labels = nodes.withColumn("root", col("id"))
     var converged = false
@@ -159,14 +161,24 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("root")).as("root"))
       val next = neighborMin.cache()
+      cached += next
+      val t0 = System.nanoTime()
       val changed = next.join(labels.withColumnRenamed("root", "old_root"), Seq("id"))
         .filter(col("root") =!= col("old_root")).limit(1).count()
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(s"[cc] iter $i changed=$changed took ${(System.nanoTime()-t0)/1e9}s")
       labels = next
       converged = changed == 0
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("root").as("cluster_id"))
+    // break lineage, then release every intermediate cache — a leaked
+    // iteration cache steals storage memory from every later query
+    val result = labels
+      .select(col("id").as("doc_id"), col("root").as("cluster_id"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(blocking = false))
+    result
   }
 
   def dupComponentsSql(threshold: Double = 0.3): String =

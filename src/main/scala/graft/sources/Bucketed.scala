@@ -12,12 +12,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent: with an in-memory catalog a previous JVM's warehouse
+    // dir survives while the table entry doesn't — clear both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** join two same-bucketed tables on their bucket key — plans with
     * zero Exchange nodes (verified in spec) */
