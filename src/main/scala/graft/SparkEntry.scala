@@ -45,6 +45,8 @@ object SparkEntry {
     "q16_percentiles" -> CoreQueries.q16Percentiles _,
     "q17_set_ops" -> CoreQueries.q17SetOps _,
     "q18_latest_per_key" -> CoreQueries.q18LatestPerKey _,
+    "q19_above_cust_avg" -> CoreQueries.q19AboveCustomerAvg _,
+    "q20_cube" -> CoreQueries.q20Cube _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -125,6 +127,8 @@ object SparkEntry {
     "q16_percentiles" -> CoreQueries.q16Sql,
     "q17_set_ops" -> CoreQueries.q17Sql,
     "q18_latest_per_key" -> CoreQueries.q18Sql,
+    "q19_above_cust_avg" -> CoreQueries.q19Sql,
+    "q20_cube" -> CoreQueries.q20Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,

@@ -395,6 +395,49 @@ object CoreQueries {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** q19: correlated-subquery shape — orders priced above their own
+    * customer's average. DataFrame form: per-customer aggregate
+    * broadcast back against the fact (what Catalyst decorrelates a
+    * subquery into anyway). */
+  def q19AboveCustomerAvg(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast(dec)).cast("double") / count(lit(1))).as("cust_avg"))
+    o.join(broadcast(avgs), o("o_custkey") === avgs("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def q19Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_above FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q20: CUBE over two dimensions — all four grouping sets in one
+    * pass (partial aggregation expands grouping ids map-side). */
+  def q20Cube(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  def q20Sql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   /** q15: as-of join via the custom operator (graft.plans.AsOfJoin) —
     * every event annotated with the user's most recent prior-or-equal
     * purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */

@@ -252,6 +252,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.length == 8 && math.abs(f.sum - 1.0) < 1e-5)
   }
 
+  test("plan shapes: broadcasts, pushdown, and no-shuffle knn hold") {
+    // q3: every join is a broadcast; filters reach the scans
+    val q3 = CoreQueries.q3CustOrderRevenue(spark, sf).queryExecution.executedPlan.toString
+    assert(q3.contains("BroadcastHashJoin"), "q3 lost its broadcast join")
+    assert(!q3.contains("SortMergeJoin"), "q3 fell back to sort-merge")
+    assert(q3.contains("PushedFilters: [IsNotNull"), "q3 lost scan pushdown")
+    // v1: top-k with zero exchanges
+    val v1 = SparkEntry.queries("v1_knn_cosine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(v1.contains("TakeOrderedAndProject"), "v1 lost TakeOrderedAndProject")
+    assert(!v1.contains("Exchange"), "v1 shuffles the corpus")
+    // q6: selective filter is pushed to parquet
+    // (plan strings truncate long filter lists — assert on the scan's
+    // own pushed-filter metadata instead)
+    val q6Scan = CoreQueries.q6SelectiveFilter(spark, sf).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(q6Scan.contains("PushedFilters: [IsNotNull"), "q6 filter not pushed to scan")
+  }
+
   test("bucketed tables join without any exchange") {
     val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, sf)
