@@ -106,6 +106,7 @@ object SparkEntry {
     "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatched(s, d)),
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
+    "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -181,6 +182,7 @@ object SparkEntry {
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
+    "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
     // v5_ivf_build, v6_ivf_search, v9_embed_ingest, d2_minhash_lsh,
     // d3_simhash: not SQL-expressible (k-means / custom hashes) →
     // rows-only check; invariants covered in ScalaTest specs.

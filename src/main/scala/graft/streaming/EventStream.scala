@@ -88,6 +88,67 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream join — clicks joined to the same user's purchases
+    * within the next 30 minutes. Watermarks + the time-range predicate
+    * bound both join states; without them a stream-stream join buffers
+    * forever. Batch twin below is the oracle-checked semantics. */
+  def clickPurchaseJoinStream(spark: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, d).schema
+    def src() = Tables.eventsNormalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purch_ts"))
+      .withWatermark("purch_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purch_ts") >= col("click_ts") &&
+        col("purch_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+  }
+
+  def runClickPurchaseJoinOnce(spark: SparkSession, d: String,
+                               name: String = "graft_s5"): DataFrame = {
+    val q = clickPurchaseJoinStream(spark, d)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** batch twin of the stream-stream join (oracle-checked as s2) */
+  def clickPurchaseJoinBatch(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("unix_millis(ts)").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("unix_millis(ts)").as("purch_ms"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purch_ms") >= col("click_ms") &&
+        col("purch_ms") <= col("click_ms") + 1800000L)
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  def clickPurchaseJoinSql: String =
+    """SELECT c.click_id, p.purchase_id FROM
+      |  (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms
+      |   FROM events WHERE event_type = 'click') c
+      |JOIN
+      |  (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purch_ms
+      |   FROM events WHERE event_type = 'purchase') p
+      |ON c.user_id = p.user_id
+      |  AND p.purch_ms >= c.click_ms AND p.purch_ms <= c.click_ms + 1800000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Streaming dedup — `dropDuplicates` with a watermark bounds the
     * dedup state to the watermark horizon: the streaming-ingest guard
     * against replayed/duplicated events (at 100 TB/day the state

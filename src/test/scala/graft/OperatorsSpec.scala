@@ -117,6 +117,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream1 == batch)
   }
 
+  test("stream-stream time-range join equals batch twin") {
+    val batch = EventStream.clickPurchaseJoinBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = EventStream.runClickPurchaseJoinOnce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup equals batch distinct counts") {
     val batch = Tables.events(spark, sf).dropDuplicates("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
