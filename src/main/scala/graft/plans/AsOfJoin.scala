@@ -105,6 +105,43 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Catalyst stops pushing predicates at operators it doesn't know, so
+  * a filter above [[AsOfJoin]] would run after the join — scanning and
+  * shuffling rows the query throws away. This rule splits the
+  * conjunction and sinks every left-only predicate below the join
+  * (where the built-in rules then carry it into the parquet scan);
+  * a left-key equality predicate is additionally mirrored to the right
+  * side (the join key must match, so the right side can prune too).
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        // mirror `leftKey = lit` onto the right side through key equality
+        val mirrored = leftOnly.collect {
+          case EqualTo(a, l: Literal) if a.semanticEquals(aj.leftKey) =>
+            EqualTo(aj.rightKey, l)
+          case EqualTo(l: Literal, a) if a.semanticEquals(aj.leftKey) =>
+            EqualTo(aj.rightKey, l)
+        }
+        val newLeft = Filter(leftOnly.reduce(And), aj.left)
+        val newRight =
+          if (mirrored.isEmpty) aj.right
+          else Filter(mirrored.reduce(And), aj.right)
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
 object AsOfJoinOps {
   /** `asofJoin(left, right, "user_id", "pu", "ms", "p_ms")` — left
     * outer as-of. Right column names must not collide with left's
@@ -117,6 +154,9 @@ object AsOfJoinOps {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

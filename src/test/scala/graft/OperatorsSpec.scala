@@ -201,6 +201,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(custom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("filter above as-of join pushes below it (custom optimizer rule)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"), col("event_type"))
+    val purch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("unix_millis(ts)").as("p_ms"))
+      .groupBy($"pu", $"p_ms").agg(count(lit(1)).as("pn"))
+    val joined = graft.plans.AsOfJoinOps
+      .asofJoin(ev, purch, "user_id", "pu", "ms", "p_ms")
+      .filter(col("user_id") === 7L)
+    val optimized = joined.queryExecution.optimizedPlan
+    // the filter must sit below the AsOfJoin node, on BOTH sides
+    // (key-equality mirrored to the right), not above it
+    val aj = optimized.collectFirst {
+      case a: graft.plans.AsOfJoin => a
+    }.getOrElse(fail(s"no AsOfJoin in optimized plan:\n$optimized"))
+    def hasKeyFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.map(_.name).exists(n => n == "user_id" || n == "pu") => f
+      }.nonEmpty
+    assert(hasKeyFilter(aj.left), s"left side missing pushed filter:\n$optimized")
+    assert(hasKeyFilter(aj.right), s"right side missing mirrored filter:\n$optimized")
+    // and the result still matches the unpushed semantics
+    val expected = graft.plans.AsOfJoinOps
+      .asofJoin(ev, purch, "user_id", "pu", "ms", "p_ms")
+      .collect().filter(_.getLong(0) == 7L).length
+    assert(joined.count() == expected)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = Tables.events(spark, sf)
     val plain = ev.groupBy(col("user_id").as("k"))
