@@ -47,6 +47,7 @@ object SparkEntry {
     "q18_latest_per_key" -> CoreQueries.q18LatestPerKey _,
     "q19_above_cust_avg" -> CoreQueries.q19AboveCustomerAvg _,
     "q20_cube" -> CoreQueries.q20Cube _,
+    "q21_sliding_window" -> CoreQueries.q21SlidingWindow _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -130,6 +131,7 @@ object SparkEntry {
     "q18_latest_per_key" -> CoreQueries.q18Sql,
     "q19_above_cust_avg" -> CoreQueries.q19Sql,
     "q20_cube" -> CoreQueries.q20Sql,
+    "q21_sliding_window" -> CoreQueries.q21Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,

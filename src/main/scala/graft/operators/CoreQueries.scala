@@ -438,6 +438,33 @@ object CoreQueries {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** q21: RANGE-frame sliding window — per event, how many events and
+    * how much value this user produced in the preceding hour
+    * (inclusive). Exact counts + decimal sums keep the frame
+    * aggregation oracle-parity-safe. */
+  def q21SlidingWindow(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), expr("unix_millis(ts)").as("ms"),
+        col("value").cast(dec).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    ev.select(col("user_id"), col("event_id"), col("ms"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("v")).over(w).cast("double").as("sum_last_hour"))
+      .orderBy(col("user_id"), col("ms"), col("event_id"))
+  }
+
+  def q21Sql: String =
+    """SELECT user_id, event_id, ms,
+      |  count(*) OVER w AS n_last_hour,
+      |  CAST(sum(v) OVER w AS DOUBLE) AS sum_last_hour
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |        CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+      |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
   /** q15: as-of join via the custom operator (graft.plans.AsOfJoin) —
     * every event annotated with the user's most recent prior-or-equal
     * purchase. Oracle: DuckDB's native ASOF LEFT JOIN. */

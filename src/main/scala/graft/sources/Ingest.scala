@@ -38,4 +38,19 @@ object Ingest {
     * shuffle-free point lookups and co-located joins downstream */
   def write(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Upsert freshly-embedded records into an existing store — the
+    * reference's "as soon as a new policy is added it is immediately
+    * searchable" flow (README.md:68). Updates win over existing rows
+    * with the same id; one union + one key shuffle. */
+  def upsert(store: DataFrame, updates: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = updates.withColumn("__pri", lit(1))
+      .unionByName(store.withColumn("__pri", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pri").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__pri", "__rn")
+  }
 }

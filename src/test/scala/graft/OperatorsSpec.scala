@@ -273,6 +273,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(emb.toSeq == graft.functions.FakeEmbedder.embed("hello spark world").toSeq)
   }
 
+  test("upsert: updates replace matching ids, others survive") {
+    import spark.implicits._
+    val store = Seq((1L, "old one", "en"), (2L, "two", "de")).toDF("doc_id", "text", "lang")
+    val updates = Seq((1L, "new one", "en"), (3L, "three", "es")).toDF("doc_id", "text", "lang")
+    val merged = graft.sources.Ingest.upsert(store, updates, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(merged == Set((1L, "new one"), (2L, "two"), (3L, "three")))
+  }
+
   test("sequence packing: packs respect order and budget arithmetic") {
     val r = TextOps.sequencePack(spark, sf, budget = 512).collect()
     var cum = 0L
