@@ -105,6 +105,7 @@ object SparkEntry {
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
     "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatched(s, d)),
+    "m4_media_header" -> Multimodal.mediaHeader _,
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
     "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
@@ -183,6 +184,7 @@ object SparkEntry {
     "t8_dq_profile" -> TextOps.dqProfileSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
+    "m4_media_header" -> Multimodal.mediaHeaderSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
     // v5_ivf_build, v6_ivf_search, v9_embed_ingest, d2_minhash_lsh,

@@ -50,6 +50,39 @@ object Multimodal {
       |FROM (SELECT doc_id, unnest(range(0, n_chars % 7 + 1)) AS i FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m4: typed metadata from binary headers — synthesize a PNG-shaped
+    * header (magic + big-endian width/height words) and parse it back
+    * from the binary column, the schema-on-read step for an image
+    * corpus. Hex-string outputs keep the oracle engine-neutral. */
+  def mediaHeader(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val widthHex = lpad(hex((col("n_chars") % 1024 + 16).cast("int")), 8, "0")
+    val heightHex = lpad(hex(((col("n_chars") * 7) % 768 + 16).cast("int")), 8, "0")
+    val blob = unhex(concat(lit("89504e47"), widthHex, heightHex))
+    docs.select(col("doc_id"), blob.as("header"))
+      .select(col("doc_id"),
+        lower(hex(substring(col("header"), 1, 4))).as("magic"),
+        lower(hex(substring(col("header"), 5, 4))).as("width_hex"),
+        lower(hex(substring(col("header"), 9, 4))).as("height_hex"),
+        (lower(hex(substring(col("header"), 1, 4))) === "89504e47").as("is_png"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** the oracle builds the same header as a hex STRING (DuckDB can't
+    * substring blobs) — byte-identical content, engine-neutral compare */
+  def mediaHeaderSql: String =
+    """SELECT doc_id,
+      |  lower(substring(header_hex, 1, 8)) AS magic,
+      |  lower(substring(header_hex, 9, 8)) AS width_hex,
+      |  lower(substring(header_hex, 17, 8)) AS height_hex,
+      |  lower(substring(header_hex, 1, 8)) = '89504e47' AS is_png
+      |FROM (
+      |  SELECT doc_id, '89504e47' ||
+      |    lpad(hex(CAST(n_chars % 1024 + 16 AS INTEGER)), 8, '0') ||
+      |    lpad(hex(CAST((n_chars * 7) % 768 + 16 AS INTEGER)), 8, '0') AS header_hex
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   case class MediaRow(doc_id: Long, blob: Array[Byte])
   case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Float])
 

@@ -130,6 +130,27 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("knn edge cases: k larger than corpus, empty corpus, null rows last") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    // k > corpus: returns everything, still sorted
+    val all = SimilaritySearch.knn(emb, "embedding", "vec_id",
+      FakeEmbedder.embed(queryText), (n + 100).toInt, "cosine")
+    assert(all.count() == n)
+    // empty corpus: empty result, no crash
+    val empty = SimilaritySearch.knn(emb.filter(col("vec_id") < 0),
+      "embedding", "vec_id", FakeEmbedder.embed(queryText), 5, "cosine")
+    assert(empty.count() == 0)
+    // null embeddings sort last, never outrank scored rows
+    val withNull = Seq((9001L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+      .unionByName(emb.limit(3).select($"vec_id", $"embedding"))
+    val top = SimilaritySearch.knn(withNull, "embedding", "vec_id",
+      FakeEmbedder.embed(queryText), 4, "l2").collect()
+    assert(top.last.getLong(0) == 9001L && top.last.isNullAt(1))
+  }
+
   test("IVF assignment covers all vectors, lists are nonempty-ish") {
     val emb = Tables.embeddings(spark, sf)
     val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
