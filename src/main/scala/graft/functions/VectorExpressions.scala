@@ -24,8 +24,10 @@ abstract class VectorScoreExpression extends BinaryExpression {
   protected def kernel(a: ArrayData, b: ArrayData): Double
 
   /** java source for the codegen'd kernel; `a`,`b` are ArrayData vars,
-    * must assign the result to `ev` (a declared double). */
-  protected def genKernel(a: String, b: String, ev: String): String
+    * must assign the result to `ev` (a declared double). All kernel
+    * locals must be prefixed with `p` — Janino forbids shadowing, so
+    * raw names collide with whatever the enclosing stage declared. */
+  protected def genKernel(a: String, b: String, ev: String, p: String): String
 
   override def nullSafeEval(l: Any, r: Any): Any =
     kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -33,9 +35,10 @@ abstract class VectorScoreExpression extends BinaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val res = ctx.freshName("vecScore")
+      val p = ctx.freshName("vk")
       s"""
          |double $res = 0.0;
-         |${genKernel(a, b, res)}
+         |${genKernel(a, b, res, p)}
          |${ev.value} = $res;
        """.stripMargin
     })
@@ -55,17 +58,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
-  override protected def genKernel(a: String, b: String, ev: String): String =
+  override protected def genKernel(a: String, b: String, ev: String, p: String): String =
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = (double) $a.getFloat(i);
-       |  double y = (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |int ${p}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double ${p}_dot = 0.0, ${p}_na = 0.0, ${p}_nb = 0.0;
+       |for (int ${p}_i = 0; ${p}_i < ${p}_n; ${p}_i++) {
+       |  double ${p}_x = (double) $a.getFloat(${p}_i);
+       |  double ${p}_y = (double) $b.getFloat(${p}_i);
+       |  ${p}_dot += ${p}_x * ${p}_y; ${p}_na += ${p}_x * ${p}_x; ${p}_nb += ${p}_y * ${p}_y;
        |}
-       |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-       |$ev = denom == 0.0 ? 0.0 : dot / denom;
+       |double ${p}_denom = java.lang.Math.sqrt(${p}_na) * java.lang.Math.sqrt(${p}_nb);
+       |$ev = ${p}_denom == 0.0 ? 0.0 : ${p}_dot / ${p}_denom;
      """.stripMargin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -84,15 +87,15 @@ case class L2Distance(left: Expression, right: Expression)
     }
     math.sqrt(s)
   }
-  override protected def genKernel(a: String, b: String, ev: String): String =
+  override protected def genKernel(a: String, b: String, ev: String, p: String): String =
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-       |  s += d * d;
+       |int ${p}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double ${p}_s = 0.0;
+       |for (int ${p}_i = 0; ${p}_i < ${p}_n; ${p}_i++) {
+       |  double ${p}_d = (double) $a.getFloat(${p}_i) - (double) $b.getFloat(${p}_i);
+       |  ${p}_s += ${p}_d * ${p}_d;
        |}
-       |$ev = java.lang.Math.sqrt(s);
+       |$ev = java.lang.Math.sqrt(${p}_s);
      """.stripMargin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -109,14 +112,14 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
-  override protected def genKernel(a: String, b: String, ev: String): String =
+  override protected def genKernel(a: String, b: String, ev: String, p: String): String =
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int ${p}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double ${p}_s = 0.0;
+       |for (int ${p}_i = 0; ${p}_i < ${p}_n; ${p}_i++) {
+       |  ${p}_s += (double) $a.getFloat(${p}_i) * (double) $b.getFloat(${p}_i);
        |}
-       |$ev = s;
+       |$ev = ${p}_s;
      """.stripMargin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import graft.functions.{CosineSimilarity, DotProduct, FakeEmbedder, L2Distance, TextHash, TopKBuffer}
+
+/** Property tests over the pure kernels — no SparkSession needed, the
+  * expressions run interpreted over literal ArrayData. */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0f, 10.0f)).map(_.toArray))
+
+  private def lit(a: Array[Float]) =
+    Literal.create(new GenericArrayData(a.map(_.asInstanceOf[Any])),
+      ArrayType(FloatType))
+
+  private def cos(a: Array[Float], b: Array[Float]): Double =
+    CosineSimilarity(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+  private def l2(a: Array[Float], b: Array[Float]): Double =
+    L2Distance(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+
+  property("cosine is within [-1,1] and symmetric") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val c = cos(a, b)
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 && c == cos(b, a)
+    }
+
+  property("cosine of a vector with itself is 1 (or 0 for zero vec)") =
+    forAll(vecGen) { a =>
+      val c = cos(a, a)
+      val zero = a.forall(_ == 0.0f)
+      if (zero) c == 0.0 else math.abs(c - 1.0) < 1e-9
+    }
+
+  property("l2 is non-negative, symmetric, zero on self") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      l2(a, b) >= 0.0 && l2(a, b) == l2(b, a) && l2(a, a) == 0.0
+    }
+
+  property("dot is symmetric and matches manual sum") =
+    forAll(vecGen) { a =>
+      val manual = a.map(x => x.toDouble * x.toDouble).sum
+      math.abs(dot(a, a) - manual) < 1e-6 * math.max(1.0, math.abs(manual))
+    }
+
+  property("shingles are distinct, length n, bounded in count") =
+    forAll(Gen.alphaLowerStr, Gen.choose(2, 6)) { (s, n) =>
+      val sh = TextHash.shingles(s, n)
+      sh.toSet.size == sh.length &&
+        sh.forall(_.length == n) &&
+        sh.length <= math.max(0, s.length - n + 1)
+    }
+
+  property("minhash is deterministic and element-monotone under identity") =
+    forAll(Gen.alphaLowerStr) { s =>
+      TextHash.minhash(s, 5, 16).toSeq == TextHash.minhash(s, 5, 16).toSeq
+    }
+
+  property("simhash hamming distance is symmetric and zero on self") =
+    forAll(Gen.alphaLowerStr, Gen.alphaLowerStr) { (a, b) =>
+      val ha = TextHash.simhash(a); val hb = TextHash.simhash(b)
+      java.lang.Long.bitCount(ha ^ hb) == java.lang.Long.bitCount(hb ^ ha) &&
+        java.lang.Long.bitCount(ha ^ ha) == 0
+    }
+
+  property("embedder output is unit norm (or zero) and deterministic") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val e = FakeEmbedder.embed(s)
+      val norm = math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+      e.length == FakeEmbedder.Dim &&
+        (norm == 0.0 || math.abs(norm - 1.0) < 1e-5) &&
+        e.toSeq == FakeEmbedder.embed(s).toSeq
+    }
+
+  private val pairsGen: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0.0, 1.0)))
+
+  property("TopKBuffer equals sort-take-k reference") =
+    forAll(pairsGen, Gen.choose(1, 10), Gen.oneOf(true, false)) { (xs, k, asc) =>
+      val buf = new TopKBuffer(k, asc)
+      xs.foreach { case (id, s) => buf.add(id, s) }
+      val got = buf.result().toSeq
+      val ref = xs.sortWith { case ((i1, s1), (i2, s2)) =>
+        if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+      }.take(k)
+      got == ref
+    }
+
+  property("TopKBuffer merge equals single-buffer result") =
+    forAll(pairsGen, pairsGen, Gen.choose(1, 8)) { (xs, ys, k) =>
+      val one = new TopKBuffer(k, false)
+      (xs ++ ys).foreach { case (id, s) => one.add(id, s) }
+      val a = new TopKBuffer(k, false)
+      xs.foreach { case (id, s) => a.add(id, s) }
+      val b = new TopKBuffer(k, false)
+      ys.foreach { case (id, s) => b.add(id, s) }
+      a.mergeIn(b)
+      a.result().toSeq == one.result().toSeq
+    }
+}
