@@ -85,6 +85,14 @@ object SparkEntry {
     "v11_hybrid_search" -> ((s, d) =>
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
+    "v13_range_search" -> ((s, d) => {
+      val q = typedLit(FakeEmbedder.embed(SearchText))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(graft.functions.vectors.l2_dist(col("embedding"), q), 6).as("dist"))
+        .filter(col("dist") <= 1.35)
+        .orderBy(col("dist"), col("vec_id"))
+    }),
     // dedup
     "d1_exact_dedup" -> Dedup.exactDedup _,
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -151,6 +159,16 @@ object SparkEntry {
          |ORDER BY query_id, score DESC, neighbor_id""".stripMargin,
     "v7_record_lookup" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "v13_range_search" ->
+      s"""SELECT vec_id, dist FROM (
+         |  SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS dist
+         |  FROM embeddings)
+         |WHERE dist <= 1.35 ORDER BY dist, vec_id""".stripMargin,
+    "v13_range_search" ->
+      s"""SELECT vec_id, dist FROM (
+         |  SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS dist
+         |  FROM embeddings)
+         |WHERE dist <= 1.35 ORDER BY dist, vec_id""".stripMargin,
     "v10_filtered_knn" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings e
