@@ -99,6 +99,19 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(minhash(if (s == null) null else s.toString, n, k))
   def simhashJ(s: UTF8String): Long = simhash(if (s == null) null else s.toString)
 
+  /** merge-walk intersection count over two sorted UTF8String arrays */
+  def sortedIntersectCountJ(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** exact Jaccard between two docs' shingle sets (verification step) */
   def shingleJaccard(a: String, b: String, n: Int): Double = {
     val sa = shingles(a, n).toSet
@@ -148,10 +161,31 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `sorted_intersect_count(a, b)` — intersection size of two SORTED
+  * string arrays by a single merge walk: no per-pair hash set, no
+  * result array. The pair-comparison kernel of set-similarity joins
+  * (the sort is paid once per document, the walk once per pair). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHash.sortedIntersectCountJ(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.sortedIntersectCountJ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object text {
   import org.apache.spark.sql.{Column, GraftBridge}
   private def e(c: Column) = GraftBridge.expression(c)
   def char_shingles(t: Column, n: Int): Column = GraftBridge.column(CharShingles(e(t), n))
   def minhash_sig(t: Column, n: Int = 5, k: Int = 32): Column = GraftBridge.column(MinHashSig(e(t), n, k))
   def simhash64(t: Column): Column = GraftBridge.column(SimHash64(e(t)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(e(a), e(b)))
 }

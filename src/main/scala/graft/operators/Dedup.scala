@@ -105,18 +105,29 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** d4: exact token-set Jaccard within (lang, source) blocks. */
+  /** d4: exact token-set Jaccard within (lang, source) blocks.
+    * Set-similarity-join optimizations (public PPJoin-family ideas):
+    * token arrays are sorted once per doc so each pair is a merge
+    * walk ([[graft.functions.SortedIntersectCount]] — no per-pair
+    * hash set), and a size-bound prefilter drops pairs whose length
+    * ratio already caps Jaccard below the threshold (an upper bound:
+    * min/max ≥ j is necessary, so no qualifying pair is lost). */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
     val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        col("toks_a"), col("toks_b"),
         size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double") >= threshold)
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+        graft.functions.text.sorted_intersect_count(col("toks_a"), col("toks_b")).as("inter"),
+        col("na"), col("nb"))
       .filter(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
       .select(col("lang"), col("source"), col("id_a"), col("id_b"))
