@@ -79,6 +79,40 @@ object SimilaritySearch {
         col("p.score").as("score"))
   }
 
+  /** Large-query-set similarity join — when the query table itself is
+    * too big to broadcast. Block-nested-loop on an explicit grid: the
+    * corpus hashes into `blocks` partitions once; each query row is
+    * replicated to every corpus block (queries × blocks rows — choose
+    * `blocks` ≈ corpus_size / healthy_partition so the replication
+    * stays far below the corpus). Every (query, corpus-row) pair meets
+    * exactly once; per-query top-k via the same bounded-heap
+    * aggregate. No side needs to fit in memory anywhere.
+    */
+  def similarityJoinLarge(queries: DataFrame, corpus: DataFrame,
+                          qIdCol: String, qVecCol: String,
+                          cIdCol: String, cVecCol: String,
+                          k: Int, blocks: Int,
+                          metric: String = "cosine"): DataFrame = {
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("c_vec"),
+      pmod(hash(col(cIdCol)), lit(blocks)).as("blk"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+    val scoreCol = metric match {
+      case "cosine" => vectors.cosine_sim(col("c_vec"), col("q_vec"))
+      case "l2"     => vectors.l2_dist(col("c_vec"), col("q_vec"))
+      case "dot"    => vectors.dot_product(col("c_vec"), col("q_vec"))
+    }
+    val asc = metric == "l2"
+    c.join(q, Seq("blk"))
+      .select(col("query_id"), col("neighbor_id"), round(scoreCol, 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("neighbor_id"), col("score"), k, asc).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.score").as("score"))
+  }
+
   /** Filtered knn — the pgvector "metadata filter + vector search"
     * hybrid: the predicate pushes into the parquet scan, the top-k
     * runs over only the surviving rows. */

@@ -107,6 +107,18 @@ class SimilaritySearchSpec extends AnyFunSuite {
     scores.foreach(s => assert(s >= -1.0 && s <= 1.0))
   }
 
+  test("blocked (non-broadcast) similarity join equals broadcast version") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = rows(SimilaritySearch.similarityJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5, "cosine"))
+    val viaBlocks = rows(SimilaritySearch.similarityJoinLarge(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5, blocks = 4, "cosine"))
+    assert(viaBlocks == viaBroadcast)
+  }
+
   test("PQ search: codes are valid, recall vs exact is reasonable, rerank is exact") {
     val emb = Tables.embeddings(spark, sf)
     val q = FakeEmbedder.embed(queryText)
