@@ -85,6 +85,14 @@ object SparkEntry {
     "v11_hybrid_search" -> ((s, d) =>
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
+    "v14_ivf_similarity_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = IvfIndex.fitCached(s, d, 16, 5)
+      IvfIndex.similarityJoin(
+        emb.filter(col("vec_id") % JoinQueryFilter === 0), emb,
+        "vec_id", "embedding", "vec_id", "embedding", model, 5, 4)
+        .orderBy(col("query_id"), col("score").desc, col("neighbor_id"))
+    }),
     "v13_range_search" -> ((s, d) => {
       val q = typedLit(FakeEmbedder.embed(SearchText))
       Tables.embeddings(s, d)

@@ -149,8 +149,44 @@ case class ClosestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Indices of the `nprobe` nearest centroids (squared-L2), best
+  * first — the multi-probe assignment for IVF-accelerated joins. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  override def nullSafeEval(v: Any): Any =
+    ClosestCentroid.nearestN(v.asInstanceOf[ArrayData], centroids, nprobe)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ClosestCentroid.nearestN($a, $cRef, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ClosestCentroid {
   def nearest(a: ArrayData, cs: Array[Array[Float]]): Int = nearestJ(a, cs)
+
+  /** static, codegen-callable: nprobe nearest list ids, best first */
+  def nearestN(a: ArrayData, cs: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val dists = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cen = cs(c)
+      val n = math.min(a.numElements(), cen.length)
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cen(i).toDouble
+        s += d * d; i += 1
+      }
+      dists(c) = s
+      c += 1
+    }
+    val idx = dists.indices.sortBy(i => (dists(i), i)).take(math.min(nprobe, cs.length)).toArray
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(idx)
+  }
   /** static, codegen-callable */
   def nearestJ(a: ArrayData, cs: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0

@@ -109,6 +109,34 @@ object IvfIndex {
       .limit(topK)
   }
 
+  /** IVF-accelerated similarity JOIN — the "approximate join" the
+    * engine is built around: every query probes only its `nprobe`
+    * nearest inverted lists instead of the whole corpus. Corpus side
+    * gets its list assignment once (map-only); queries explode to
+    * (query, list) probes; the equi-join on `list_id` is the only
+    * shuffle and it moves nprobe/nlists of the scored pairs a
+    * brute-force join would. Top-k per query via the bounded heap. */
+  def similarityJoin(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, qVecCol: String,
+                     cIdCol: String, cVecCol: String,
+                     model: Model, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec"),
+        explode(GraftBridge.column(graft.functions.NearestCentroids(
+          GraftBridge.expression(col(qVecCol)), model.centroids, nprobe))).as("list_id"))
+    val assigned = assign(corpus, cVecCol, model)
+      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("c_vec"), col("list_id"))
+    assigned.join(probes, Seq("list_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vectors.cosine_sim(col("c_vec"), col("q_vec")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("neighbor_id"), col("score"), k, asc = false).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.score").as("score"))
+  }
+
   def searchSummary(spark: SparkSession, d: String, queryText: String,
                     k: Int = 16, iters: Int = 5, topK: Int = 10, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, d)

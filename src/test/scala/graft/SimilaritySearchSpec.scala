@@ -107,6 +107,28 @@ class SimilaritySearchSpec extends AnyFunSuite {
     scores.foreach(s => assert(s >= -1.0 && s <= 1.0))
   }
 
+  test("IVF similarity join: good average recall vs exact, full probe exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topSets(SimilaritySearch.similarityJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5, "cosine"))
+    val approx = topSets(IvfIndex.similarityJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", model, 5, nprobe = 3))
+    val recalls = exact.map { case (q, ex) =>
+      ex.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.5, s"IVF join avg recall $avgRecall")
+    // probing every list recovers the exact join
+    val full = topSets(IvfIndex.similarityJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", model, 5, nprobe = 8))
+    assert(full == exact)
+  }
+
   test("blocked (non-broadcast) similarity join equals broadcast version") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 100 === 0)
