@@ -25,5 +25,21 @@ object vectors {
     reg.createOrReplaceTempFunction("l2_dist", xs => L2Distance(xs(0), xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", xs => DotProduct(xs(0), xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("embed_text", xs => EmbedText(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", xs => SimHash64(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      xs => SortedIntersectCount(xs(0), xs(1)), "scala_udf")
+    // aggregate: top_k_pairs(id, score, k[, asc]) — k/asc must be literals
+    reg.createOrReplaceTempFunction("top_k_pairs", xs => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val k = xs(2) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"top_k_pairs k must be an int literal, got $other")
+      }
+      val asc = if (xs.length > 3) xs(3) match {
+        case Literal(v: Boolean, _) => v
+        case other => throw new IllegalArgumentException(s"top_k_pairs asc must be a boolean literal, got $other")
+      } else false
+      TopKPairs(xs(0), xs(1), k, asc).toAggregateExpression()
+    }, "scala_udf")
   }
 }

@@ -63,6 +63,18 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(viaExpr == a.toSeq)
   }
 
+  test("top_k_pairs works from SQL") {
+    import spark.implicits._
+    vectors.register(spark)
+    Seq((1L, 10L, 0.3), (1L, 11L, 0.9), (1L, 12L, 0.5)).toDF("q", "id", "s")
+      .createOrReplaceTempView("tkp_in")
+    val r = spark.sql(
+      """SELECT q, p.neighbor_id, p.score
+        |FROM (SELECT q, explode(top_k_pairs(id, s, 2)) AS p FROM tkp_in GROUP BY q)""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r == Set((1L, 11L, 0.9), (1L, 12L, 0.5)))
+  }
+
   test("constant arguments fold at plan time") {
     import org.apache.spark.sql.functions._
     val plan = spark.range(1)
