@@ -53,7 +53,7 @@ object PqIndex {
           m: Int = 8, k: Int = 16, iters: Int = 4): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val dsub = dim / m
     // init: subspace slices of the first k vectors by id
     val init = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
