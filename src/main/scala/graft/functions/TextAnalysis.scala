@@ -112,6 +112,10 @@ object TextHash {
     c
   }
 
+  def shingleJaccardJ(a: UTF8String, b: UTF8String, n: Int): Double =
+    shingleJaccard(if (a == null) null else a.toString,
+      if (b == null) null else b.toString, n)
+
   /** exact Jaccard between two docs' shingle sets (verification step) */
   def shingleJaccard(a: String, b: String, n: Int): Double = {
     val sa = shingles(a, n).toSet
@@ -161,6 +165,23 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `shingle_jaccard(a, b)` — exact n-gram-shingle Jaccard between two
+  * texts (the LSH verification step), as a native expression so the
+  * candidate-pair pass stays codegen'd. */
+case class ShingleJaccard(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_jaccard"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHash.shingleJaccardJ(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.shingleJaccardJ($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `sorted_intersect_count(a, b)` — intersection size of two SORTED
   * string arrays by a single merge walk: no per-pair hash set, no
   * result array. The pair-comparison kernel of set-similarity joins
@@ -188,4 +209,6 @@ object text {
   def simhash64(t: Column): Column = GraftBridge.column(SimHash64(e(t)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(e(a), e(b)))
+  def shingle_jaccard(a: Column, b: Column, n: Int = 5): Column =
+    GraftBridge.column(ShingleJaccard(e(a), e(b), n))
 }

@@ -74,13 +74,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // exact-Jaccard verification only on the candidate pairs
+    // exact-Jaccard verification only on the candidate pairs (native
+    // expression — the verify pass stays inside codegen)
     val texts = Tables.documents(spark, d).select(col("doc_id"), col("text"))
-    val jac = udf((x: String, y: String) => graft.functions.TextHash.shingleJaccard(x, y, 5))
     candidates
       .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), round(jac(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        round(text.shingle_jaccard(col("text_a"), col("text_b"), 5), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

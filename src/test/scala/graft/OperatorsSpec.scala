@@ -282,6 +282,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged == Set((1L, "new one"), (2L, "two"), (3L, "three")))
   }
 
+  test("ingest from csv works too") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_csv").toString
+    Seq("doc_id,text", "7,\"hello csv world\"").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/raw")
+    val r = graft.sources.Ingest.fromCsv(spark, s"$tmp/raw").collect()
+    assert(r.length == 1 && r(0).getAs[String]("text") == "hello csv world")
+  }
+
   test("sequence packing: packs respect order and budget arithmetic") {
     val r = TextOps.sequencePack(spark, sf, budget = 512).collect()
     var cum = 0L
