@@ -63,6 +63,29 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(viaExpr == a.toSeq)
   }
 
+  test("GraftExtensions wires functions + as-of strategy into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force init of the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-12)
+      val e = s2.sql("SELECT embed_text('hello') AS e").head().getSeq[Float](0)
+      assert(e.length == graft.functions.FakeEmbedder.Dim)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("top_k_pairs works from SQL") {
     import spark.implicits._
     vectors.register(spark)
