@@ -185,6 +185,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(top.last.getLong(0) == 9001L && top.last.isNullAt(1))
   }
 
+  test("persisted IVF+PQ store: pruned compressed probe with decent recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = FakeEmbedder.embed(queryText)
+    val ivf = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    val pq = PqIndex.fit(emb, "embedding", "vec_id", m = 8, k = 16, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    graft.sources.IvfPqStore.write(spark, emb, "embedding", "vec_id", ivf, pq, dir)
+    // models round-trip exactly
+    val (ivf2, pq2) = graft.sources.IvfPqStore.readModels(spark, dir)
+    assert(ivf2.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    assert(pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val res = graft.sources.IvfPqStore.search(spark, dir, emb,
+      "embedding", "vec_id", q, 10, nprobe = 4, rerank = 8)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "IVFPQ probe not partition-pruned")
+    val exact = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "l2")
+      .collect().map(_.getLong(0)).toSet
+    val approx = res.collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVFPQ recall $recall")
+  }
+
   test("IVF assignment covers all vectors, lists are nonempty-ish") {
     val emb = Tables.embeddings(spark, sf)
     val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
