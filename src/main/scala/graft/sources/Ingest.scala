@@ -39,6 +39,41 @@ object Ingest {
   def write(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  /** Streaming ingestion with merge-on-read semantics: each
+    * micro-batch of raw JSONL docs is embedded and APPENDED to a
+    * staging dir stamped with a monotonically increasing version
+    * (append is the only safe idempotent-ish streaming file sink);
+    * readers resolve the current state with [[currentView]] —
+    * latest version per id wins. Same write/read split Hudi/Delta
+    * call merge-on-read; compaction = rewrite `currentView` as the
+    * new base. */
+  def streamIngest(spark: SparkSession, rawDir: String, stagingDir: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(rawDir)
+      .transform(embedDocuments(_, "doc_id"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir) // file-source progress
+      // tracking: restarts resume from the last committed batch, so a
+      // re-run ingests only NEW files and version numbers keep rising
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__version", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(stagingDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** merge-on-read view over the staging dir: latest version per id */
+  def currentView(spark: SparkSession, stagingDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__version").desc)
+    spark.read.parquet(stagingDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__version", "__rn")
+  }
+
   /** Upsert freshly-embedded records into an existing store — the
     * reference's "as soon as a new policy is added it is immediately
     * searchable" flow (README.md:68). Updates win over existing rows

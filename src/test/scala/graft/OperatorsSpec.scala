@@ -282,6 +282,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged == Set((1L, "new one"), (2L, "two"), (3L, "three")))
   }
 
+  test("streaming ingest: merge-on-read view resolves the latest doc version") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val raw = s"$tmp/raw"; val staging = s"$tmp/staging"
+    new java.io.File(raw).mkdirs()
+    // first file lands, stream processes it
+    Seq("""{"doc_id": 1, "text": "version one"}""",
+      """{"doc_id": 2, "text": "stable doc"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$raw/f1")
+    val ckpt = s"$tmp/ckpt"
+    graft.sources.Ingest.streamIngest(spark, s"$raw/*", staging, ckpt).awaitTermination()
+    // a second file updates doc 1; the restarted AvailableNow run
+    // resumes from the checkpoint and ingests only the new file
+    Seq("""{"doc_id": 1, "text": "version two"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$raw/f2")
+    graft.sources.Ingest.streamIngest(spark, s"$raw/*", staging, ckpt).awaitTermination()
+    val cur = graft.sources.Ingest.currentView(spark, staging)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(cur(2L) == "stable doc")
+    assert(cur(1L) == "version two")
+    // embeddings resolve with the text
+    val emb1 = graft.sources.Ingest.currentView(spark, staging)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(emb1.getSeq[Float](emb1.fieldIndex("embedding")).toSeq ==
+      graft.functions.FakeEmbedder.embed("version two").toSeq)
+  }
+
   test("ingest from csv works too") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ingest_csv").toString
