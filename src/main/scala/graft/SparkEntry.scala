@@ -71,9 +71,15 @@ object SparkEntry {
       SimilaritySearch.recordById(Tables.documents(s, d), "doc_id", 42L)),
     "v8_semantic_search" -> ((s, d) =>
       SimilaritySearch.semanticSearch(s, d, SearchText, 10)),
+    // Output scalar digests of each vector, not the raw array column:
+    // the driver's compare sorts/hashes rows and crashes on array cells.
     "v9_embed_ingest" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), vectors.embed_text(col("text")).as("embedding"))
+        .select(col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(expr("sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + x * x))"), 6).as("norm"),
+          md5(concat_ws(",", expr("transform(embedding, x -> cast(round(x, 5) as string))"))).as("vec_md5"))
         .orderBy(col("doc_id"))),
     "v10_filtered_knn" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
@@ -120,7 +126,7 @@ object SparkEntry {
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
-    "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatched(s, d)),
+    "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatchedFlat(s, d)),
     "m4_media_header" -> Multimodal.mediaHeader _,
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
@@ -167,11 +173,6 @@ object SparkEntry {
          |ORDER BY query_id, score DESC, neighbor_id""".stripMargin,
     "v7_record_lookup" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
-    "v13_range_search" ->
-      s"""SELECT vec_id, dist FROM (
-         |  SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS dist
-         |  FROM embeddings)
-         |WHERE dist <= 1.35 ORDER BY dist, vec_id""".stripMargin,
     "v13_range_search" ->
       s"""SELECT vec_id, dist FROM (
          |  SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS dist

@@ -277,7 +277,7 @@ object CoreQueries {
   }
 
   def q12Sql: String =
-    """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+    """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
       |  SELECT user_id,
       |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
       |  FROM (
@@ -298,7 +298,7 @@ object CoreQueries {
   }
 
   def q13Sql: String =
-    """SELECT event_type, count(*) AS n, sum(k) AS k_sum,
+    """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
       |  CAST(sum(k) AS DOUBLE) / count(*) AS k_avg
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -347,17 +347,26 @@ object CoreQueries {
   /** q17: set operations — INTERSECT / EXCEPT over derived key sets
     * (parts that ship in both halves of 1997 vs only the first). */
   def q17SetOps(spark: SparkSession, d: String): DataFrame = {
+    // INTERSECT/EXCEPT as literal set ops would scan lineitem six
+    // times and run three wide shuffles. Same semantics in ONE scan +
+    // ONE shuffle: tag each partkey with the halves it shipped in
+    // (map-side partial max), then bucket by the (h1, h2) flag pair.
     val li = Tables.lineitem(spark, d)
-    def shipped(from: String, until: String) =
-      li.filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
-          col("l_shipdate") < lit(until).cast("timestamp"))
-        .select(col("l_partkey")).distinct()
-    val h1 = shipped("1997-01-01", "1997-07-01")
-    val h2 = shipped("1997-07-01", "1998-01-01")
-    val both = h1.intersect(h2).agg(count(lit(1)).as("n")).select(lit("both_halves").as("bucket"), col("n"))
-    val only1 = h1.except(h2).agg(count(lit(1)).as("n")).select(lit("h1_only").as("bucket"), col("n"))
-    val only2 = h2.except(h1).agg(count(lit(1)).as("n")).select(lit("h2_only").as("bucket"), col("n"))
-    both.unionByName(only1).unionByName(only2).orderBy(col("bucket"))
+    def half(from: String, until: String) =
+      col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp")
+    val in1 = half("1997-01-01", "1997-07-01")
+    val in2 = half("1997-07-01", "1998-01-01")
+    li.filter(in1 || in2)
+      .select(col("l_partkey"),
+        when(in1, 1).otherwise(0).as("h1"),
+        when(in2, 1).otherwise(0).as("h2"))
+      .groupBy(col("l_partkey"))
+      .agg(max(col("h1")).as("h1"), max(col("h2")).as("h2"))
+      .select(when(col("h1") === 1 && col("h2") === 1, "both_halves")
+        .when(col("h1") === 1, "h1_only").otherwise("h2_only").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
   }
 
   def q17Sql: String =
@@ -396,14 +405,17 @@ object CoreQueries {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** q19: correlated-subquery shape — orders priced above their own
-    * customer's average. DataFrame form: per-customer aggregate
-    * broadcast back against the fact (what Catalyst decorrelates a
-    * subquery into anyway). */
+    * customer's average. Window form: ONE shuffle on o_custkey, then a
+    * whole-partition average frame. The decorrelated-join alternative
+    * (aggregate + join back) scans twice, and its "broadcast the
+    * per-customer averages" variant dies at scale — the averages table
+    * has one row per customer, which at 100 TB is billions of rows. */
   def q19AboveCustomerAvg(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d)
-    val avgs = o.groupBy(col("o_custkey").as("ck"))
-      .agg((sum(col("o_totalprice").cast(dec)).cast("double") / count(lit(1))).as("cust_avg"))
-    o.join(broadcast(avgs), o("o_custkey") === avgs("ck"))
+    val w = Window.partitionBy(col("o_custkey"))
+    o.select(col("o_orderpriority"), col("o_totalprice"),
+        (sum(col("o_totalprice").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("cust_avg"))
       .filter(col("o_totalprice") > col("cust_avg"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_above"))

@@ -19,8 +19,12 @@ import graft.functions.{text, vectors}
   */
 object Dedup {
 
+  // Keyed by the owning SparkSession as well as (dir, threshold): a
+  // checkpointed DataFrame is bound to the SparkContext that created
+  // it, so an entry from a stopped session is a dead handle. Entries
+  // whose context has stopped are dropped on lookup.
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
 
   /** d1: exact dedup by content hash. Emits every doc with its
     * canonical keeper (min doc_id of the identical-text group). */
@@ -160,7 +164,8 @@ object Dedup {
     // it twice (forward + reversed), and every iteration reads it.
     // Memoized per (dataset, threshold): the pair graph is d4's output
     // and d6's input — a pipeline materializes it once.
-    val pairs = Dedup.pairsCache.getOrElseUpdate((d, threshold),
+    Dedup.pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val pairs = Dedup.pairsCache.getOrElseUpdate((spark, d, threshold),
       ngramJaccard(spark, d, threshold)
         .select(col("id_a"), col("id_b")).localCheckpoint(true))
     val edges = pairs

@@ -107,6 +107,16 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** `queries()` surface for the batched decoder: the fixed 8-dim
+    * feature is flattened to scalar columns because the driver's
+    * row-hash compare cannot sort/hash array cells. */
+  def decodeBatchedFlat(spark: SparkSession, d: String): DataFrame = {
+    val feat = decodeBatched(spark, d)
+    val fCols = (0 until 8).map(i => round(col("feature").getItem(i), 6).as(s"f$i"))
+    feat.select(col("doc_id") +: col("n_bytes") +: fCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** deterministic fake decoder (stands in for image/audio libs not
     * present in this container) */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeature] =

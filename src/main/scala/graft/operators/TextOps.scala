@@ -26,7 +26,7 @@ object TextOps {
   }
 
   def langProfileSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
@@ -215,12 +215,12 @@ object TextOps {
 
   def dqProfileSql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_blank_text,
+      |  CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_text,
       |  count(DISTINCT text) AS n_distinct_text,
       |  count(DISTINCT lang) AS n_langs,
       |  count(DISTINCT source) AS n_sources,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |  sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS n_chars_mismatch
+      |  CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch
       |FROM documents""".stripMargin
 
   /** Language-ID heuristic (marker-token voting). The synthetic corpus

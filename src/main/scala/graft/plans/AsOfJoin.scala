@@ -71,23 +71,36 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTimeB.eval(lRow)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head)
-          val cmpKey = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-          val take =
-            cmpKey < 0 ||
-              (cmpKey == 0 &&
-                timeOrd.compare(rTimeB.eval(head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef]) <= 0)
-          if (take) {
-            val r = rBuf.next()
-            if (cmpKey == 0) { cand = r.copy(); candKey = lk }
-          } else advance = false
+        // Left-outer semantics for nulls: a null left key/time can
+        // never match, so emit the null-extended row without touching
+        // the right cursor (nulls-first sort puts these rows before
+        // any comparable key, so the cursor is still aligned).
+        if (lk == null || lt == null) {
+          project(joined(lRow, nullRight))
+        } else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            if (rk == null || rTimeB.eval(head) == null) {
+              // a null right key/time matches no left row — drop it
+              rBuf.next()
+            } else {
+              val cmpKey = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+              val take =
+                cmpKey < 0 ||
+                  (cmpKey == 0 &&
+                    timeOrd.compare(rTimeB.eval(head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef]) <= 0)
+              if (take) {
+                val r = rBuf.next()
+                if (cmpKey == 0) { cand = r.copy(); candKey = lk }
+              } else advance = false
+            }
+          }
+          val matched = cand != null && candKey != null &&
+            keyOrd.compare(candKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
+          project(joined(lRow, if (matched) cand else nullRight))
         }
-        val matched = cand != null && candKey != null && lk != null &&
-          keyOrd.compare(candKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
-        project(joined(lRow, if (matched) cand else nullRight))
       }
     }
   }

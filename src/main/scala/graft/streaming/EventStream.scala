@@ -149,17 +149,19 @@ object EventStream {
       |  AND p.purch_ms >= c.click_ms AND p.purch_ms <= c.click_ms + 1800000
       |ORDER BY click_id, purchase_id""".stripMargin
 
-  /** Streaming dedup — `dropDuplicates` with a watermark bounds the
+  /** Streaming dedup — `dropDuplicatesWithinWatermark` bounds the
     * dedup state to the watermark horizon: the streaming-ingest guard
     * against replayed/duplicated events (at 100 TB/day the state
-    * store only ever holds one horizon's worth of keys). */
+    * store only ever holds one horizon's worth of keys). Plain
+    * `dropDuplicates("event_id")` would never evict state, because the
+    * event-time column is not part of the key subset. */
   def dedupStream(spark: SparkSession, d: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, d).schema
     Tables.eventsNormalize(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
   }
@@ -184,6 +186,13 @@ object EventStream {
     * batch q12 (CoreQueries.q12Sessionize); the spec asserts they
     * agree on the same files. State is O(1) per user — the shape that
     * survives unbounded streams.
+    *
+    * Ordering assumption: events for one user arrive in event-time
+    * order ACROSS micro-batches (within a batch they are sorted here).
+    * That holds for replaying time-ordered files (this harness) and
+    * for log-ordered sources; for genuinely out-of-order streams,
+    * buffer per-user events behind a watermark (see dedupStream) and
+    * fold only below the horizon — at the cost of O(horizon) state.
     */
   def sessionizeStream(spark: SparkSession, d: String, gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._

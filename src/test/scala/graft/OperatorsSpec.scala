@@ -201,6 +201,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(custom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("as-of join null keys/times: left nulls get null-extended, right nulls match nothing") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(100L), "a"),
+      (Option(1L), Option(200L), "b"),
+      (Option.empty[Long], Option(50L), "nullkey"),
+      (Option(2L), Option.empty[Long], "nulltime"),
+      (Option(3L), Option(10L), "nomatch"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(150L), 1.5),
+      (Option(1L), Option(90L), 0.9),
+      (Option.empty[Long], Option(1L), -1.0),   // null right key: never matches
+      (Option(1L), Option.empty[Long], -2.0))   // null right time: never matches
+      .toDF("rk", "rt", "v")
+    val out = graft.plans.AsOfJoinOps.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.toString).orNull).toMap
+    assert(out("a") == "0.9")        // latest right at t<=100 for key 1
+    assert(out("b") == "1.5")        // latest right at t<=200
+    assert(out("nullkey") == null)   // null left key -> null-extended, no crash
+    assert(out("nulltime") == null)  // null left time -> null-extended
+    assert(out("nomatch") == null)   // key with no right rows
+  }
+
   test("filter above as-of join pushes below it (custom optimizer rule)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)

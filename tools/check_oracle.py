@@ -50,6 +50,15 @@ def main(sf_dir, out_dir):
         ok = True
         for c in g.columns:
             a, b = g[c], e[c]
+            # The real driver hash-compares stringified values, so an
+            # int64 Spark column vs a float64 oracle column ("56" vs
+            # "56.0") is a mismatch even when values are equal. DuckDB
+            # sum(INT) returns HUGEINT -> float64 in fetchdf; oracle SQL
+            # must CAST such sums to BIGINT.
+            if a.dtype.kind != b.dtype.kind and 'f' in (a.dtype.kind, b.dtype.kind):
+                print(f"  col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype} (driver hash would fail)")
+                ok = False
+                continue
             try:
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     import numpy as np
