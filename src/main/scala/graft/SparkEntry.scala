@@ -48,6 +48,10 @@ object SparkEntry {
     "q19_above_cust_avg" -> CoreQueries.q19AboveCustomerAvg _,
     "q20_cube" -> CoreQueries.q20Cube _,
     "q21_sliding_window" -> CoreQueries.q21SlidingWindow _,
+    "q22_pivot" -> CoreQueries.q22Pivot _,
+    "q23_running_total" -> CoreQueries.q23RunningTotal _,
+    "q24_range_join" -> CoreQueries.q24RangeJoin _,
+    "q25_grouping_sets" -> CoreQueries.q25GroupingSets _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -123,6 +127,8 @@ object SparkEntry {
     "t6_hash_sample" -> ((s, d) => TextOps.hashSample(s, d)),
     "t7_tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "t8_dq_profile" -> TextOps.dqProfile _,
+    "t9_langid" -> TextOps.langId _,
+    "t10_bigram_freq" -> ((s, d) => TextOps.bigramFreq(s, d)),
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -131,6 +137,7 @@ object SparkEntry {
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
     "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
+    "s3_stream_dedup" -> EventStream.dedupBatch _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,6 +162,10 @@ object SparkEntry {
     "q19_above_cust_avg" -> CoreQueries.q19Sql,
     "q20_cube" -> CoreQueries.q20Sql,
     "q21_sliding_window" -> CoreQueries.q21Sql,
+    "q22_pivot" -> CoreQueries.q22Sql,
+    "q23_running_total" -> CoreQueries.q23Sql,
+    "q24_range_join" -> CoreQueries.q24Sql,
+    "q25_grouping_sets" -> CoreQueries.q25Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
@@ -209,11 +220,14 @@ object SparkEntry {
     "t6_hash_sample" -> TextOps.hashSampleSql(),
     "t7_tfidf_top_terms" -> TextOps.tfidfTopTermsSql(),
     "t8_dq_profile" -> TextOps.dqProfileSql,
+    "t9_langid" -> TextOps.langIdSql,
+    "t10_bigram_freq" -> TextOps.bigramFreqSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
+    "s3_stream_dedup" -> EventStream.dedupBatchSql,
     // v5_ivf_build, v6_ivf_search, v9_embed_ingest, d2_minhash_lsh,
     // d3_simhash: not SQL-expressible (k-means / custom hashes) →
     // rows-only check; invariants covered in ScalaTest specs.

@@ -501,4 +501,106 @@ object CoreQueries {
       |  FROM events WHERE event_type = 'purchase' GROUP BY pu, p_ms) p
       |ON e.user_id = p.pu AND e.ms >= p.p_ms
       |ORDER BY user_id, ms, event_type""".stripMargin
+
+  /** q22: PIVOT — order counts by status × priority, priorities as
+    * columns. The value list is given explicitly: pivot without it
+    * needs an extra distinct-discovery pass over the fact table. */
+  def q22Pivot(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = Map("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+      "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+      "5-LOW" -> "p5_low")
+    val piv = o.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(coalesce(count(lit(1)), lit(0L)))
+    renames.foldLeft(piv) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def q22Sql: String =
+    """SELECT o_orderstatus,
+      |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+      |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+      |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+      |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+      |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q23: running total — per-user cumulative event value in time
+    * order (ROWS UNBOUNDED PRECEDING; decimal accumulation for
+    * cross-engine exactness, deterministic (ms, event_id) order). */
+  def q23RunningTotal(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), expr("unix_millis(ts)").as("ms"),
+        col("value").cast(dec).as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("ms"),
+        sum(col("v")).over(w).cast("double").as("run_total"))
+      .orderBy(col("user_id"), col("ms"), col("event_id"))
+  }
+
+  def q23Sql: String =
+    """SELECT user_id, event_id, ms,
+      |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |        CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
+  /** q24: interval/range join — for every purchase, how many views the
+    * same user made in the preceding hour. Equi key (user_id) drives
+    * the shuffle; the time-range predicate is applied inside the
+    * joined stream, so the plan is an ordinary sort-merge join (no
+    * cartesian) and scales with the per-user event volume. */
+  def q24RangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), expr("unix_millis(ts)").as("v_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("unix_millis(ts)").as("ms"))
+    purchases.join(views,
+        purchases("user_id") === views("vu") &&
+          views("v_ms") >= purchases("ms") - 3600000L &&
+          views("v_ms") <= purchases("ms"), "left")
+      .groupBy(col("user_id"), col("event_id"), col("ms"))
+      .agg(count(col("vu")).as("n_views_prior_hour"))
+      .orderBy(col("user_id"), col("ms"), col("event_id"))
+  }
+
+  def q24Sql: String =
+    """SELECT p.user_id, p.event_id, p.ms, count(v.vu) AS n_views_prior_hour
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      |      WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id AS vu, epoch_ms(ts) AS v_ms FROM events
+      |      WHERE event_type = 'view') v
+      |  ON p.user_id = v.vu AND v.v_ms >= p.ms - 3600000 AND v.v_ms <= p.ms
+      |GROUP BY p.user_id, p.event_id, p.ms
+      |ORDER BY p.user_id, p.ms, p.event_id""".stripMargin
+
+  /** q25: explicit GROUPING SETS — (status), (priority), and grand
+    * total in one pass, distinct from q8's ROLLUP / q20's CUBE. */
+  def q25GroupingSets(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  def q25Sql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
 }

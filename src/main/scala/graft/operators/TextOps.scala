@@ -240,4 +240,57 @@ object TextOps {
     }
     sort_array(array(scores: _*), asc = false).getItem(0).getField("lang")
   }
+
+  /** t9: language identification as a first-class query — marker-token
+    * voting per doc, compared against the corpus ground truth. Ties
+    * break deterministically (highest score, then lang descending) in
+    * both engines via identical struct-sort semantics. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), langIdHeuristic(col("text")).as("pred_lang"))
+      .withColumn("agree", col("lang") === col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def langIdSql: String =
+    """SELECT doc_id, lang,
+      |  (list_reverse_sort([
+      |    {s: len(list_filter(toks, t -> t IN ('the','and','of'))), l: 'en'},
+      |    {s: len(list_filter(toks, t -> t IN ('der','und','die'))), l: 'de'},
+      |    {s: len(list_filter(toks, t -> t IN ('el','los','que'))), l: 'es'},
+      |    {s: len(list_filter(toks, t -> t IN ('le','les','des'))), l: 'fr'},
+      |    {s: len(list_filter(toks, t -> t IN ('de','shi','le'))), l: 'zh'}]))[1].l AS pred_lang,
+      |  lang = pred_lang AS agree
+      |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** t10: per-language top-10 bigram frequencies — n-gram corpus
+    * statistics (the n-gram-LM / contamination-check building block).
+    * One explode + one (lang, bigram) shuffle; the per-lang top-k is a
+    * window over the (small) aggregated counts. */
+  def bigramFreq(spark: SparkSession, d: String, topK: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val bigrams = docs
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> concat(a, ' ', b))")).as("bg"))
+    val counts = bigrams.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("lang"), col("bg"), col("n"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def bigramFreqSql: String =
+    """SELECT lang, bg, n, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT lang, bg, count(*) AS n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg) AS rk
+      |  FROM (
+      |    SELECT lang, unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+      |  GROUP BY lang, bg)
+      |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 }

@@ -166,6 +166,22 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Batch twin of [[dedupStream]] for the oracle gate: same
+    * dedup-then-count semantics over the static file. */
+  def dedupBatch(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  def dedupBatchSql: String =
+    """SELECT event_type, count(*) AS n FROM (
+      |  SELECT event_id, any_value(event_type) AS event_type
+      |  FROM events GROUP BY event_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def runDedupOnce(spark: SparkSession, d: String,
                    name: String = "graft_s3"): DataFrame = {
     val q = dedupStream(spark, d)

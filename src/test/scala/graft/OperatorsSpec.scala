@@ -410,4 +410,96 @@ class OperatorsSpec extends AnyFunSuite {
     val counts = r.groupBy(col("doc_id")).count().collect()
     counts.foreach(c => assert(c.getLong(1) >= 1 && c.getLong(1) <= 7))
   }
+
+  test("q22 pivot equals manual conditional aggregation") {
+    val piv = CoreQueries.q22Pivot(spark, sf).collect()
+    val manual = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("p1_urgent"),
+        count(when(col("o_orderpriority") === "2-HIGH", 1)).as("p2_high"),
+        count(when(col("o_orderpriority") === "3-MEDIUM", 1)).as("p3_medium"),
+        count(when(col("o_orderpriority") === "4-NOT SPECIFIED", 1)).as("p4_not_specified"),
+        count(when(col("o_orderpriority") === "5-LOW", 1)).as("p5_low"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(piv.map(_.toSeq).toSeq == manual.map(_.toSeq).toSeq)
+  }
+
+  test("q23 running total tops out at each user's exact total") {
+    import spark.implicits._
+    val rt = CoreQueries.q23RunningTotal(spark, sf)
+    // value >= 0 in the synthetic data, so the running sum is monotone
+    // and its per-user max equals the user's full decimal-exact sum
+    val fromWindow = rt.groupBy($"user_id").agg(max($"run_total").as("mx"))
+    val direct = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("s"))
+    val joined = fromWindow.join(direct, "user_id")
+    assert(joined.filter($"mx" =!= $"s").count() == 0)
+  }
+
+  test("q24 range join equals a window-function encoding") {
+    import spark.implicits._
+    val rj = CoreQueries.q24RangeJoin(spark, sf)
+    // window encoding: count views in (ms-1h, ms] per purchase via a
+    // union-tagged range frame
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", expr("unix_millis(ts)").as("ms"), $"event_type")
+    val tagged = ev.filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"event_id", $"ms",
+        when($"event_type" === "view", 1L).otherwise(0L).as("is_view"),
+        ($"event_type" === "purchase").as("is_purchase"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms").rangeBetween(-3600000L, 0L)
+    val expected = tagged
+      .withColumn("n_views_prior_hour", sum($"is_view").over(w))
+      .filter($"is_purchase")
+      .select($"user_id", $"event_id", $"ms", $"n_views_prior_hour")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(rj.collect().map(key).sorted.toSeq == expected.collect().map(key).sorted.toSeq)
+  }
+
+  test("q25 grouping sets equals union of the individual groupings") {
+    val gs = CoreQueries.q25GroupingSets(spark, sf).collect().map(_.toSeq).toSet
+    val o = Tables.orders(spark, sf)
+    val byStatus = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sp"))
+      .select(col("o_orderstatus").as("status"), lit("(all)").as("priority"), col("n"), col("sp"))
+    val byPrio = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sp"))
+      .select(lit("(all)").as("status"), col("o_orderpriority").as("priority"), col("n"), col("sp"))
+    val grand = o.agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sp"))
+      .select(lit("(all)").as("status"), lit("(all)").as("priority"), col("n"), col("sp"))
+    val expected = byStatus.unionByName(byPrio).unionByName(grand).collect().map(_.toSeq).toSet
+    assert(gs == expected)
+  }
+
+  test("t9 langid picks the marker-majority language deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xx", "the cat and the dog of war"),      // en markers dominate
+      (2L, "xx", "der hund und die katze"),          // de markers
+      (3L, "xx", "nothing matches here"))            // all-zero -> tie -> lang desc = zh
+      .toDF("doc_id", "lang", "text")
+    val out = docs.select($"doc_id", TextOps.langIdHeuristic($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "zh")
+  }
+
+  test("t10 bigram top-k: ranks are dense 1..k per lang and counts non-increasing") {
+    import spark.implicits._
+    val bf = TextOps.bigramFreq(spark, sf).collect()
+    bf.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to byRank.length).toSeq)
+      val ns = byRank.map(_.getLong(2))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s3 streaming dedup agrees with its batch twin") {
+    val batch = EventStream.dedupBatch(spark, sf).collect().map(_.toSeq).toSet
+    val stream = EventStream.runDedupOnce(spark, sf, "graft_s3_spec")
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
 }
