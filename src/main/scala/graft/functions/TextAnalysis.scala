@@ -112,6 +112,20 @@ object TextHash {
     c
   }
 
+  /** merge walk over SORTED long arrays — the hashed-token fast path
+    * (8-byte compares instead of UTF8String compares) */
+  def sortedIntersectCountLongJ(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def shingleJaccardJ(a: UTF8String, b: UTF8String, n: Int): Double =
     shingleJaccard(if (a == null) null else a.toString,
       if (b == null) null else b.toString, n)
@@ -191,12 +205,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override val nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
+  // dispatch on the element type once at plan time: long arrays (hashed
+  // tokens) take the primitive walk, string arrays the UTF8 walk
+  private lazy val isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(l: Any, r: Any): Any =
-    TextHash.sortedIntersectCountJ(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (isLong)
+      TextHash.sortedIntersectCountLongJ(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      TextHash.sortedIntersectCountJ(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-                         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+                         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val fn = if (isLong) "sortedIntersectCountLongJ" else "sortedIntersectCountJ"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextHash.sortedIntersectCountJ($a, $b)")
+      s"graft.functions.TextHash.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -118,9 +118,15 @@ object Dedup {
     * ratio already caps Jaccard below the threshold (an upper bound:
     * min/max ≥ j is necessary, so no qualifying pair is lost). */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    // Tokens are hashed to int64 BEFORE the pairwise stage: the
+    // per-pair merge walk then compares 8-byte primitives instead of
+    // UTF8 strings (distinct/intersection counts are preserved up to
+    // a ~2^-64 collision). The sort is paid once per doc, the walk
+    // once per surviving pair.
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+        array_sort(array_distinct(expr(
+          "transform(split(text, ' '), t -> xxhash64(t))"))).as("toks"))
     val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "source"))
@@ -173,7 +179,12 @@ object Dedup {
       .cache()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     val nodes = edges.select(col("id_a").as("id")).distinct()
-    var labels = nodes.withColumn("root", col("id"))
+    var labels = nodes.withColumn("root", col("id")).cache()
+    cached += labels
+    // Convergence probe: a propagation step only ever LOWERS labels,
+    // so sum(root) strictly decreases iff any node changed — one
+    // cheap aggregate per iteration instead of a join-and-compare.
+    var prevSum = labels.agg(sum(col("root"))).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -186,12 +197,12 @@ object Dedup {
       val next = neighborMin.cache()
       cached += next
       val t0 = System.nanoTime()
-      val changed = next.join(labels.withColumnRenamed("root", "old_root"), Seq("id"))
-        .filter(col("root") =!= col("old_root")).limit(1).count()
+      val curSum = next.agg(sum(col("root"))).first().getLong(0)
       if (sys.env.contains("GRAFT_DEBUG_CC"))
-        println(s"[cc] iter $i changed=$changed took ${(System.nanoTime()-t0)/1e9}s")
+        println(s"[cc] iter $i sum=$curSum took ${(System.nanoTime()-t0)/1e9}s")
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       i += 1
     }
     // break lineage, then release every intermediate cache — a leaked

@@ -104,4 +104,21 @@ object KernelProperties extends Properties("graft.kernels") {
       a.mergeIn(b)
       a.result().toSeq == one.result().toSeq
     }
+
+  property("sorted-long intersect walk equals set intersection size") =
+    forAll { (a: Set[Long], b: Set[Long]) =>
+      val aa = new GenericArrayData(a.toArray.sorted.map(_.asInstanceOf[Any]))
+      val bb = new GenericArrayData(b.toArray.sorted.map(_.asInstanceOf[Any]))
+      TextHash.sortedIntersectCountLongJ(aa, bb) == a.intersect(b).size
+    }
+
+  property("sorted-string intersect walk equals set intersection size") =
+    forAll(Gen.listOf(Gen.alphaStr), Gen.listOf(Gen.alphaStr)) { (xs, ys) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val a = xs.toSet; val b = ys.toSet
+      def arr(s: Set[String]) = new GenericArrayData(
+        s.toArray.map(UTF8String.fromString).sortBy(identity[UTF8String])
+          .map(_.asInstanceOf[Any]))
+      TextHash.sortedIntersectCountJ(arr(a), arr(b)) == a.intersect(b).size
+    }
 }
