@@ -118,6 +118,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d6_dup_components" -> ((s, d) => Dedup.dupComponents(s, d)),
+    "d7_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
@@ -129,6 +130,8 @@ object SparkEntry {
     "t8_dq_profile" -> TextOps.dqProfile _,
     "t9_langid" -> TextOps.langId _,
     "t10_bigram_freq" -> ((s, d) => TextOps.bigramFreq(s, d)),
+    "t11_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "t12_pii_redact" -> TextOps.piiRedact _,
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -212,6 +215,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d5_embedding_neardup" -> Dedup.embeddingNearDupSql(),
     "d6_dup_components" -> Dedup.dupComponentsSql(),
+    "d7_contamination" -> Dedup.contaminationSql(),
     "t1_lang_profile" -> TextOps.langProfileSql,
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,
@@ -222,6 +226,8 @@ object SparkEntry {
     "t8_dq_profile" -> TextOps.dqProfileSql,
     "t9_langid" -> TextOps.langIdSql,
     "t10_bigram_freq" -> TextOps.bigramFreqSql,
+    "t11_stratified_sample" -> TextOps.stratifiedSampleSql(),
+    "t12_pii_redact" -> TextOps.piiRedactSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,

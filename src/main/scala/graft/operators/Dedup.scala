@@ -252,4 +252,42 @@ object Dedup {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $tau
        |ORDER BY label, id_a, id_b""".stripMargin
+
+  /** d7: train/eval contamination check — the decontamination pass an
+    * LLM pipeline runs before training: which training docs share
+    * suspiciously many word n-grams with an eval-set doc. Split here
+    * is deterministic (odd doc_id = eval, even = train); n-grams are
+    * hashed to int64 BEFORE the shuffle so the equi-join moves 8-byte
+    * keys, not strings (same trick as d4 — the oracle joins the
+    * strings, counts agree up to a ~2^-64 collision). Per-doc n-gram
+    * sets are deduped before the join, so n_shared counts distinct
+    * shared trigrams. */
+  def contamination(spark: SparkSession, d: String, minShared: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val grams = docs.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(toks)-3), " +
+        "i -> xxhash64(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))).as("ng"))
+    val evalG = grams.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("eval_id"), col("ng"))
+    val trainG = grams.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("train_id"), col("ng"))
+    evalG.join(trainG, "ng")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  def contaminationSql(minShared: Int = 3): String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ng
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 3))
+       |SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS n_shared
+       |FROM grams e JOIN grams t ON e.ng = t.ng AND e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY eval_id, train_id""".stripMargin
 }

@@ -283,6 +283,60 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** t11: stratified deterministic sampling — exactly ⌈10%⌉ of each
+    * language stratum, chosen by md5 rank so the sample is stable
+    * across runs and engines (the per-stratum quota version of t6's
+    * bernoulli hash sample; what a training-mix builder uses to hit
+    * per-source token budgets). One shuffle on the stratum key. */
+  def stratifiedSample(spark: SparkSession, d: String, frac: Double = 0.1): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("graft-strat:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    docs.select(col("doc_id"), col("lang"),
+        row_number().over(w).as("rk"), count(lit(1)).over(cw).as("n_stratum"))
+      .filter(col("rk") <= ceil(lit(frac) * col("n_stratum")))
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def stratifiedSampleSql(frac: Double = 0.1): String =
+    s"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n_stratum
+       |  FROM (SELECT doc_id, lang,
+       |          md5('graft-strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents))
+       |WHERE rk <= ceiling($frac * n_stratum)
+       |ORDER BY lang, rk""".stripMargin
+
+  /** t12: PII scrubbing — regex redaction of email-shaped spans, with
+    * a deterministic synthetic address appended per doc so the
+    * operator has something to find in the synthetic corpus. Emits the
+    * match count and an md5 of the cleaned text (proves byte-level
+    * replacement parity without shipping the text). Map-only. */
+  def piiRedact(spark: SparkSession, d: String): DataFrame = {
+    val pattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com")).as("raw"))
+    docs.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$pattern', 0)")).as("n_emails"),
+        md5(regexp_replace(col("raw"), pattern, "<EMAIL>")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def piiRedactSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS INTEGER) AS n_emails,
+      |  md5(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g')) AS clean_md5
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' AS raw
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def bigramFreqSql: String =
     """SELECT lang, bg, n, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT lang, bg, count(*) AS n,

@@ -496,6 +496,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d7 contamination: eval ids odd, train ids even, counts at least the threshold") {
+    val rows = Dedup.contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "eval_id must be odd")
+      assert(r.getLong(1) % 2 == 0, "train_id must be even")
+      assert(r.getLong(2) >= 3)
+    }
+  }
+
+  test("t11 stratified sample takes exactly the ceil(frac * stratum) per lang, deterministically") {
+    import spark.implicits._
+    val sample = TextOps.stratifiedSample(spark, sf)
+    val perLang = sample.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = Tables.documents(spark, sf).groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) =>
+      assert(perLang(lang) == math.ceil(0.1 * n).toLong, s"lang $lang")
+    }
+    val again = TextOps.stratifiedSample(spark, sf).collect().map(_.toSeq).toSet
+    assert(again == sample.collect().map(_.toSeq).toSet)
+  }
+
+  test("t12 redaction removes every email-shaped span") {
+    import spark.implicits._
+    val pattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val leftover = Tables.documents(spark, sf)
+      .select(regexp_replace(
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")),
+        pattern, "<EMAIL>").as("clean"))
+      .filter($"clean".rlike(pattern))
+    assert(leftover.count() == 0)
+    assert(TextOps.piiRedact(spark, sf).filter($"n_emails" < 1).count() == 0)
+  }
+
   test("s3 streaming dedup agrees with its batch twin") {
     val batch = EventStream.dedupBatch(spark, sf).collect().map(_.toSeq).toSet
     val stream = EventStream.runDedupOnce(spark, sf, "graft_s3_spec")
