@@ -95,6 +95,7 @@ object SparkEntry {
     "v11_hybrid_search" -> ((s, d) =>
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
+    "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
     "v14_ivf_similarity_join" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = IvfIndex.fitCached(s, d, 16, 5)

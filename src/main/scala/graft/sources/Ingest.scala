@@ -39,6 +39,17 @@ object Ingest {
   def write(df: DataFrame, outDir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  /** Hive-style partitioned layout: one directory per value of the
+    * partition columns. At 100 TB this is the first pruning tier —
+    * a reader filtering on the partition column never lists, let
+    * alone scans, the other directories (`PartitionFilters` in the
+    * plan, vs `PushedFilters` which still opens every file). Choose
+    * low-cardinality columns (lang, source, date); high-cardinality
+    * partitioning explodes the file count and kills the driver's
+    * file index. */
+  def writePartitioned(df: DataFrame, outDir: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(outDir)
+
   /** Streaming ingestion with merge-on-read semantics: each
     * micro-batch of raw JSONL docs is embedded and APPENDED to a
     * staging dir stamped with a monotonically increasing version

@@ -343,6 +343,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getAs[String]("text") == "hello csv world")
   }
 
+  test("partitioned sink: lang filter becomes a PartitionFilter, values survive round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Tables.documents(spark, sf)
+    graft.sources.Ingest.writePartitioned(docs, dir, "lang")
+    val back = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter did not reach partition pruning:\n$plan")
+    // pruning must not change results
+    assert(back.count() == docs.filter($"lang" === "en").count())
+    val a = back.select($"doc_id", $"n_chars").collect().map(_.toSeq).toSet
+    val b = docs.filter($"lang" === "en").select($"doc_id", $"n_chars").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("sequence packing: packs respect order and budget arithmetic") {
     val r = TextOps.sequencePack(spark, sf, budget = 512).collect()
     var cum = 0L

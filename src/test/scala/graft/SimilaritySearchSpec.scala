@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{IvfIndex, PqIndex, SimilaritySearch}
+import graft.operators.{IvfIndex, PqIndex, SimilaritySearch, SqIndex}
 import graft.functions.FakeEmbedder
 
 class SimilaritySearchSpec extends AnyFunSuite {
@@ -160,6 +160,28 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // with rerank covering the whole corpus the result is exact
     val n = emb.count().toInt
     val full = PqIndex.search(emb, "embedding", "vec_id", model, q, 10, rerank = n)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
+  test("SQ8 search: codes in byte range, high recall, full rerank exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = FakeEmbedder.embed(queryText)
+    val model = SqIndex.fit(emb, "embedding")
+    assert(model.dim == q.length)
+    assert(model.mins.zip(model.maxs).forall { case (mn, mx) => mn <= mx })
+    val codes = emb.select(SqIndex.encode(col("embedding"), model).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == model.dim && c.forall(x => x >= 0 && x <= 255)))
+    // 8-bit per-dim quantization is much finer than PQ: recall should be near-perfect
+    val exact = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "l2")
+      .collect().map(_.getLong(0)).toSet
+    val approx = SqIndex.search(emb, "embedding", "vec_id", model, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@10 = $recall")
+    val n = emb.count().toInt
+    val full = SqIndex.search(emb, "embedding", "vec_id", model, q, 10, rerank = n)
       .collect().map(_.getLong(0)).toSet
     assert(full == exact)
   }
