@@ -52,6 +52,8 @@ object SparkEntry {
     "q23_running_total" -> CoreQueries.q23RunningTotal _,
     "q24_range_join" -> CoreQueries.q24RangeJoin _,
     "q25_grouping_sets" -> CoreQueries.q25GroupingSets _,
+    "q26_ntile" -> CoreQueries.q26Ntile _,
+    "q27_full_outer" -> CoreQueries.q27FullOuter _,
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -170,6 +172,8 @@ object SparkEntry {
     "q23_running_total" -> CoreQueries.q23Sql,
     "q24_range_join" -> CoreQueries.q24Sql,
     "q25_grouping_sets" -> CoreQueries.q25Sql,
+    "q26_ntile" -> CoreQueries.q26Sql,
+    "q27_full_outer" -> CoreQueries.q27Sql,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,

@@ -603,4 +603,58 @@ object CoreQueries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
+
+  /** q26: NTILE decile profile — price deciles WITHIN each order
+    * priority (per-bucket stats). The window is partitioned, so the
+    * sort shuffles by priority instead of funneling the whole table
+    * through one reducer — a global NTILE at 100 TB should instead
+    * bucket against precomputed percentile boundaries. Ties break on
+    * o_orderkey so both engines bucket identically. */
+  def q26Ntile(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_totalprice").cast(dec).as("p"),
+        ntile(10).over(w).as("decile"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
+  def q26Sql: String =
+    """SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile, count(*) AS n,
+      |  CAST(min(p) AS DOUBLE) AS min_price,
+      |  CAST(max(p) AS DOUBLE) AS max_price,
+      |  CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |        ntile(10) OVER (PARTITION BY o_orderpriority
+      |          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS decile
+      |      FROM orders)
+      |GROUP BY o_orderpriority, decile ORDER BY o_orderpriority, decile""".stripMargin
+
+  /** q27: FULL OUTER join — per-nation customer/supplier counts where
+    * either side may be absent (the join type q3/q4/q9 don't cover). */
+  def q27FullOuter(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, d).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("ck") === s("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  def q27Sql: String =
+    """SELECT coalesce(c.ck, s.sk) AS nationkey,
+      |  coalesce(c.n_cust, 0) AS n_cust,
+      |  coalesce(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |  ON c.ck = s.sk
+      |ORDER BY nationkey""".stripMargin
 }

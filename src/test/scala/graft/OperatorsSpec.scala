@@ -512,6 +512,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q26 ntile: deciles within each priority are balanced to within one row") {
+    val rows = CoreQueries.q26Ntile(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, ds) =>
+      val ns = ds.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"unbalanced deciles: ${ns.toSeq}")
+      assert(ds.map(_.getInt(1)).sorted.toSeq == (1 to ds.length))
+    }
+  }
+
+  test("q27 full outer: covers every nation present on either side") {
+    import spark.implicits._
+    val out = CoreQueries.q27FullOuter(spark, sf)
+    val nations = Tables.customer(spark, sf).select($"c_nationkey".as("k"))
+      .unionByName(Tables.supplier(spark, sf).select($"s_nationkey".as("k")))
+      .distinct().count()
+    assert(out.count() == nations)
+    assert(out.filter($"n_cust" === 0 && $"n_supp" === 0).count() == 0)
+  }
+
   test("d7 contamination: eval ids odd, train ids even, counts at least the threshold") {
     val rows = Dedup.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
