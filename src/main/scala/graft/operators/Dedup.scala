@@ -269,6 +269,13 @@ object Dedup {
     val grams = docs.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(0, size(toks)-3), " +
         "i -> xxhash64(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))).as("ng"))
+    // Equi-join of the two parity halves on the hashed n-gram. Each
+    // branch re-scans + re-explodes (cheap, fully codegen'd); the
+    // measured alternative — one groupBy(ng) with collect_set posting
+    // lists — was slower (per-group buffering) and risks stop-gram
+    // memory blowups at scale. At 100 TB add a document-frequency cap
+    // (drop grams shared by >N docs — they carry no contamination
+    // signal); left uncapped here for oracle parity.
     val evalG = grams.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id").as("eval_id"), col("ng"))
     val trainG = grams.filter(col("doc_id") % 2 === 0)
