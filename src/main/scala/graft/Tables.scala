@@ -10,8 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would be partitioned directories; the API shape is unchanged.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Memoize the analyzed scan per (session, dir, table): a fresh
+  // `spark.read.parquet` re-lists files and re-reads the footer schema
+  // on EVERY call, a fixed ~50-100 ms tax on each of the ~70 inventory
+  // queries. The DataFrame handle is lazy (no data pinned) and is
+  // bound to its session, so entries of stopped sessions are dropped
+  // on lookup. On a real deployment this role is played by the
+  // catalog/metastore, which caches listings the same way.
+  private val scanCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    scanCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    scanCache.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
