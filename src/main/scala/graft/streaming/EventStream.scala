@@ -166,6 +166,29 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Append-mode hourly counts over an arbitrary event directory —
+    * the late-data contract made testable: a window is emitted exactly
+    * once, when the watermark passes its end, and events arriving
+    * after that are DROPPED (not silently merged into a corrected
+    * result). This is the at-scale trade: bounded state + exactly-one
+    * emission per window, in exchange for discarding stragglers older
+    * than the lateness bound. Pair with `maxFilesPerTrigger` to
+    * control micro-batch granularity. */
+  def hourlyCountsAppendStream(spark: SparkSession, dir: String,
+                               lateness: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"))
+  }
+
   /** Batch twin of [[dedupStream]] for the oracle gate: same
     * dedup-then-count semantics over the static file. */
   def dedupBatch(spark: SparkSession, d: String): DataFrame = {

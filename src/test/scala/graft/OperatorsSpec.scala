@@ -135,6 +135,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("watermark drops late events: finalized windows are emitted once and never revised") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("late_data").toString
+    def writeFile(rows: Seq[(java.sql.Timestamp, String)], name: String, mtime: Long): Unit = {
+      val staging = Files.createTempDirectory("late_stage").toString
+      rows.toDF("ts", "event_type").coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(dir, name), StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dir, name).toFile.setLastModified(mtime)
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0: three on-time events in [00:00, 01:00) plus a sentinel at
+    // 10:00 that pushes the max event time to 10:00
+    writeFile(Seq(
+      (ts("2024-01-01 00:05:00"), "view"),
+      (ts("2024-01-01 00:15:00"), "view"),
+      (ts("2024-01-01 00:25:00"), "view"),
+      (ts("2024-01-01 10:00:00"), "click")), "a.parquet", 1000000L)
+    // batch 1: spacer — the watermark computed from batch 0 becomes
+    // EFFECTIVE for filtering only one batch after it is reported
+    // (measured on Spark 4.1.2; the progress log already shows 09:30
+    // at batch 1, but a late row in batch 1 still merges)
+    writeFile(Seq((ts("2024-01-01 10:05:00"), "click")), "b.parquet", 2000000L)
+    // batch 2: a straggler for the long-finalized 00:00 window — dropped
+    writeFile(Seq((ts("2024-01-01 00:10:00"), "view")), "c.parquet", 3000000L)
+    val q = EventStream.hourlyCountsAppendStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_late")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counts = spark.table("graft_late").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the late straggler must NOT be counted: 3 views, not 4
+    assert(counts.get(("2024-01-01 00:00", "view")).contains(3L),
+      s"expected finalized count 3, got $counts")
+  }
+
   test("stateful streaming sessionization equals batch q12") {
     val batch = CoreQueries.q12Sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
