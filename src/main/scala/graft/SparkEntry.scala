@@ -54,6 +54,17 @@ object SparkEntry {
     "q25_grouping_sets" -> CoreQueries.q25GroupingSets _,
     "q26_ntile" -> CoreQueries.q26Ntile _,
     "q27_full_outer" -> CoreQueries.q27FullOuter _,
+    // skew-resilient two-phase aggregation, oracle = the plain GROUP BY
+    // it must be indistinguishable from
+    "q28_salted_agg" -> ((s, d) => {
+      Salted.saltedCountSum(
+          Tables.events(s, d).select(col("event_type"),
+            col("value").cast("decimal(18,2)").as("v")),
+          col("event_type"), col("v"), salts = 16)
+        .select(col("k").as("event_type"), col("n"),
+          col("total").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
     // vector search
     "v1_knn_cosine" -> ((s, d) => SimilaritySearch.knn(
       Tables.embeddings(s, d), "embedding", "vec_id",
@@ -174,6 +185,10 @@ object SparkEntry {
     "q25_grouping_sets" -> CoreQueries.q25Sql,
     "q26_ntile" -> CoreQueries.q26Sql,
     "q27_full_outer" -> CoreQueries.q27Sql,
+    "q28_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "v1_knn_cosine" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,

@@ -552,6 +552,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cache-holding operators give identical results from a second session") {
+    // pairsCache / scanCache are keyed by session, model caches by
+    // data dir — a sibling session must neither crash on a foreign
+    // session's handles nor see stale results
+    val s2 = spark.newSession()
+    for (name <- Seq("d6_dup_components", "v6_ivf_search", "v12_pq_search", "q1_pricing_summary")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries(name)(s2, sf).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$name differs across sessions")
+    }
+  }
+
   test("q26 ntile: deciles within each priority are balanced to within one row") {
     val rows = CoreQueries.q26Ntile(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, ds) =>
