@@ -82,6 +82,15 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", 5, "cosine")
         .orderBy(col("query_id"), col("score").desc, col("neighbor_id"))
     }),
+    // the non-broadcast (block-replicated) similarity join — the shape
+    // for query sets too big to broadcast; same oracle as v4
+    "v16_similarity_join_large" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.similarityJoinLarge(
+        emb.filter(col("vec_id") % JoinQueryFilter === 0), emb,
+        "vec_id", "embedding", "vec_id", "embedding", 5, blocks = 8, "cosine")
+        .orderBy(col("query_id"), col("score").desc, col("neighbor_id"))
+    }),
     "v5_ivf_build" -> ((s, d) => IvfIndex.buildSummary(s, d)),
     "v6_ivf_search" -> ((s, d) => IvfIndex.searchSummary(s, d, SearchText)),
     "v7_record_lookup" -> ((s, d) =>
@@ -146,6 +155,7 @@ object SparkEntry {
     "t10_bigram_freq" -> ((s, d) => TextOps.bigramFreq(s, d)),
     "t11_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "t12_pii_redact" -> TextOps.piiRedact _,
+    "t13_unigram_logprob" -> TextOps.unigramLogprob _,
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -198,6 +208,13 @@ object SparkEntry {
     "v3_knn_dot" ->
       s"""SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "v16_similarity_join_large" ->
+      s"""SELECT query_id, neighbor_id, score FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+         |  FROM embeddings c, (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $JoinQueryFilter = 0) q
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5)
+         |ORDER BY query_id, score DESC, neighbor_id""".stripMargin,
     "v4_similarity_join" ->
       s"""SELECT query_id, neighbor_id, score FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -248,6 +265,7 @@ object SparkEntry {
     "t10_bigram_freq" -> TextOps.bigramFreqSql,
     "t11_stratified_sample" -> TextOps.stratifiedSampleSql(),
     "t12_pii_redact" -> TextOps.piiRedactSql,
+    "t13_unigram_logprob" -> TextOps.unigramLogprobSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,

@@ -337,6 +337,42 @@ object TextOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** t13: unigram log-probability scoring — the perplexity-proxy
+    * quality filter: docs whose tokens are corpus-typical score high,
+    * gibberish scores low. Two shuffles (vocab count, token join).
+    * Cross-engine float discipline: each token's ln(p) is ROUNDED to
+    * 6 dp first (Spark and DuckDB ln agree to sub-ulp, so the rounded
+    * values are identical), then summed as exact decimals — the sum
+    * is order-free, so partial aggregation order can't flake the
+    * oracle hash. */
+  def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count().toDouble
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(freq, "tok")
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / lit(total)), 6)
+          .cast("decimal(18,6)").as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("logp")).cast("double").as("sum_logp"))
+      .withColumn("avg_logp", col("sum_logp") / col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  def unigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum(logp) AS DOUBLE) AS sum_logp,
+      |  CAST(sum(logp) AS DOUBLE) / count(*) AS avg_logp
+      |FROM (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(CAST(f.cnt AS DOUBLE) / total.n), 6) AS DECIMAL(18,6)) AS logp
+      |  FROM toks t JOIN freq f ON t.tok = f.tok, total)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def bigramFreqSql: String =
     """SELECT lang, bg, n, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT lang, bg, count(*) AS n,

