@@ -161,6 +161,7 @@ object SparkEntry {
     "m2_frame_sample" -> Multimodal.frameSample _,
     "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatchedFlat(s, d)),
     "m4_media_header" -> Multimodal.mediaHeader _,
+    "m5_modality_route" -> Multimodal.modalityRoute _,
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
     "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
@@ -269,6 +270,7 @@ object SparkEntry {
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
+    "m5_modality_route" -> Multimodal.modalityRouteSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
     "s3_stream_dedup" -> EventStream.dedupBatchSql,

@@ -83,6 +83,49 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** m5: modality routing — a mixed binary corpus (images / audio /
+    * video share one blob column) dispatched by magic bytes to
+    * per-modality metadata parsers in ONE pass (a `when` chain over
+    * the decoded magic, not one scan per type). This is the fan-out
+    * step in front of per-modality decoders like [[decodeBatched]];
+    * unknown magics survive as 'unknown' instead of being dropped.
+    * Blobs are synthesized deterministically (doc_id % 3 picks
+    * PNG/RIFF-WAV/JPEG); the oracle rebuilds the same headers as hex
+    * strings (DuckDB cannot substring blobs). */
+  def modalityRoute(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val magicHex = when(col("doc_id") % 3 === 0, lit("89504e47")) // PNG
+      .when(col("doc_id") % 3 === 1, lit("52494646"))             // RIFF/WAV
+      .otherwise(lit("ffd8ffe0"))                                 // JPEG
+    val payloadHex = lpad(hex((col("n_chars") % 4096).cast("int")), 8, "0")
+    val withBlob = docs.select(col("doc_id"),
+      unhex(concat(magicHex, payloadHex)).as("blob"))
+    val magic = lower(hex(substring(col("blob"), 1, 4)))
+    val payload = conv(lower(hex(substring(col("blob"), 5, 4))), 16, 10).cast("long")
+    withBlob.select(col("doc_id"), magic.as("magic"),
+        when(magic === "89504e47", "image/png")
+          .when(magic === "52494646", "audio/wav")
+          .when(magic === "ffd8ffe0", "image/jpeg")
+          .otherwise("unknown").as("modality"),
+        payload.as("payload"))
+      .orderBy(col("doc_id"))
+  }
+
+  def modalityRouteSql: String =
+    """SELECT doc_id, magic,
+      |  CASE magic WHEN '89504e47' THEN 'image/png'
+      |             WHEN '52494646' THEN 'audio/wav'
+      |             WHEN 'ffd8ffe0' THEN 'image/jpeg'
+      |             ELSE 'unknown' END AS modality,
+      |  CAST(n_chars % 4096 AS BIGINT) AS payload
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    lower(CASE doc_id % 3 WHEN 0 THEN '89504e47'
+      |                          WHEN 1 THEN '52494646'
+      |                          ELSE 'ffd8ffe0' END) AS magic
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   case class MediaRow(doc_id: Long, blob: Array[Byte])
   case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Float])
 

@@ -461,6 +461,16 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("m5 modality routing partitions the corpus exhaustively by magic") {
+    import spark.implicits._
+    val routed = Multimodal.modalityRoute(spark, sf)
+    assert(routed.filter($"modality" === "unknown").count() == 0)
+    val byMod = routed.groupBy($"modality").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMod.keySet == Set("image/png", "audio/wav", "image/jpeg"))
+    assert(byMod.values.sum == Tables.documents(spark, sf).count())
+  }
+
   test("m2 frame explode is deterministic and bounded") {
     val r = Multimodal.frameSample(spark, sf)
     val counts = r.groupBy(col("doc_id")).count().collect()
