@@ -657,4 +657,23 @@ object CoreQueries {
       |FULL OUTER JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
       |  ON c.ck = s.sk
       |ORDER BY nationkey""".stripMargin
+
+  /** q29: several COUNT(DISTINCT ...) over different columns in ONE
+    * aggregation — Catalyst compiles this to a single Expand + two
+    * aggregate levels, not one scan per distinct column. */
+  def q29MultiDistinct(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(expr("date_trunc('day', ts)")).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  def q29Sql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+      |  count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
