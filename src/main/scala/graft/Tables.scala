@@ -22,6 +22,11 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     scanCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    // isStopped only fires when the whole context dies; a long-lived
+    // driver churning through newSession() instances would otherwise
+    // grow this map forever. Handles are cheap to rebuild — just drop
+    // everything past a generous bound.
+    if (scanCache.size > 512) scanCache.clear()
     scanCache.getOrElseUpdate((spark, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }

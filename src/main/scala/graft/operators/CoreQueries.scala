@@ -357,7 +357,7 @@ object CoreQueries {
         col("l_shipdate") < lit(until).cast("timestamp")
     val in1 = half("1997-01-01", "1997-07-01")
     val in2 = half("1997-07-01", "1998-01-01")
-    li.filter(in1 || in2)
+    val counts = li.filter(in1 || in2)
       .select(col("l_partkey"),
         when(in1, 1).otherwise(0).as("h1"),
         when(in2, 1).otherwise(0).as("h2"))
@@ -366,6 +366,12 @@ object CoreQueries {
       .select(when(col("h1") === 1 && col("h2") === 1, "both_halves")
         .when(col("h1") === 1, "h1_only").otherwise("h2_only").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    // set-op semantics emit a row per bucket even when it's empty —
+    // groupBy alone would drop it; pin the bucket list
+    import spark.implicits._
+    Seq("both_halves", "h1_only", "h2_only").toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("bucket"))
   }
 
@@ -513,8 +519,16 @@ object CoreQueries {
       "5-LOW" -> "p5_low")
     val piv = o.groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", prios)
-      .agg(coalesce(count(lit(1)), lit(0L)))
-    renames.foldLeft(piv) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+      .agg(count(lit(1)))
+    // PivotFirst leaves NULL cells for (status, priority) combos with
+    // no rows; the oracle's count(CASE ...) yields 0 — coalesce AFTER
+    // the pivot (a coalesce inside the aggregate never sees the
+    // missing combos)
+    val renamed = renames.foldLeft(piv) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    renamed.select(col("o_orderstatus") +:
+        renames.values.toSeq.sorted.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy(col("o_orderstatus"))
   }
 

@@ -171,6 +171,9 @@ object Dedup {
     // Memoized per (dataset, threshold): the pair graph is d4's output
     // and d6's input — a pipeline materializes it once.
     Dedup.pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    // bound growth across newSession() churn (checkpointed pair graphs
+    // pin executor storage until GC'd — keep the map small)
+    if (Dedup.pairsCache.size > 16) Dedup.pairsCache.clear()
     val pairs = Dedup.pairsCache.getOrElseUpdate((spark, d, threshold),
       ngramJaccard(spark, d, threshold)
         .select(col("id_a"), col("id_b")).localCheckpoint(true))
@@ -184,7 +187,11 @@ object Dedup {
     // Convergence probe: a propagation step only ever LOWERS labels,
     // so sum(root) strictly decreases iff any node changed — one
     // cheap aggregate per iteration instead of a join-and-compare.
-    var prevSum = labels.agg(sum(col("root"))).first().getLong(0)
+    // sum() over an EMPTY frame is null: coalesce to 0 so a pair-less
+    // dataset (high threshold) converges immediately instead of NPEing.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("root")), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -197,7 +204,7 @@ object Dedup {
       val next = neighborMin.cache()
       cached += next
       val t0 = System.nanoTime()
-      val curSum = next.agg(sum(col("root"))).first().getLong(0)
+      val curSum = labelSum(next)
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         println(s"[cc] iter $i sum=$curSum took ${(System.nanoTime()-t0)/1e9}s")
       labels = next

@@ -322,8 +322,11 @@ object TextOps {
       .select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com")).as("raw"))
+    // Column-API regexp functions take the pattern verbatim; routing
+    // it through expr() would SQL-unescape '\.' to '.' and silently
+    // loosen the match relative to clean_md5 and the oracle.
     docs.select(col("doc_id"),
-        size(expr(s"regexp_extract_all(raw, '$pattern', 0)")).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(pattern), lit(0))).as("n_emails"),
         md5(regexp_replace(col("raw"), pattern, "<EMAIL>")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
@@ -348,11 +351,14 @@ object TextOps {
   def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val total = toks.count().toDouble
+    // corpus total as a lazy broadcast scalar — an eager .count() here
+    // would run a Spark job at DataFrame-CONSTRUCTION time and cost an
+    // extra full scan per invocation
+    val total = broadcast(toks.agg(count(lit(1)).cast("double").as("total")))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    toks.join(freq, "tok")
+    toks.join(freq, "tok").crossJoin(total)
       .select(col("doc_id"),
-        round(log(col("cnt").cast("double") / lit(total)), 6)
+        round(log(col("cnt").cast("double") / col("total")), 6)
           .cast("decimal(18,6)").as("logp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("logp")).cast("double").as("sum_logp"))

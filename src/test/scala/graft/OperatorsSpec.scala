@@ -593,6 +593,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter($"n_cust" === 0 && $"n_supp" === 0).count() == 0)
   }
 
+  test("d6 with a pair-less threshold returns empty instead of NPEing") {
+    // jaccard can't exceed 1.0, so this threshold guarantees an empty
+    // pair graph (0.999 is NOT enough — the corpus has exact dups)
+    val out = Dedup.dupComponents(spark, sf, threshold = 1.01)
+    assert(out.count() == 0)
+  }
+
   test("d7 contamination: eval ids odd, train ids even, counts at least the threshold") {
     val rows = Dedup.contamination(spark, sf).collect()
     assert(rows.nonEmpty)
