@@ -13,23 +13,26 @@ object Tables {
   // Memoize the analyzed scan per (session, dir, table): a fresh
   // `spark.read.parquet` re-lists files and re-reads the footer schema
   // on EVERY call, a fixed ~50-100 ms tax on each of the ~70 inventory
-  // queries. The DataFrame handle is lazy (no data pinned) and is
-  // bound to its session, so entries of stopped sessions are dropped
-  // on lookup. On a real deployment this role is played by the
-  // catalog/metastore, which caches listings the same way.
-  private val scanCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  // queries. The DataFrame handle is lazy (no data pinned); session
+  // hygiene and growth bounds live in SessionCache. The cache pins the
+  // file listing captured at first read — writers that rewrite a table
+  // directory must call [[invalidate]] (Ingest does). On a real
+  // deployment this role is played by the catalog/metastore, with the
+  // same REFRESH TABLE contract.
+  private val scanCache = new SessionCache[(String, String), DataFrame](512)
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    scanCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    // isStopped only fires when the whole context dies; a long-lived
-    // driver churning through newSession() instances would otherwise
-    // grow this map forever. Handles are cheap to rebuild — just drop
-    // everything past a generous bound.
-    if (scanCache.size > 512) scanCache.clear()
-    scanCache.getOrElseUpdate((spark, sfDir, name),
-      spark.read.parquet(s"$sfDir/$name.parquet"))
-  }
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    scanCache.getOrElseUpdate(spark, (sfDir, name)) {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Drop cached scans whose backing files live under `pathPrefix` —
+    * call after overwriting a table directory (REFRESH TABLE). */
+  def invalidate(pathPrefix: String): Unit =
+    scanCache.invalidate { case (dir, name) =>
+      val p = s"$dir/$name.parquet"
+      p.startsWith(pathPrefix) || pathPrefix.startsWith(p) || pathPrefix.startsWith(dir)
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

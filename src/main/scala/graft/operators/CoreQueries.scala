@@ -528,7 +528,7 @@ object CoreQueries {
       df.withColumnRenamed(from, to)
     }
     renamed.select(col("o_orderstatus") +:
-        renames.values.toSeq.sorted.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        prios.map(renames).map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy(col("o_orderstatus"))
   }
 

@@ -21,10 +21,10 @@ object Dedup {
 
   // Keyed by the owning SparkSession as well as (dir, threshold): a
   // checkpointed DataFrame is bound to the SparkContext that created
-  // it, so an entry from a stopped session is a dead handle. Entries
-  // whose context has stopped are dropped on lookup.
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+  // it, so an entry from a stopped session is a dead handle. Session
+  // hygiene + growth bound live in SessionCache (checkpointed pair
+  // graphs pin executor storage until GC'd — keep the bound small).
+  private val pairsCache = new graft.SessionCache[(String, Double), DataFrame](16)
 
   /** d1: exact dedup by content hash. Emits every doc with its
     * canonical keeper (min doc_id of the identical-text group). */
@@ -170,13 +170,10 @@ object Dedup {
     // it twice (forward + reversed), and every iteration reads it.
     // Memoized per (dataset, threshold): the pair graph is d4's output
     // and d6's input — a pipeline materializes it once.
-    Dedup.pairsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    // bound growth across newSession() churn (checkpointed pair graphs
-    // pin executor storage until GC'd — keep the map small)
-    if (Dedup.pairsCache.size > 16) Dedup.pairsCache.clear()
-    val pairs = Dedup.pairsCache.getOrElseUpdate((spark, d, threshold),
+    val pairs = Dedup.pairsCache.getOrElseUpdate(spark, (d, threshold)) {
       ngramJaccard(spark, d, threshold)
-        .select(col("id_a"), col("id_b")).localCheckpoint(true))
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    }
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()

@@ -351,11 +351,11 @@ object TextOps {
   def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    // corpus total as a lazy broadcast scalar — an eager .count() here
-    // would run a Spark job at DataFrame-CONSTRUCTION time and cost an
-    // extra full scan per invocation
-    val total = broadcast(toks.agg(count(lit(1)).cast("double").as("total")))
+    // corpus total as a lazy broadcast scalar derived from the (small)
+    // vocab frame — summing freq avoids a third full scan+explode of
+    // documents (and its exchange is shared with the join side)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = broadcast(freq.agg(sum(col("cnt")).cast("double").as("total")))
     toks.join(freq, "tok").crossJoin(total)
       .select(col("doc_id"),
         round(log(col("cnt").cast("double") / col("total")), 6)

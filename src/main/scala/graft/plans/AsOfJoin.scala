@@ -93,7 +93,15 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                     timeOrd.compare(rTimeB.eval(head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef]) <= 0)
               if (take) {
                 val r = rBuf.next()
-                if (cmpKey == 0) { cand = r.copy(); candKey = lk }
+                // copy BOTH the row and the key: lk may be a
+                // buffer-backed value (UTF8String, struct) pointing
+                // into the reused left row — without the copy it would
+                // mutate to the current left key and stale candidates
+                // would match the wrong key
+                if (cmpKey == 0) {
+                  cand = r.copy()
+                  candKey = InternalRow.copyValue(lk)
+                }
               } else advance = false
             }
           }

@@ -36,8 +36,11 @@ object Ingest {
 
   /** write the embedded store; optionally bucketed by id for
     * shuffle-free point lookups and co-located joins downstream */
-  def write(df: DataFrame, outDir: String): Unit =
+  def write(df: DataFrame, outDir: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(outDir)
+    // cached scans hold the pre-overwrite file listing — refresh them
+    graft.Tables.invalidate(outDir)
+  }
 
   /** Hive-style partitioned layout: one directory per value of the
     * partition columns. At 100 TB this is the first pruning tier —
@@ -47,8 +50,10 @@ object Ingest {
     * low-cardinality columns (lang, source, date); high-cardinality
     * partitioning explodes the file count and kills the driver's
     * file index. */
-  def writePartitioned(df: DataFrame, outDir: String, partitionCols: String*): Unit =
+  def writePartitioned(df: DataFrame, outDir: String, partitionCols: String*): Unit = {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(outDir)
+    graft.Tables.invalidate(outDir)
+  }
 
   /** Streaming ingestion with merge-on-read semantics: each
     * micro-batch of raw JSONL docs is embedded and APPENDED to a

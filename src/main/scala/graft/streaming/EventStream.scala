@@ -189,11 +189,15 @@ object EventStream {
         col("event_type"), col("n"))
   }
 
-  /** Batch twin of [[dedupStream]] for the oracle gate: same
-    * dedup-then-count semantics over the static file. */
+  /** Batch twin of [[dedupStream]] for the oracle gate. The keeper is
+    * DETERMINISTIC — min(event_type) per event_id — because Spark's
+    * dropDuplicates and DuckDB's any_value both keep an arbitrary row,
+    * which agree only while the data happens to have no duplicate ids;
+    * a min-keeper stays gate-stable if replayed events ever differ. */
   def dedupBatch(spark: SparkSession, d: String): DataFrame = {
     Tables.events(spark, d)
-      .dropDuplicates("event_id")
+      .groupBy(col("event_id"))
+      .agg(min(col("event_type")).as("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
@@ -201,7 +205,7 @@ object EventStream {
 
   def dedupBatchSql: String =
     """SELECT event_type, count(*) AS n FROM (
-      |  SELECT event_id, any_value(event_type) AS event_type
+      |  SELECT event_id, min(event_type) AS event_type
       |  FROM events GROUP BY event_id)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -266,6 +266,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("nomatch") == null)   // key with no right rows
   }
 
+  test("as-of join with STRING keys: stale candidates never leak across keys") {
+    import spark.implicits._
+    // key 'a' has right rows, key 'b' has none — with a buffer-backed
+    // (UTF8String) key, a non-copied candidate key would mutate to 'b'
+    // and wrongly match key 'a's candidate
+    val left = Seq(("a", 10L, "a1"), ("a", 20L, "a2"), ("b", 30L, "b1"))
+      .toDF("k", "t", "tag").repartition(1)
+    val right = Seq(("a", 5L, 0.5), ("a", 15L, 1.5)).toDF("rk", "rt", "v")
+    val out = graft.plans.AsOfJoinOps.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.toString).orNull).toMap
+    assert(out("a1") == "0.5")
+    assert(out("a2") == "1.5")
+    assert(out("b1") == null, "candidate from key 'a' leaked into key 'b'")
+  }
+
+  test("overwriting a table dir invalidates the memoized scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scan_inval").toString
+    Seq((1L, "one"), (2L, "two")).toDF("id", "s").write.parquet(s"$dir/t.parquet")
+    assert(Tables.table(spark, dir, "t").count() == 2)
+    graft.sources.Ingest.write(Seq((3L, "three")).toDF("id", "s"), s"$dir/t.parquet")
+    assert(Tables.table(spark, dir, "t").count() == 1, "stale file listing survived overwrite")
+  }
+
   test("filter above as-of join pushes below it (custom optimizer rule)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
