@@ -119,6 +119,10 @@ object SparkEntry {
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
     "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
+    // diversity rerank (rows-only: iterative greedy, not SQL-expressible)
+    "v17_mmr_rerank" -> ((s, d) => SimilaritySearch.mmrRerank(
+      Tables.embeddings(s, d), "embedding", "vec_id",
+      FakeEmbedder.embed(SearchText), 10, 100)),
     "v14_ivf_similarity_join" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = IvfIndex.fitCached(s, d, 16, 5)
@@ -273,6 +277,7 @@ object SparkEntry {
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
     "m5_modality_route" -> Multimodal.modalityRouteSql,
+    "m3_decode_batch" -> Multimodal.decodeBatchSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
     "s3_stream_dedup" -> EventStream.dedupBatchSql,

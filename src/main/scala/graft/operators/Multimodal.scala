@@ -127,7 +127,9 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
 
   case class MediaRow(doc_id: Long, blob: Array[Byte])
-  case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Float])
+  case class MediaFeature(doc_id: Long, n_bytes: Int,
+                          c0: Int, c1: Int, c2: Int, c3: Int,
+                          c4: Int, c5: Int, c6: Int, c7: Int)
 
   /** The batched-inference stub: the real system would decode images /
     * run a vision encoder per batch inside `mapPartitions` (the Scala
@@ -150,24 +152,33 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** `queries()` surface for the batched decoder: the fixed 8-dim
-    * feature is flattened to scalar columns because the driver's
-    * row-hash compare cannot sort/hash array cells. */
-  def decodeBatchedFlat(spark: SparkSession, d: String): DataFrame = {
-    val feat = decodeBatched(spark, d)
-    val fCols = (0 until 8).map(i => round(col("feature").getItem(i), 6).as(s"f$i"))
-    feat.select(col("doc_id") +: col("n_bytes") +: fCols: _*)
-      .orderBy(col("doc_id"))
-  }
+  /** `queries()` surface for the batched decoder — already flat scalar
+    * columns (the driver's row-hash compare cannot sort array cells). */
+  def decodeBatchedFlat(spark: SparkSession, d: String): DataFrame =
+    decodeBatched(spark, d)
 
   /** deterministic fake decoder (stands in for image/audio libs not
-    * present in this container) */
+    * present in this container): 8-bucket byte histogram as integer
+    * counts — exact, so the whole batched path is oracle-checkable */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeature] =
     batch.map { m =>
-      val f = new Array[Float](8)
+      val f = new Array[Int](8)
       var i = 0
-      while (i < m.blob.length) { f(m.blob(i) & 7) += 1f; i += 1 }
-      val n = math.max(1, m.blob.length).toFloat
-      MediaFeature(m.doc_id, m.blob.length, f.map(_ / n))
+      while (i < m.blob.length) { f(m.blob(i) & 7) += 1; i += 1 }
+      MediaFeature(m.doc_id, m.blob.length,
+        f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
     }
+
+  /** DuckDB twin of the fake decoder: the corpus is pure ASCII, so the
+    * utf-8 byte histogram equals the per-char codepoint histogram. */
+  def decodeBatchSql: String = {
+    val cs = (0 until 8).map(i =>
+      s"CAST(len(list_filter(codes, x -> x = $i)) AS INTEGER) AS c$i").mkString(",\n      |  ")
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+      |  $cs
+      |FROM (SELECT doc_id, text,
+      |        list_transform(string_split_regex(text, ''), ch -> unicode(ch) % 8) AS codes
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
 }

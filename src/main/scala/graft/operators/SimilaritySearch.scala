@@ -160,4 +160,51 @@ object SimilaritySearch {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("similarity"))
       .orderBy(col("similarity").desc, col("doc_id").asc)
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — diversity-aware top-k for RAG context building: greedily
+    * pick the candidate maximizing
+    *   λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s).
+    * The distributed part is the candidate scan (ordinary knn,
+    * candK ≫ k); the greedy selection is O(candK²·dim) on the DRIVER
+    * over the collected candidates — correct at scale because candK
+    * is a constant (e.g. 100), not a function of corpus size.
+    * Deterministic: ties break on id. */
+  def mmrRerank(corpus: DataFrame, vecCol: String, idCol: String,
+                query: Array[Float], k: Int, candK: Int,
+                lambda: Double = 0.7): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        vectors.cosine_sim(col(vecCol), typedLit(query)).as("qs"))
+      .orderBy(col("qs").desc_nulls_last, col("id").asc)
+      .limit(candK)
+      .as[(Long, Array[Float], Double)]
+      .collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val best = remaining.maxBy { case (id, v, qs) =>
+        val maxSel =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _, _) =>
+            cos(v, cands.find(_._1 == sid).get._2)
+          }.max
+        (lambda * qs - (1 - lambda) * maxSel, -id)
+      }
+      val mmr = lambda * best._3 - (1 - lambda) * (
+        if (selected.isEmpty) 0.0
+        else selected.map { case (sid, _, _) => cos(best._2, cands.find(_._1 == sid).get._2) }.max)
+      selected += ((best._1, mmr, selected.length + 1))
+      remaining -= best
+    }
+    selected.toSeq.map { case (id, s, r) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r) }
+      .toDF("id", "mmr_score", "rank")
+  }
 }

@@ -439,8 +439,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.length == Tables.documents(spark, sf).count())
     // batch size must not change results
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
-    val f = a.head.getSeq[Float](a.head.fieldIndex("feature"))
-    assert(f.length == 8 && math.abs(f.sum - 1.0) < 1e-5)
+    // histogram counts must account for every byte of the doc
+    val r = a.head
+    val total = (0 until 8).map(i => r.getInt(r.fieldIndex(s"c$i"))).sum
+    assert(total == r.getInt(r.fieldIndex("n_bytes")))
   }
 
   test("plan shapes: broadcasts, pushdown, and no-shuffle knn hold") {

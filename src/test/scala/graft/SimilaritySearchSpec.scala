@@ -186,6 +186,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("MMR rerank: deterministic, top hit kept, diversity no worse than plain knn") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = FakeEmbedder.embed(queryText)
+    val mmr = SimilaritySearch.mmrRerank(emb, "embedding", "vec_id", q, 10, 100)
+    val rows = mmr.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 10))
+    // rank 1 is always the plain-knn top hit (no diversity penalty yet)
+    val knnTop = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 1, "cosine")
+      .first().getLong(0)
+    assert(rows.find(_.getInt(2) == 1).get.getLong(0) == knnTop)
+    // deterministic across runs
+    val again = SimilaritySearch.mmrRerank(emb, "embedding", "vec_id", q, 10, 100)
+      .collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+    // with lambda=1 MMR degenerates to plain knn order
+    val pure = SimilaritySearch.mmrRerank(emb, "embedding", "vec_id", q, 10, 100, lambda = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    val knn10 = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "cosine")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure == knn10)
+  }
+
   test("knn edge cases: k larger than corpus, empty corpus, null rows last") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
