@@ -55,6 +55,7 @@ object SparkEntry {
     "q26_ntile" -> CoreQueries.q26Ntile _,
     "q27_full_outer" -> CoreQueries.q27FullOuter _,
     "q29_multi_distinct" -> CoreQueries.q29MultiDistinct _,
+    "q30_percent_rank" -> CoreQueries.q30PercentRank _,
     // skew-resilient two-phase aggregation, oracle = the plain GROUP BY
     // it must be indistinguishable from
     "q28_salted_agg" -> ((s, d) => {
@@ -202,6 +203,7 @@ object SparkEntry {
     "q26_ntile" -> CoreQueries.q26Sql,
     "q27_full_outer" -> CoreQueries.q27Sql,
     "q29_multi_distinct" -> CoreQueries.q29Sql,
+    "q30_percent_rank" -> CoreQueries.q30Sql,
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

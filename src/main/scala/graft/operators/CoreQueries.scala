@@ -690,4 +690,29 @@ object CoreQueries {
       |  count(DISTINCT date_trunc('day', ts)) AS n_days,
       |  count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q30: relative-rank windows — PERCENT_RANK and CUME_DIST of each
+    * order's price within its priority (partitioned, so the sort
+    * shuffles by priority like q26). Both are rank-derived ratios of
+    * exact integers — bit-identical across engines. */
+  def q30PercentRank(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("pr") >= 0.99)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  def q30Sql: String =
+    """SELECT o_orderkey, o_orderpriority, pr, cd FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+      |WHERE pr >= 0.99
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 }

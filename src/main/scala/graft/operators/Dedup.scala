@@ -266,20 +266,31 @@ object Dedup {
     * strings, counts agree up to a ~2^-64 collision). Per-doc n-gram
     * sets are deduped before the join, so n_shared counts distinct
     * shared trigrams. */
-  def contamination(spark: SparkSession, d: String, minShared: Int = 3): DataFrame = {
+  def contamination(spark: SparkSession, d: String, minShared: Int = 3,
+                    maxDf: Int = Int.MaxValue): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val grams = docs.select(col("doc_id"), explode(array_distinct(expr(
+    val allGrams = docs.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(0, size(toks)-3), " +
         "i -> xxhash64(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))).as("ng"))
+    // Document-frequency cap — the 100 TB guard: a stop-gram appearing
+    // in df docs creates O(df²) join rows while carrying no
+    // contamination signal. Default keeps every gram (oracle parity on
+    // the synthetic corpus); a real run sets maxDf to, say, 1000.
+    val grams =
+      if (maxDf == Int.MaxValue) allGrams
+      else {
+        val rare = allGrams.groupBy(col("ng"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+          .select(col("ng"))
+        allGrams.join(rare, "ng")
+      }
     // Equi-join of the two parity halves on the hashed n-gram. Each
     // branch re-scans + re-explodes (cheap, fully codegen'd); the
     // measured alternative — one groupBy(ng) with collect_set posting
     // lists — was slower (per-group buffering) and risks stop-gram
-    // memory blowups at scale. At 100 TB add a document-frequency cap
-    // (drop grams shared by >N docs — they carry no contamination
-    // signal); left uncapped here for oracle parity.
+    // memory blowups at scale.
     val evalG = grams.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id").as("eval_id"), col("ng"))
     val trainG = grams.filter(col("doc_id") % 2 === 0)

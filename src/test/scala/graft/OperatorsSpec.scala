@@ -9,6 +9,11 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.Sf
 
+  test("oracleSql keys all resolve to queries entries (no orphaned or typo'd oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
   test("every SparkEntry query runs and returns rows on sf0.001") {
     val empties = Set("d5_embedding_neardup") // threshold query; may be empty at tiny sf
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -635,6 +640,12 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getLong(1) % 2 == 0, "train_id must be even")
       assert(r.getLong(2) >= 3)
     }
+    // the document-frequency cap only ever removes signal, never adds
+    val capped = Dedup.contamination(spark, sf, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full))
+    assert(capped.size < full.size, "cap at df<=3 should prune stop-gram pairs in this corpus")
   }
 
   test("t11 stratified sample takes exactly the ceil(frac * stratum) per lang, deterministically") {
