@@ -26,13 +26,24 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
-  /** Drop cached scans whose backing files live under `pathPrefix` —
-    * call after overwriting a table directory (REFRESH TABLE). */
-  def invalidate(pathPrefix: String): Unit =
+  // Other dir-keyed caches (IVF/PQ/SQ models) register here so one
+  // invalidate() call refreshes everything derived from the rewritten
+  // files. Hooks register lazily at first use of each index object —
+  // before that, no stale entries can exist.
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]
+  def onInvalidate(hook: String => Unit): Unit = invalidationHooks.add(hook)
+
+  /** Drop cached scans (and registered derived caches — index models)
+    * whose backing files live under `pathPrefix` — call after
+    * overwriting a table directory (REFRESH TABLE). */
+  def invalidate(pathPrefix: String): Unit = {
     scanCache.invalidate { case (dir, name) =>
       val p = s"$dir/$name.parquet"
       p.startsWith(pathPrefix) || pathPrefix.startsWith(p) || pathPrefix.startsWith(dir)
     }
+    invalidationHooks.forEach(h => h(pathPrefix))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

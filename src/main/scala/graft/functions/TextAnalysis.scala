@@ -130,11 +130,14 @@ object TextHash {
     shingleJaccard(if (a == null) null else a.toString,
       if (b == null) null else b.toString, n)
 
-  /** exact Jaccard between two docs' shingle sets (verification step) */
+  /** Exact Jaccard between two docs' shingle sets (verification step).
+    * Two EMPTY shingle sets score 0.0, not 1.0: texts shorter than the
+    * shingle width carry no similarity evidence, and 1.0 would report
+    * every pair of unrelated short docs as a perfect duplicate. */
   def shingleJaccard(a: String, b: String, n: Int): Double = {
     val sa = shingles(a, n).toSet
     val sb = shingles(b, n).toSet
-    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty && sb.isEmpty) return 0.0
     val inter = sa.intersect(sb).size
     inter.toDouble / (sa.size + sb.size - inter)
   }

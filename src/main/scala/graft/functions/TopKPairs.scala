@@ -24,16 +24,13 @@ final class TopKBuffer(val k: Int, val asc: Boolean) {
     if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
 
   def add(id: Long, score: Double): Unit = {
+    // NaN scores carry no rank: better() is not a strict weak order
+    // over NaN and the compact sort's contract would break — drop them
+    if (score.isNaN) return
     if (size == ids.length) compact()
-    if (size == ids.length) { // buffer full of winners: replace-if-better
-      // after compact, size == k only when k*2 <= 4; handle by linear check
-      var worst = 0
-      var i = 1
-      while (i < size) { if (better(scores(worst), ids(worst), scores(i), ids(i))) worst = i; i += 1 }
-      if (better(score, id, scores(worst), ids(worst))) { ids(worst) = id; scores(worst) = score }
-    } else {
-      ids(size) = id; scores(size) = score; size += 1
-    }
+    // after compact() size == min(k, size) < capacity max(4, 2k), so
+    // there is always room for the append
+    ids(size) = id; scores(size) = score; size += 1
   }
 
   /** sort by goodness and trim to k */
@@ -81,8 +78,23 @@ case class TopKPairs(idExpr: Expression, scoreExpr: Expression, k: Int, asc: Boo
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val id = idExpr.eval(input)
     val sc = scoreExpr.eval(input)
-    if (id != null && sc != null)
-      buf.add(id.asInstanceOf[Long], sc.asInstanceOf[Double])
+    // tolerate any numeric input type: ExpectsInputTypes is closed off
+    // in Spark 4 (AbstractDataType is private[sql]), so coerce here
+    // instead of ClassCastException-ing mid-query on an INT id column
+    if (id != null && sc != null) {
+      val idL = id match {
+        case l: java.lang.Long => l.longValue
+        case n: java.lang.Number => n.longValue
+        case o => o.asInstanceOf[Long]
+      }
+      val scD = sc match {
+        case d: java.lang.Double => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case o => o.asInstanceOf[Double]
+      }
+      buf.add(idL, scD)
+    }
     buf
   }
 

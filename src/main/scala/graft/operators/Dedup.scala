@@ -58,7 +58,12 @@ object Dedup {
                  numHashes: Int = 32, bands: Int = 4,
                  threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
+    // Docs shorter than the shingle width have NO shingles: their
+    // minhash signature is the all-sentinel vector, which would put
+    // every short doc in the same bucket of every band. They carry no
+    // similarity evidence — exclude them from banding.
     val docs = Tables.documents(spark, d)
+      .filter(length(col("text")) >= 5)
       .select(col("doc_id"), text.minhash_sig(col("text"), 5, numHashes).as("sig"))
     // band key: xxhash64 over the band's slice of the signature.
     // Only (doc_id, band, key) triples shuffle — texts never ride

@@ -35,6 +35,9 @@ object IvfIndex {
     * share the model. */
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+  // a rewrite of the source dir must drop models fit on the old data
+  graft.Tables.onInvalidate(p =>
+    modelCache.filterInPlace((k, _) => !k._1.startsWith(p) && !p.startsWith(k._1)))
 
   def fitCached(spark: SparkSession, d: String, k: Int, iters: Int): Model =
     modelCache.getOrElseUpdate((d, k, iters),

@@ -55,11 +55,15 @@ object PqIndex {
     import spark.implicits._
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val dsub = dim / m
-    // init: subspace slices of the first k vectors by id
+    // init: subspace slices of the first k vectors by id; a corpus
+    // smaller than k simply yields fewer codes per subspace (the same
+    // graceful degradation IvfIndex.fit has)
     val init = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).as[Array[Float]].collect()
+    val k2 = math.min(k, init.length)
+    require(k2 > 0, "PqIndex.fit: empty corpus")
     var books = Array.tabulate(m)(j =>
-      Array.tabulate(k)(c => init(c).slice(j * dsub, (j + 1) * dsub)))
+      Array.tabulate(k2)(c => init(c).slice(j * dsub, (j + 1) * dsub)))
 
     for (_ <- 1 to iters) {
       val enc = encodeColumn(col(vecCol), Model(books))
@@ -107,17 +111,47 @@ object PqIndex {
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Model]
+  // a rewrite of the source dir must drop codebooks fit on the old data
+  graft.Tables.onInvalidate(p =>
+    pqCache.filterInPlace((k, _) => !k._1.startsWith(p) && !p.startsWith(k._1)))
 
   def fitCached(spark: SparkSession, d: String, m: Int = 8, k: Int = 16): Model =
     pqCache.getOrElseUpdate((d, m, k),
       fit(Tables.embeddings(spark, d), "embedding", "vec_id", m, k))
 
+  // Encode ONCE, query many: without this every search re-quantizes
+  // the whole corpus (m·k·dsub float ops per row per query), defeating
+  // the compressed-scan point. The persisted equivalent is IvfPqStore.
+  private val codesCache = new graft.SessionCache[(String, Int, Int), DataFrame](8)
+
   def searchSummary(spark: SparkSession, d: String, queryText: String,
                     topK: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, d)
     val model = fitCached(spark, d)
-    search(emb, "embedding", "vec_id", model,
+    val codes = codesCache.getOrElseUpdate(spark, (d, model.m, model.k)) {
+      Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"),
+          encodeColumn(col("embedding"), model).as("codes"))
+        .localCheckpoint(true)
+    }
+    searchEncoded(codes, "codes", "embedding", "vec_id", model,
       graft.functions.FakeEmbedder.embed(queryText), topK)
+  }
+
+  /** ADC search over a pre-encoded frame (codes + full vectors). */
+  def searchEncoded(encoded: DataFrame, codesCol: String, vecCol: String,
+                    idCol: String, model: Model, query: Array[Float],
+                    topK: Int, rerank: Int = 4): DataFrame = {
+    val table = distanceTable(model, query)
+    val candidates = encoded
+      .select(col(idCol), col(vecCol),
+        adcColumn(col(codesCol), table).as("adc"))
+      .orderBy(col("adc").asc_nulls_last, col(idCol).asc)
+      .limit(topK * rerank)
+    candidates
+      .select(col(idCol),
+        round(graft.functions.vectors.l2_dist(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").asc_nulls_last, col(idCol).asc)
+      .limit(topK)
   }
 }
 

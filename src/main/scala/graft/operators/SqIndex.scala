@@ -32,6 +32,9 @@ object SqIndex {
 
   private val sqCache =
     scala.collection.concurrent.TrieMap.empty[String, Model]
+  // a rewrite of the source dir must drop ranges fit on the old data
+  graft.Tables.onInvalidate(p =>
+    sqCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k)))
 
   /** One aggregate pass: posexplode to (dim, x), partial min/max
     * map-side, 32·dim rows to the driver. */

@@ -14,6 +14,11 @@ import graft.Tables
 object EventStream {
 
   /** watermarked windowed aggregation as a streaming DataFrame */
+  /** NOTE: `window(ts, '1 day')` buckets on UTC-epoch-aligned day
+    * boundaries while the batch twin's `date_trunc('day')` truncates
+    * in the session timezone — the two agree only when
+    * `spark.sql.session.timeZone` is UTC (every entry point in this
+    * repo pins it). A non-UTC deployment must align the two. */
   def dailyCountsStream(spark: SparkSession, d: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, d).schema
     Tables.eventsNormalize(
