@@ -23,16 +23,28 @@ import graft.functions.{vectors, FakeEmbedder}
   */
 object SimilaritySearch {
 
-  /** similarity score column for a constant query vector */
-  def score(metric: String, vec: Column, query: Array[Float]): Column = {
-    val q = typedLit(query)
-    metric match {
-      case "cosine" => vectors.cosine_sim(vec, q)
-      case "l2"     => vectors.l2_dist(vec, q)
-      case "dot"    => vectors.dot_product(vec, q)
-      case m        => throw new IllegalArgumentException(s"unknown metric $m")
-    }
+  /** the single metric dispatch — every search path shares it, so an
+    * unknown metric always raises the same diagnostic error */
+  def pairScore(metric: String, a: Column, b: Column): Column = metric match {
+    case "cosine" => vectors.cosine_sim(a, b)
+    case "l2"     => vectors.l2_dist(a, b)
+    case "dot"    => vectors.dot_product(a, b)
+    case m        => throw new IllegalArgumentException(s"unknown metric $m")
   }
+
+  /** similarity score column for a constant query vector */
+  def score(metric: String, vec: Column, query: Array[Float]): Column =
+    pairScore(metric, vec, typedLit(query))
+
+  /** shared tail of the batch joins: per-query top-k via the bounded
+    * heap aggregate, unpacked to (query_id, neighbor_id, score) */
+  private def topKTail(scored: DataFrame, k: Int, asc: Boolean): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("neighbor_id"), col("score"), k, asc).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("p"))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.score").as("score"))
 
   /** Exact top-k scan: brute-force over the corpus, TakeOrderedAndProject. */
   def knn(corpus: DataFrame, vecCol: String, idCol: String,
@@ -61,22 +73,12 @@ object SimilaritySearch {
                      cIdCol: String, cVecCol: String,
                      k: Int, metric: String = "cosine"): DataFrame = {
     val q = broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec")))
-    val scoreCol = metric match {
-      case "cosine" => vectors.cosine_sim(col(cVecCol), col("q_vec"))
-      case "l2"     => vectors.l2_dist(col(cVecCol), col("q_vec"))
-      case "dot"    => vectors.dot_product(col(cVecCol), col("q_vec"))
-    }
-    val asc = metric == "l2"
+    val scoreCol = pairScore(metric, col(cVecCol), col("q_vec"))
     val scored = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol))
       .join(q) // broadcast nested-loop: corpus x queries, map-only
       .select(col("query_id"), col("neighbor_id"),
         round(scoreCol, 6).as("score"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKPairs.top_k_pairs(
-        col("neighbor_id"), col("score"), k, asc).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("p"))
-      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
-        col("p.score").as("score"))
+    topKTail(scored, k, asc = metric == "l2")
   }
 
   /** Large-query-set similarity join — when the query table itself is
@@ -97,20 +99,10 @@ object SimilaritySearch {
       pmod(hash(col(cIdCol)), lit(blocks)).as("blk"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec"),
       explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
-    val scoreCol = metric match {
-      case "cosine" => vectors.cosine_sim(col("c_vec"), col("q_vec"))
-      case "l2"     => vectors.l2_dist(col("c_vec"), col("q_vec"))
-      case "dot"    => vectors.dot_product(col("c_vec"), col("q_vec"))
-    }
-    val asc = metric == "l2"
-    c.join(q, Seq("blk"))
+    val scoreCol = pairScore(metric, col("c_vec"), col("q_vec"))
+    val scored = c.join(q, Seq("blk"))
       .select(col("query_id"), col("neighbor_id"), round(scoreCol, 6).as("score"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKPairs.top_k_pairs(
-        col("neighbor_id"), col("score"), k, asc).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("p"))
-      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
-        col("p.score").as("score"))
+    topKTail(scored, k, asc = metric == "l2")
   }
 
   /** Filtered knn — the pgvector "metadata filter + vector search"
@@ -175,9 +167,13 @@ object SimilaritySearch {
                 lambda: Double = 0.7): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // null embeddings can't be scored or diversified — drop them, like
+    // knn's nulls-last ordering does implicitly
     val cands = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         vectors.cosine_sim(col(vecCol), typedLit(query)).as("qs"))
+      .filter(col("qs").isNotNull)
       .orderBy(col("qs").desc_nulls_last, col("id").asc)
       .limit(candK)
       .as[(Long, Array[Float], Double)]
@@ -187,22 +183,35 @@ object SimilaritySearch {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
     }
+    // classic incremental form: maxSim(candidate, selected-set) is a
+    // running value updated once per newly selected doc — O(k·candK)
+    // cosines total instead of recomputing the max per (round, pair)
+    val n = cands.length
+    val maxSim = Array.fill(n)(0.0)
+    val taken = Array.fill(n)(false)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
-    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
-    while (selected.length < k && remaining.nonEmpty) {
-      val best = remaining.maxBy { case (id, v, qs) =>
-        val maxSel =
-          if (selected.isEmpty) 0.0
-          else selected.map { case (sid, _, _) =>
-            cos(v, cands.find(_._1 == sid).get._2)
-          }.max
-        (lambda * qs - (1 - lambda) * maxSel, -id)
+    while (selected.length < k && selected.length < n) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambda * cands(i)._3 -
+            (if (selected.isEmpty) 0.0 else (1 - lambda) * maxSim(i))
+          // tie-break on lower id, matching the distributed orderings
+          if (s > bestScore || (s == bestScore && (best < 0 || cands(i)._1 < cands(best)._1))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
       }
-      val mmr = lambda * best._3 - (1 - lambda) * (
-        if (selected.isEmpty) 0.0
-        else selected.map { case (sid, _, _) => cos(best._2, cands.find(_._1 == sid).get._2) }.max)
-      selected += ((best._1, mmr, selected.length + 1))
-      remaining -= best
+      taken(best) = true
+      selected += ((cands(best)._1, bestScore, selected.length + 1))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) maxSim(j) = math.max(maxSim(j), cos(cands(j)._2, cands(best)._2))
+        j += 1
+      }
     }
     selected.toSeq.map { case (id, s, r) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r) }
       .toDF("id", "mmr_score", "rank")

@@ -136,9 +136,12 @@ object TextOps {
   def hashSample(spark: SparkSession, d: String, pct: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, d)
     // hex-prefix compare: lowercase-hex md5 in both engines, so a
-    // plain string inequality keys the split with zero cast hazards
-    val nBuckets = pct * 256 / 100
-    val cut = f"$nBuckets%02x"
+    // plain string inequality keys the split with zero cast hazards.
+    // The cut is clamped to 2 hex digits — at pct=100, "%02x" of 256
+    // would yield the 3-char "100", and lexicographic h < "100" keeps
+    // only hashes starting with '0' (~6% instead of all).
+    val nBuckets = math.min(256, pct * 256 / 100)
+    val cut = if (nBuckets >= 256) "g" else f"$nBuckets%02x" // 'g' > any hex digit
     docs.select(col("doc_id"), col("lang"),
         substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
       .filter(col("h") < cut)
@@ -147,7 +150,8 @@ object TextOps {
   }
 
   def hashSampleSql(pct: Int = 10): String = {
-    val cut = f"${pct * 256 / 100}%02x"
+    val nBuckets = math.min(256, pct * 256 / 100)
+    val cut = if (nBuckets >= 256) "g" else f"$nBuckets%02x"
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
        |  FROM documents)

@@ -18,7 +18,9 @@ object Bucketed {
     // dir survives while the table entry doesn't — clear both
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    // the catalog lowercases identifiers — a mixed-case name would
+    // delete the wrong (nonexistent) dir and leave the real stale one
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")

@@ -18,14 +18,20 @@ import graft.functions.vectors
   */
 object Ingest {
 
-  /** normalize + embed raw documents (expects a `text` column and an
-    * id column; extra metadata columns pass through) */
-  def embedDocuments(raw: DataFrame, idCol: String): DataFrame =
+  /** normalize + embed raw documents (expects a `text` column and the
+    * named id column; extra metadata columns pass through). Rows
+    * without an id are dropped — a keyless record can never be
+    * upserted or looked up downstream. */
+  def embedDocuments(raw: DataFrame, idCol: String): DataFrame = {
+    require(raw.columns.contains(idCol),
+      s"embedDocuments: id column '$idCol' not in ${raw.columns.mkString(",")}")
     raw
+      .filter(col(idCol).isNotNull)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .withColumn("text", regexp_replace(col("text"), "\\s+", " "))
       .withColumn("n_chars", length(col("text")))
       .withColumn("embedding", vectors.embed_text(col("text")))
+  }
 
   def fromCsv(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame =
     embedDocuments(
@@ -80,11 +86,18 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** merge-on-read view over the staging dir: latest version per id */
+  /** merge-on-read view over the staging dir: latest version per id.
+    * Tie-break within a version on every remaining column so
+    * same-batch duplicates resolve deterministically across runs and
+    * partitionings (not by shuffle arrival order). */
   def currentView(spark: SparkSession, stagingDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("__version").desc)
-    spark.read.parquet(stagingDir)
+    val raw = spark.read.parquet(stagingDir)
+    val tieCols = raw.columns.filterNot(c => c == "doc_id" || c == "__version")
+      .sorted.map(c => col(c).asc_nulls_last)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__version").desc +: tieCols: _*)
+    raw
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__version", "__rn")
@@ -99,7 +112,13 @@ object Ingest {
     import org.apache.spark.sql.functions._
     val tagged = updates.withColumn("__pri", lit(1))
       .unionByName(store.withColumn("__pri", lit(0)), allowMissingColumns = true)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pri").desc)
+    // tie-break beyond __pri on every remaining column so duplicate
+    // ids WITHIN updates resolve deterministically (not by shuffle
+    // arrival order)
+    val tieCols = tagged.columns.filterNot(c => c == idCol || c == "__pri")
+      .sorted.map(c => col(c).asc_nulls_last)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__pri").desc +: tieCols: _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__pri", "__rn")

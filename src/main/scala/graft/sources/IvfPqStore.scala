@@ -42,9 +42,22 @@ object IvfPqStore {
         cen.zipWithIndex.map { case (w, i) => (j, c, i, w) } } }
       .toSeq.toDF("subspace", "code", "dim", "w")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    // rewriting the store must drop memoized models + cached scans
+    graft.Tables.invalidate(dir)
   }
 
-  def readModels(spark: SparkSession, dir: String): (IvfIndex.Model, PqIndex.Model) = {
+  // models are tiny driver-side arrays, but re-reading + collecting
+  // two parquet dirs per query is pure fixed overhead — memoize per
+  // dir, dropped by Tables.invalidate when the store is rewritten
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (IvfIndex.Model, PqIndex.Model)]
+  graft.Tables.onInvalidate(p =>
+    modelCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k)))
+
+  def readModels(spark: SparkSession, dir: String): (IvfIndex.Model, PqIndex.Model) =
+    modelCache.getOrElseUpdate(dir, readModelsUncached(spark, dir))
+
+  private def readModelsUncached(spark: SparkSession, dir: String): (IvfIndex.Model, PqIndex.Model) = {
     val ivf = IvfStore.readCentroids(spark, s"$dir")
     val rows = spark.read.parquet(s"$dir/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getFloat(3)))
