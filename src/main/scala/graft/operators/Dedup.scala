@@ -196,14 +196,18 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
+    def step(l: DataFrame): DataFrame = edges
+      .join(l, edges("id_a") === l("id"))
+      .select(col("id_b").as("id"), col("root"))
+      .unionByName(l)
+      .groupBy(col("id"))
+      .agg(min(col("root")).as("root"))
     while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("id_a") === labels("id"))
-        .select(col("id_b").as("id"), col("root"))
-        .unionByName(labels)
-        .groupBy(col("id"))
-        .agg(min(col("root")).as("root"))
-      val next = neighborMin.cache()
+      // one propagation step per materialization — fusing two steps
+      // per job was measured SLOWER (0.97+0.70s vs 0.54+0.37+0.37s at
+      // sf0.1): the deeper uncached pipeline costs more than the
+      // actions it saves
+      val next = step(labels).cache()
       cached += next
       val t0 = System.nanoTime()
       val curSum = labelSum(next)
