@@ -165,17 +165,19 @@ object TextOps {
     * (lang, token) pairs; all counting is partial-aggregated. */
   def tfidfTopTerms(spark: SparkSession, d: String, topN: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val nDocs = docs.count() // corpus constant (one cheap count job)
+    // corpus doc count as a lazy broadcast scalar — an eager .count()
+    // here would run a Spark job at DataFrame-construction time
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val tokens = docs.select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
     val df = tokens.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
     val tf = tokens.groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("term_freq"))
-    val scored = tf.join(df, Seq("token"))
+    val scored = tf.join(df, Seq("token")).crossJoin(nDocs)
       .withColumn("tfidf",
         col("term_freq").cast("double") *
-          log(lit(nDocs.toDouble) / col("doc_freq").cast("double")))
+          log(col("n_docs") / col("doc_freq").cast("double")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rank", row_number().over(w))
