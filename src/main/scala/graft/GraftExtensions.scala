@@ -34,5 +34,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(s) - 64-bit simhash of text"),
       (xs: Seq[Expression]) => SimHash64(xs.head)))
+    // keep this surface identical to vectors.register — SQL that works
+    // in a test session must work on a cluster opting in via conf
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b) - intersection size of two sorted arrays"),
+      (xs: Seq[Expression]) => SortedIntersectCount(xs(0), xs(1))))
+    ext.injectFunction((FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(s, n) - distinct char n-grams (n int literal)"),
+      (xs: Seq[Expression]) => CharShingles(xs(0), litInt(xs(1), "char_shingles n"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(s, n, k) - minhash signature (n, k int literals)"),
+      (xs: Seq[Expression]) => MinHashSig(xs(0),
+        litInt(xs(1), "minhash_sig n"), litInt(xs(2), "minhash_sig k"))))
+    ext.injectFunction((FunctionIdentifier("top_k_pairs"),
+      info("top_k_pairs", "top_k_pairs(id, score, k[, asc]) - bounded top-k aggregate (k, asc literals)"),
+      (xs: Seq[Expression]) => {
+        val asc = xs.length > 3 && (xs(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_pairs asc must be a boolean literal, got $other")
+        })
+        TopKPairs(xs(0), xs(1), litInt(xs(2), "top_k_pairs k"), asc)
+          .toAggregateExpression()
+      }))
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 }

@@ -25,7 +25,7 @@ object SparkEntry {
   private def queryVecSql: String =
     FakeEmbedder.embed(SearchText).map(f => f.toDouble.toString).mkString("[", ", ", "]")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // core SQL
     "q1_pricing_summary" -> CoreQueries.q1PricingSummary _,
     "q2_topn_revenue" -> CoreQueries.q2TopNRevenue _,
@@ -174,7 +174,7 @@ object SparkEntry {
     "s3_stream_dedup" -> EventStream.dedupBatch _,
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> CoreQueries.q1Sql,
     "q2_topn_revenue" -> CoreQueries.q2Sql,
     "q3_cust_order_revenue" -> CoreQueries.q3Sql,

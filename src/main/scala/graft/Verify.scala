@@ -18,7 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous run's output FIRST: a query that now throws
+      // before its write starts must not leave stale (green-looking)
+      // parquet behind for the compare to read
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) rm(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -208,6 +208,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override val nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> or two array<bigint> arguments, " +
+          s"got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  }
   // dispatch on the element type once at plan time: long arrays (hashed
   // tokens) take the primitive walk, string arrays the UTF8 walk
   private lazy val isLong: Boolean = left.dataType match {

@@ -20,6 +20,20 @@ abstract class VectorScoreExpression extends BinaryExpression {
   override val nullIntolerant: Boolean = true
   override def foldable: Boolean = left.foldable && right.foldable
 
+  // These names are exposed to SQL (GraftExtensions / vectors.register)
+  // where any argument type can arrive. ExpectsInputTypes is closed off
+  // in Spark 4 (AbstractDataType is private[sql]), so validate here:
+  // without this an array<double> literal would analysis-pass and the
+  // kernel's getFloat would read garbage half-words.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
   /** scalar kernel over primitive arrays (interpreted path) */
   protected def kernel(a: ArrayData, b: ArrayData): Double
 

@@ -28,6 +28,14 @@ object vectors {
     reg.createOrReplaceTempFunction("simhash64", xs => SimHash64(xs.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       xs => SortedIntersectCount(xs(0), xs(1)), "scala_udf")
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("char_shingles",
+      xs => CharShingles(xs(0), litInt(xs(1), "char_shingles n")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      xs => MinHashSig(xs(0), litInt(xs(1), "minhash_sig n"), litInt(xs(2), "minhash_sig k")), "scala_udf")
     // aggregate: top_k_pairs(id, score, k[, asc]) — k/asc must be literals
     reg.createOrReplaceTempFunction("top_k_pairs", xs => {
       import org.apache.spark.sql.catalyst.expressions.Literal

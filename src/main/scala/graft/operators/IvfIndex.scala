@@ -92,20 +92,28 @@ object IvfIndex {
       .orderBy(col("list_id"))
   }
 
+  /** The one centroid-ranking kernel every probe path shares: squared
+    * L2 in DOUBLE precision (matching ClosestCentroid's widening — a
+    * float-subtraction copy could rank near-tied lists differently),
+    * ties broken on list id. */
+  def rankLists(model: Model, query: Array[Float], nprobe: Int): Seq[Int] =
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0
+      val n = math.min(c.length, query.length)
+      while (j < n) {
+        val dd = c(j).toDouble - query(j).toDouble; s += dd * dd; j += 1
+      }
+      (i, s)
+    }.sortBy { case (i, s) => (s, i) }.take(nprobe).map(_._1).toSeq
+
   /** IVF probe: rank lists by centroid distance to the query, scan
     * only the top `nprobe` lists, exact top-k inside them. */
   def search(emb: DataFrame, vecCol: String, idCol: String, model: Model,
              query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
-    val ranked = model.centroids.zipWithIndex.map { case (c, i) =>
-      var s = 0.0
-      var j = 0
-      while (j < math.min(c.length, query.length)) {
-        val dd = c(j) - query(j); s += dd * dd; j += 1
-      }
-      (i, s)
-    }.sortBy(_._2).take(nprobe).map(_._1)
+    val ranked = rankLists(model, query, nprobe)
     assign(emb, vecCol, model)
-      .filter(col("list_id").isin(ranked.toSeq: _*))
+      .filter(col("list_id").isin(ranked: _*))
       .select(col(idCol),
         round(vectors.cosine_sim(col(vecCol), typedLit(query)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

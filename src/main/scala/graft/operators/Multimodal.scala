@@ -24,9 +24,13 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // magic_hex: take 4 BYTES, not 4 chars-then-encode — substring the
+  // hex of the full encoding so a multi-byte utf-8 first char can't
+  // diverge from the Spark side's byte substring (latent while the
+  // corpus is ASCII, wrong the day it isn't)
   def blobMetadataSql: String =
     """SELECT doc_id, octet_length(encode(text)) AS blob_len,
-      |  lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+      |  lower(substring(hex(encode(text)), 1, 8)) AS magic_hex,
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -76,13 +76,7 @@ object IvfPqStore {
              query: Array[Float], topK: Int, nprobe: Int,
              rerank: Int = 4): DataFrame = {
     val (ivf, pq) = readModels(spark, dir)
-    val probed = ivf.centroids.zipWithIndex.map { case (c, i) =>
-      var s = 0.0; var j = 0
-      while (j < math.min(c.length, query.length)) {
-        val dd = c(j) - query(j); s += dd * dd; j += 1
-      }
-      (i, s)
-    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val probed = IvfIndex.rankLists(ivf, query, nprobe)
     val table = PqIndex.distanceTable(pq, query)
     val candidates = spark.read.parquet(s"$dir/lists")
       .filter(col("list_id").isin(probed: _*)) // partition-pruned

@@ -33,30 +33,35 @@ object IvfStore {
       .toSeq.toDF("list_id", "dim", "w")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    // rewriting the store must drop memoized centroids + cached scans
+    graft.Tables.invalidate(dir)
   }
 
-  def readCentroids(spark: SparkSession, dir: String): IvfIndex.Model = {
-    val rows = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
-    val k = rows.map(_._1).max + 1
-    val dim = rows.map(_._2).max + 1
-    val cs = Array.fill(k)(new Array[Float](dim))
-    rows.foreach { case (i, j, w) => cs(i)(j) = w }
-    IvfIndex.Model(cs)
-  }
+  // the centroid matrix is tiny and immutable per store — memoize per
+  // dir instead of a parquet read+collect per probe; dropped via
+  // Tables.invalidate when the store is rewritten
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
+  graft.Tables.onInvalidate(p =>
+    centroidCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k)))
+
+  def readCentroids(spark: SparkSession, dir: String): IvfIndex.Model =
+    centroidCache.getOrElseUpdate(dir, {
+      val rows = spark.read.parquet(s"$dir/centroids")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+      val k = rows.map(_._1).max + 1
+      val dim = rows.map(_._2).max + 1
+      val cs = Array.fill(k)(new Array[Float](dim))
+      rows.foreach { case (i, j, w) => cs(i)(j) = w }
+      IvfIndex.Model(cs)
+    })
 
   /** Probe the persisted index: rank centroids on the driver, scan
     * only the `nprobe` matching list partitions. */
   def search(spark: SparkSession, dir: String, vecCol: String, idCol: String,
              query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
     val model = readCentroids(spark, dir)
-    val probed = model.centroids.zipWithIndex.map { case (c, i) =>
-      var s = 0.0; var j = 0
-      while (j < math.min(c.length, query.length)) {
-        val dd = c(j) - query(j); s += dd * dd; j += 1
-      }
-      (i, s)
-    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val probed = IvfIndex.rankLists(model, query, nprobe)
     spark.read.parquet(s"$dir/lists")
       .filter(col("list_id").isin(probed: _*)) // partition-pruned scan
       .select(col(idCol),
