@@ -80,6 +80,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
       assert(math.abs(r - 1.0) < 1e-12)
       val e = s2.sql("SELECT embed_text('hello') AS e").head().getSeq[Float](0)
       assert(e.length == graft.functions.FakeEmbedder.Dim)
+      // the extension surface must match vectors.register exactly
+      val sh = s2.sql("SELECT char_shingles('hello world', 3) AS s").head().getSeq[String](0)
+      assert(sh.nonEmpty && sh.forall(_.length == 3))
+      val mh = s2.sql("SELECT minhash_sig('hello world', 5, 8) AS m").head().getSeq[Long](0)
+      assert(mh.length == 8)
+      val tk = s2.sql(
+        """SELECT explode(top_k_pairs(id, s, 1)) AS p FROM
+          |  (SELECT * FROM VALUES (CAST(1 AS BIGINT), 0.2), (CAST(2 AS BIGINT), 0.9) AS t(id, s))""".stripMargin)
+        .collect()
+      assert(tk.length == 1)
+      // wrong-typed vector args must fail ANALYSIS, not read garbage
+      val err = intercept[Exception] {
+        s2.sql("SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0))").head()
+      }
+      assert(err.getMessage.contains("array<float>"), err.getMessage)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
