@@ -9,6 +9,30 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.Sf
 
+  test("end-to-end training-data pipeline: dedup -> decontaminate -> sample -> score -> pack") {
+    import spark.implicits._
+    // 1. exact dedup: keep only canonical docs
+    val keepers = Dedup.exactDedup(spark, sf)
+      .filter($"doc_id" === $"keeper_id").select($"doc_id")
+    val nKeep = keepers.count()
+    val nAll = Tables.documents(spark, sf).count()
+    assert(nKeep > 0 && nKeep <= nAll)
+    // 2. decontaminate: drop training docs sharing >=3 trigrams with eval docs
+    val contaminated = Dedup.contamination(spark, sf).select($"train_id".as("doc_id")).distinct()
+    val clean = keepers.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(clean.count() <= nKeep)
+    // 3. quality score + stratified sample survive the filtered corpus
+    val scored = TextOps.qualityScore(spark, sf).join(clean, "doc_id")
+    assert(scored.filter($"quality" < 0 || $"quality" > 1).count() == 0)
+    val sample = TextOps.stratifiedSample(spark, sf).join(clean, "doc_id")
+    assert(sample.count() > 0)
+    // 4. packing the cleaned corpus keeps every pack under budget
+    val packs = TextOps.sequencePack(spark, sf)
+      .join(clean, "doc_id")
+      .groupBy($"pack_id").agg(sum($"n_tokens").as("pack_tokens"))
+    assert(packs.filter($"pack_tokens" > 2048).count() == 0)
+  }
+
   test("oracleSql keys all resolve to queries entries (no orphaned or typo'd oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
