@@ -28,12 +28,19 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
-    val results = names.map { name =>
+    def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       // a failing query must NOT masquerade as a fast one — report -1
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    // per-query MIN over two timed passes: single-run totals drift
+    // ±25% with machine noise; the minimum is the steady-state cost
+    val passes = Seq(timedPass(), timedPass())
+    val results = names.map { n =>
+      val ts = passes.map(_.toMap.apply(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -42,7 +49,7 @@ object Bench {
     val sfJson = sfDir.flatMap { // keep the line valid JSON for any path
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"queries":$qs,"sf":"$sfJson"}""")
     spark.stop()
   }
 }
