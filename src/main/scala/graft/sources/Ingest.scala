@@ -61,6 +61,17 @@ object Ingest {
     graft.Tables.invalidate(outDir)
   }
 
+  /** ORC interchange — the other columnar format warehouses hand
+    * around. Same pushdown/pruning machinery as parquet (verified in
+    * spec via PushedFilters); raw text still enters via CSV/JSONL. */
+  def writeOrc(df: DataFrame, outDir: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).orc(outDir)
+    graft.Tables.invalidate(outDir)
+  }
+
+  def fromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Streaming ingestion with merge-on-read semantics: each
     * micro-batch of raw JSONL docs is embedded and APPENDED to a
     * staging dir stamped with a monotonically increasing version

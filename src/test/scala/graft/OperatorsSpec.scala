@@ -428,6 +428,22 @@ class OperatorsSpec extends AnyFunSuite {
       graft.functions.FakeEmbedder.embed("version two").toSeq)
   }
 
+  test("ORC interchange round-trips and pushes filters into the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc_io").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"n_chars")
+    graft.sources.Ingest.writeOrc(docs, dir)
+    val back = graft.sources.Ingest.fromOrc(spark, dir).filter($"n_chars" > 500)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("OrcScan") || plan.contains("Format: ORC") || plan.contains("orc"),
+      s"not an ORC scan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"filter did not push into the ORC scan:\n$plan")
+    val a = back.collect().map(_.toSeq).toSet
+    val b = docs.filter($"n_chars" > 500).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("ingest from csv works too") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ingest_csv").toString
