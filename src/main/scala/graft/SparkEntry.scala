@@ -56,6 +56,8 @@ object SparkEntry {
     "q27_full_outer" -> CoreQueries.q27FullOuter _,
     "q29_multi_distinct" -> CoreQueries.q29MultiDistinct _,
     "q30_percent_rank" -> CoreQueries.q30PercentRank _,
+    "q31_text_search" -> CoreQueries.q31TextSearch _,
+    "q32_pagination" -> ((s, d) => CoreQueries.q32Pagination(s, d)),
     // skew-resilient two-phase aggregation, oracle = the plain GROUP BY
     // it must be indistinguishable from
     "q28_salted_agg" -> ((s, d) => {
@@ -204,6 +206,8 @@ object SparkEntry {
     "q27_full_outer" -> CoreQueries.q27Sql,
     "q29_multi_distinct" -> CoreQueries.q29Sql,
     "q30_percent_rank" -> CoreQueries.q30Sql,
+    "q31_text_search" -> CoreQueries.q31Sql,
+    "q32_pagination" -> CoreQueries.q32Sql(),
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

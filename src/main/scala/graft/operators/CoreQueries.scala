@@ -715,4 +715,46 @@ object CoreQueries {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
       |WHERE pr >= 0.99
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** q31: text-pattern filtering — the Postgres LIKE / regex surface
+    * the reference's tool layer sits on. The `contains` predicate
+    * reaches the parquet scan as a StringContains pushed filter; the
+    * regexp runs post-scan (not pushable) on the survivors only. */
+  def q31TextSearch(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.filter(col("text").contains("filter"))
+      .select(col("doc_id"), col("lang"),
+        col("text").rlike("filter (sort|scan|join)").as("phrase_hit"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(when(col("phrase_hit"), 1L).otherwise(0L)).as("n_phrase"))
+      .orderBy(col("lang"))
+  }
+
+  def q31Sql: String =
+    """SELECT lang, count(*) AS n_match,
+      |  CAST(sum(CASE WHEN regexp_matches(text, 'filter (sort|scan|join)')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_phrase
+      |FROM documents WHERE text LIKE '%filter%'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q32: keyset-free pagination — ORDER BY + LIMIT/OFFSET, the plain
+    * tool-layer listing endpoint. A fully-specified sort keeps pages
+    * deterministic; at scale prefer keyset (WHERE key > last) since
+    * OFFSET still sorts-and-skips. */
+  def q32Pagination(spark: SparkSession, d: String, page: Int = 3,
+                    pageSize: Int = 25): DataFrame = {
+    val o = Tables.orders(spark, d)
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(dec).cast("double").as("price"))
+      .orderBy(col("o_orderkey"))
+      .offset(page * pageSize)
+      .limit(pageSize)
+  }
+
+  def q32Sql(page: Int = 3, pageSize: Int = 25): String =
+    s"""SELECT o_orderkey, o_custkey, o_orderpriority,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+       |FROM orders ORDER BY o_orderkey
+       |LIMIT $pageSize OFFSET ${page * pageSize}""".stripMargin
 }

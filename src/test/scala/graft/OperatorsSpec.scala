@@ -646,6 +646,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q31 pushes the contains predicate into the parquet scan") {
+    val plan = CoreQueries.q31TextSearch(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("StringContains(text,filter)"), s"no pushed contains in:\n$plan")
+  }
+
+  test("q32 pages are disjoint, ordered, and cover the table") {
+    import spark.implicits._
+    val p0 = CoreQueries.q32Pagination(spark, sf, page = 0).collect().map(_.getLong(0))
+    val p1 = CoreQueries.q32Pagination(spark, sf, page = 1).collect().map(_.getLong(0))
+    assert(p0.length == 25 && p1.length == 25)
+    assert(p0.toSet.intersect(p1.toSet).isEmpty)
+    assert(p0.max < p1.min) // strictly ordered pages
+  }
+
   test("q26 ntile: deciles within each priority are balanced to within one row") {
     val rows = CoreQueries.q26Ntile(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, ds) =>
