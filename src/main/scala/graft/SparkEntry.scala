@@ -164,6 +164,7 @@ object SparkEntry {
     "t11_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "t12_pii_redact" -> TextOps.piiRedact _,
     "t13_unigram_logprob" -> TextOps.unigramLogprob _,
+    "t14_len_histogram" -> TextOps.lenHistogram _,
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -279,6 +280,7 @@ object SparkEntry {
     "t11_stratified_sample" -> TextOps.stratifiedSampleSql(),
     "t12_pii_redact" -> TextOps.piiRedactSql,
     "t13_unigram_logprob" -> TextOps.unigramLogprobSql,
+    "t14_len_histogram" -> TextOps.lenHistogramSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,

@@ -385,6 +385,37 @@ object TextOps {
       |  FROM toks t JOIN freq f ON t.tok = f.tok, total)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t14: token-length histogram — the sequence-length profile a
+    * training-mix planner reads before picking packing budgets.
+    * Integer CASE buckets (no float log boundaries to flake on). */
+  def lenHistogram(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val n = size(split(col("text"), " "))
+    val bucket = when(n < 32, "a_lt32").when(n < 64, "b_32_63")
+      .when(n < 128, "c_64_127").when(n < 256, "d_128_255")
+      .when(n < 512, "e_256_511").otherwise("f_ge512")
+    docs.select(bucket.as("bucket"), n.as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_toks"),
+        max(col("n_tokens")).as("max_toks"),
+        expr("cast(sum(n_tokens) as bigint)").as("sum_toks"))
+      .orderBy(col("bucket"))
+  }
+
+  def lenHistogramSql: String =
+    """SELECT bucket, count(*) AS n_docs,
+      |  CAST(min(n_tokens) AS INTEGER) AS min_toks,
+      |  CAST(max(n_tokens) AS INTEGER) AS max_toks,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_toks
+      |FROM (
+      |  SELECT CASE WHEN n < 32 THEN 'a_lt32' WHEN n < 64 THEN 'b_32_63'
+      |              WHEN n < 128 THEN 'c_64_127' WHEN n < 256 THEN 'd_128_255'
+      |              WHEN n < 512 THEN 'e_256_511' ELSE 'f_ge512' END AS bucket,
+      |         n AS n_tokens
+      |  FROM (SELECT len(string_split(text, ' ')) AS n FROM documents))
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def bigramFreqSql: String =
     """SELECT lang, bg, n, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT lang, bg, count(*) AS n,
