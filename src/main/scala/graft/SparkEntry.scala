@@ -150,6 +150,7 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "d6_dup_components" -> ((s, d) => Dedup.dupComponents(s, d)),
     "d7_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    "d8_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
@@ -267,6 +268,7 @@ object SparkEntry {
     "d5_embedding_neardup" -> Dedup.embeddingNearDupSql(),
     "d6_dup_components" -> Dedup.dupComponentsSql(),
     "d7_contamination" -> Dedup.contaminationSql(),
+    "d8_canonical_docs" -> Dedup.canonicalDocsSql(),
     "t1_lang_profile" -> TextOps.langProfileSql,
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,

@@ -246,6 +246,49 @@ object Dedup {
        |SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** d8: canonical-document selection — the dedup pipeline's final
+    * step: each near-dup cluster keeps exactly one survivor, chosen by
+    * the keep-the-longest policy (max n_chars, tie on min doc_id —
+    * all integers, so the argmax is engine-exact). Composes d6's
+    * components with a per-cluster window argmax. */
+  def canonicalDocs(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    val comps = dupComponents(spark, d, threshold)
+    val meta = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comps.join(meta, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("n_chars"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def canonicalDocsSql(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+       |    FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+       |    JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+       |      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $threshold),
+       |bidir AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+       |reach(id, root) AS (
+       |  SELECT id_a, id_a FROM bidir
+       |  UNION
+       |  SELECT b.id_b, r.root FROM reach r JOIN bidir b ON b.id_a = r.id),
+       |comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, doc_id AS canonical_id, n_chars, cluster_size FROM (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** d5: embedding-cosine near-dup pairs within label blocks — ids
     * only in the output so float rounding can't break the oracle. */
   def embeddingNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
