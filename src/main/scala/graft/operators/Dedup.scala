@@ -169,8 +169,18 @@ object Dedup {
     * iterations, each one a join + groupBy-min on the (small) edge
     * set — the standard Spark CC shape, no driver-side graph.
     */
+  // the resolved component map is d6's output AND d8's input — one
+  // pipeline materializes it once (result is already checkpointed)
+  private val compCache = new graft.SessionCache[(String, Double, Int), DataFrame](16)
+
   def dupComponents(spark: SparkSession, d: String, threshold: Double = 0.3,
-                    maxIters: Int = 20): DataFrame = {
+                    maxIters: Int = 20): DataFrame =
+    compCache.getOrElseUpdate(spark, (d, threshold, maxIters)) {
+      dupComponentsUncached(spark, d, threshold, maxIters)
+    }
+
+  private def dupComponentsUncached(spark: SparkSession, d: String, threshold: Double,
+                                    maxIters: Int): DataFrame = {
     // materialize the pair generation once — the union below consumes
     // it twice (forward + reversed), and every iteration reads it.
     // Memoized per (dataset, threshold): the pair graph is d4's output
