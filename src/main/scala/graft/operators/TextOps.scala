@@ -105,17 +105,44 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
 
   /** t5: greedy sequence packing — assign documents (in doc_id order)
-    * to fixed-token-budget packs, the training-batch construction
-    * step. Cumulative token count over a global order then bucket by
-    * budget. At scale the ordering column would be a partition-local
-    * (file, row) key so the cumsum window never needs one global
-    * partition — here doc_id is already that key. */
+    * to fixed-token-budget packs, the training-batch construction step.
+    *
+    * The corpus-wide cumulative token count is computed WITHOUT a
+    * global window (which would funnel 100 TB through one reducer).
+    * Two passes over an order-preserving block key (doc_id ranges,
+    * ~8 blocks per shuffle partition):
+    *   1. per-block token subtotals — one narrow shuffle whose key
+    *      cardinality is O(cluster), not O(data) — are collected
+    *      (bounded model state, like k-means centroids) and
+    *      prefix-scanned on the driver;
+    *   2. the per-doc cumsum is a window PARTITIONED by block (fully
+    *      parallel) plus the broadcast block prefix offset.
+    * Only (doc_id, n_tokens, blk) ride the shuffles, never the text.
+    * At 100 TB the ordering key would be a (file, row) composite with
+    * the same block trick. */
   def sequencePack(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val w = Window.orderBy(col("doc_id"))
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    val maxRow = toks.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
+    val blockSize = math.max(1L, (maxId + targetBlocks) / targetBlocks) // ceil((maxId+1)/targetBlocks)
+    val blocked = toks.withColumn("blk", floor(col("doc_id") / blockSize).cast("long"))
+    // Per-block subtotals: at most targetBlocks rows — prefix-scan on the driver.
+    val totals = blocked.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
+      .orderBy(col("blk")).collect()
+    var acc = 0L
+    val prefix = totals.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import spark.implicits._
+    val offsets = prefix.toDF("blk", "blk_before")
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
-      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    blocked
+      .withColumn("local_before", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("blk"))
+      .withColumn("tok_before", col("blk_before") + col("local_before"))
       .withColumn("pack_id", (col("tok_before") / budget).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("pack_id"))
       .orderBy(col("doc_id"))

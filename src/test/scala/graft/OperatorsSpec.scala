@@ -470,7 +470,14 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("sequence packing: packs respect order and budget arithmetic") {
-    val r = TextOps.sequencePack(spark, sf, budget = 512).collect()
+    val df = TextOps.sequencePack(spark, sf, budget = 512)
+    // scale posture: the cumsum must never run through a single reducer —
+    // every Window in the plan must carry partition keys
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"global (unpartitioned) window in t5 plan:\n$unpartitioned")
+    val r = df.collect()
     var cum = 0L
     r.foreach { row =>
       assert(row.getAs[Long]("pack_id") == cum / 512)
