@@ -151,6 +151,7 @@ object SparkEntry {
     "d6_dup_components" -> ((s, d) => Dedup.dupComponents(s, d)),
     "d7_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "d8_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
+    "d9_srp_banded_neardup" -> ((s, d) => SrpBanded.srpBandedNearDup(s, d)),
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
@@ -269,6 +270,7 @@ object SparkEntry {
     "d6_dup_components" -> Dedup.dupComponentsSql(),
     "d7_contamination" -> Dedup.contaminationSql(),
     "d8_canonical_docs" -> Dedup.canonicalDocsSql(),
+    "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
     "t1_lang_profile" -> TextOps.langProfileSql,
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,

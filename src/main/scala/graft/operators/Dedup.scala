@@ -13,9 +13,11 @@ import graft.functions.{text, vectors}
   * - exact: one hash shuffle on a 16-byte key;
   * - MinHash/LSH: only docs sharing a band bucket ever meet;
   * - SimHash: only docs sharing a 16-bit simhash band ever meet;
-  * - blocked Jaccard / embedding near-dup: quadratic only inside
-  *   small explicit blocks (at scale the block key would come from
-  *   LSH, same plan shape).
+  * - exact Jaccard: prefix-filtered candidates (provably full recall)
+  *   meet only in rare-token buckets, never all-pairs;
+  * - embedding near-dup: low-τ exact form runs as a load-balanced
+  *   block-matrix join; the high-τ near-dup regime is SRP-banded
+  *   ([[SrpBanded]]).
   */
 object Dedup {
 
@@ -115,27 +117,63 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** d4: exact token-set Jaccard within (lang, source) blocks.
-    * Set-similarity-join optimizations (public PPJoin-family ideas):
-    * token arrays are sorted once per doc so each pair is a merge
-    * walk ([[graft.functions.SortedIntersectCount]] — no per-pair
-    * hash set), and a size-bound prefilter drops pairs whose length
-    * ratio already caps Jaccard below the threshold (an upper bound:
-    * min/max ≥ j is necessary, so no qualifying pair is lost). */
-  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
-    // Tokens are hashed to int64 BEFORE the pairwise stage: the
-    // per-pair merge walk then compares 8-byte primitives instead of
-    // UTF8 strings (distinct/intersection counts are preserved up to
-    // a ~2^-64 collision). The sort is paid once per doc, the walk
-    // once per surviving pair.
-    val docs = Tables.documents(spark, d)
+  // Per-doc distinct int64-hashed token sets, value-sorted so each
+  // verified pair is a merge walk ([[graft.functions.SortedIntersectCount]]).
+  private def hashedTokenSets(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_sort(array_distinct(expr(
           "transform(split(text, ' '), t -> xxhash64(t))"))).as("toks"))
-    val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
-    val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("lang", "source"))
+
+  /** d4 candidate generation: PPJoin/AllPairs-style prefix filtering
+    * (Bayardo et al. WWW'07; Xiao et al. WWW'08 — public algorithms).
+    * Tokens get a global total order by (document frequency asc, hash)
+    * — rarest first; a doc of n distinct tokens exposes only its first
+    * p = n − ⌈τ·n⌉ + 1 tokens in that order. Any pair with Jaccard ≥ τ
+    * shares its globally-smallest common token inside BOTH prefixes
+    * (if that token sat in a's suffix, all common tokens would — but
+    * the suffix holds ⌈τ·n⌉ − 1 < overlap tokens), so an equi-join on
+    * (lang, source, prefix-token) recalls every qualifying pair
+    * EXACTLY, at any scale. Candidates only ever meet inside a
+    * prefix-token bucket whose size is that token's prefix document
+    * frequency — rare-first ordering keeps those buckets small; no
+    * all-pairs block join anywhere. The ⌈τ·n⌉ is computed as
+    * ceil(τ·n − 1e-9) so a float excess of τ·n can only lengthen the
+    * prefix (safe direction), never shorten it. */
+  private[graft] def jaccardCandidates(spark: SparkSession, d: String,
+                                       threshold: Double = 0.3): DataFrame = {
+    val docs = hashedTokenSets(spark, d)
+    // only (doc_id, lang, source, n, token-hash) rides the shuffles —
+    // never the text or the full token array
+    val tok = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(col("toks")).as("n"), explode(col("toks")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val pref = tok.join(dfreq, "t")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("lang"), col("source"), col("t"), col("doc_id"))
+    val a = pref.select(col("lang"), col("source"), col("t"), col("doc_id").as("id_a"))
+    val b = pref.select(col("lang"), col("source"), col("t"), col("doc_id").as("id_b"))
+    a.join(b, Seq("lang", "source", "t"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** d4: exact token-set Jaccard within (lang, source) blocks —
+    * prefix-filtered candidates ([[jaccardCandidates]], exact recall)
+    * then per-pair verification: a size-ratio prefilter (min/max ≥ τ
+    * is necessary for J ≥ τ) and a sorted merge-walk intersection
+    * over int64-hashed tokens (8-byte primitive compares; counts
+    * preserved up to a ~2^-64 collision). Output is identical to the
+    * all-pairs-within-block form the oracle runs, but no stage is
+    * quadratic in a block's size. */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    val docs = hashedTokenSets(spark, d)
+    jaccardCandidates(spark, d, threshold)
+      .join(docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
         col("toks_a"), col("toks_b"),
         size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
@@ -300,15 +338,52 @@ object Dedup {
        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** d5: embedding-cosine near-dup pairs within label blocks — ids
-    * only in the output so float rounding can't break the oracle. */
-  def embeddingNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
-    val emb = Tables.embeddings(spark, d).select(col("label"), col("vec_id"), col("embedding"))
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(vectors.cosine_sim(col("emb_a"), col("emb_b")) >= tau)
-      .select(col("label"), col("id_a"), col("id_b"))
+    * only in the output so float rounding can't break the oracle.
+    *
+    * At τ = 0.35 the angular radius is acos(0.35) ≈ 69.5°: wider than
+    * the data's own spread (background same-label pairs concentrate at
+    * cos ≈ 0, qualifying pairs run continuously through the threshold
+    * down to 0.335), so NO sub-quadratic candidate generator can be
+    * exact — SRP-LSH at this τ needs hundreds of bands before recall
+    * ≈ 1 and then shuffles more than all-pairs, and any metric-tree /
+    * multi-probe bound degenerates when the query radius exceeds the
+    * data diameter. The exact low-τ form is therefore executed as a
+    * load-balanced BLOCK-MATRIX join (the v16 shape): each label's
+    * vectors are hashed into ⌈n/chunkSize⌉ chunks and each unordered
+    * chunk pair meets in exactly one task, so the irreducible O(n²)
+    * comparison work spreads evenly across the cluster in bounded-
+    * memory C² tiles instead of one per-label SortMergeJoin task
+    * materializing the whole block. Replication factor is the
+    * unavoidable n/C block-matrix communication, chosen by chunkSize.
+    * For the genuine near-dup regime (τ ≳ 0.7) use
+    * [[SrpBanded.srpBandedNearDup]], which is banded AND oracle-exact
+    * by construction. */
+  def embeddingNearDup(spark: SparkSession, d: String, tau: Double = 0.35,
+                       chunkSize: Int = 4096): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("label"), col("vec_id"), col("embedding"))
+    // per-label chunk counts: bounded model state (one row per label),
+    // broadcast back — same pattern as k-means centroids in IvfIndex
+    val nc = emb.groupBy(col("label")).agg(
+      ceil(count(lit(1)).cast("double") / chunkSize).cast("int").as("nc"))
+    val chunked = emb.join(broadcast(nc), "label")
+      .withColumn("ci", pmod(xxhash64(col("vec_id")), col("nc")).cast("int"))
+    // left side carries chunk ci to every partner pair (ci, cj ≥ ci);
+    // right side carries chunk cj to every (ci ≤ cj, cj): each
+    // unordered chunk pair materializes in exactly one join bucket
+    val left = chunked.select(col("label"), col("ci"),
+      explode(expr("sequence(ci, nc - 1)")).as("cj"),
+      col("vec_id").as("id_l"), col("embedding").as("emb_l"))
+    val right = chunked.select(col("label"), col("ci").as("cj"),
+      explode(expr("sequence(0, ci)")).as("ci"),
+      col("vec_id").as("id_r"), col("embedding").as("emb_r"))
+    left.join(right, Seq("label", "ci", "cj"))
+      // diagonal tiles see both orientations of a pair — keep one
+      .filter(col("ci") < col("cj") || col("id_l") < col("id_r"))
+      .filter(vectors.cosine_sim(col("emb_l"), col("emb_r")) >= tau)
+      .select(col("label"),
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 

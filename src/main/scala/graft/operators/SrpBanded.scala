@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.vectors
+
+/** d9: SRP-banded embedding near-dup — the scale path for the genuine
+  * near-dup regime (high cosine), where sign-random-projection LSH
+  * (Charikar, STOC'02 — public algorithm) prunes instead of degrading
+  * into all-pairs (see the τ analysis on [[Dedup.embeddingNearDup]]).
+  *
+  * Candidates only ever meet inside an (band, 8-bit-key) bucket —
+  * 64 hyperplane bits in 8 bands of 8 — then exact cosine verifies.
+  * Two properties make the whole pipeline ORACLE-CHECKABLE, not just
+  * rows-only:
+  *
+  *  - the hyperplanes are fixed ±1 Rademacher vectors from a pinned
+  *    seed, embedded verbatim in the generated DuckDB SQL;
+  *  - each projection is computed over integer-quantized components
+  *    (floor(x·10⁶) as int64), so the sign is a sum of integers —
+  *    exact in both engines regardless of accumulation order. A
+  *    float dot product near zero could flip its sign between
+  *    engines; an integer one cannot.
+  *
+  * The reported pair set is therefore a deterministic function of the
+  * data — identical in Spark and DuckDB by construction — while the
+  * recall/precision behavior (the LSH S-curve) is spec-tested on
+  * planted near-duplicates. */
+object SrpBanded {
+  val Dim = 64
+  val Bits = 64
+  val Bands = 8
+  val RowsPerBand: Int = Bits / Bands
+
+  // pinned seed → the same hyperplanes in every session and in the SQL
+  private[graft] val signs: Array[Array[Int]] = {
+    val rng = new scala.util.Random(20260812L)
+    Array.fill(Bits, Dim)(if (rng.nextBoolean()) 1 else -1)
+  }
+
+  /** Integer-quantized component array: exact in both engines. */
+  private def quantized(emb: Column): Column =
+    transform(emb.cast("array<double>"), x => floor(x * lit(1e6)).cast("long"))
+
+  def srpBandedNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
+    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    def dot(i: Int): Column = aggregate(
+      zip_with(col("q"), array(signs(i).map(s => lit(s.toLong)): _*), (x, s) => x * s),
+      lit(0L), (acc, x) => acc + x)
+    def bit(i: Int): Column = when(dot(i) >= 0, lit(1)).otherwise(lit(0))
+    def key(b: Int): Column =
+      (0 until RowsPerBand).map(k => bit(b * RowsPerBand + k) * lit(1 << k)).reduce(_ + _)
+    // only (vec_id, band, key) rides the candidate shuffle
+    val banded = qt.select(col("vec_id"),
+      posexplode(array((0 until Bands).map(key): _*)).as(Seq("band", "bk")))
+    val a = banded.select(col("band"), col("bk"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band"), col("bk"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .filter(vectors.cosine_sim(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB twin: the SAME hyperplanes interpolated as list literals;
+    * list_dot_product over int64-quantized lists stays exact (values
+    * ≪ 2^53, integer-valued doubles), so the band keys agree bit-for-
+    * bit with the Spark side. */
+  def srpBandedNearDupSql(tau: Double = 0.35): String = {
+    def keySql(b: Int): String =
+      (0 until RowsPerBand).map { k =>
+        val planes = signs(b * RowsPerBand + k).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << k}"
+      }.mkString(" + ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qt AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT c.id_a, c.id_b
+       |FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

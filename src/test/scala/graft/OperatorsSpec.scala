@@ -39,7 +39,8 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("every SparkEntry query runs and returns rows on sf0.001") {
-    val empties = Set("d5_embedding_neardup") // threshold query; may be empty at tiny sf
+    // threshold queries; may be empty at tiny sf
+    val empties = Set("d5_embedding_neardup", "d9_srp_banded_neardup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
@@ -126,6 +127,79 @@ class OperatorsSpec extends AnyFunSuite {
     // every edge's endpoints share a cluster, and the label is the min id reachable
     pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b) split") }
     comp.foreach { case (id, root) => assert(root <= id) }
+  }
+
+  test("d4 prefix filtering: exact recall and real pruning on a sparse one-block corpus") {
+    import spark.implicits._
+    // one coarse (lang, source) block — the shape where a block join is
+    // quadratic — with mostly-disjoint vocabularies and planted dups
+    val common = (0 until 5).map(k => s"common$k")
+    val docs = (0 until 120).map { id =>
+      val base = id - (id % 2) // docs (2i, 2i+1) form a planted pair
+      val shared = (0 until 20).map(k => s"pair${base}_$k")
+      val own = (0 until 10).map(k => s"own${id}_$k")
+      (id.toLong, "en", "web", (shared ++ own ++ common).mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("d4sparse").toString
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // exactness: prefix-filtered output == brute-force Jaccard over all pairs
+    val got = Dedup.ngramJaccard(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    def toks(i: Int) = docs(i)._4.split(" ").toSet
+    val want = (for {
+      a <- 0 until 120; b <- (a + 1) until 120
+      inter = (toks(a) & toks(b)).size
+      if inter.toDouble / (toks(a).size + toks(b).size - inter) >= 0.3
+    } yield (a.toLong, b.toLong)).toSet
+    assert(got == want, s"prefix-filtered d4 diverged: missing=${want -- got} extra=${got -- want}")
+    assert(want.size == 60) // the planted pairs
+    // pruning: candidates stay near the output size, nowhere near the
+    // 120*119/2 = 7140 all-pairs a coarse-block join would generate
+    val cand = Dedup.jaccardCandidates(spark, tmp).count()
+    assert(cand <= 200, s"prefix filter generated $cand candidates (all-pairs = 7140)")
+  }
+
+  test("d5 chunked block-matrix join equals the single-chunk result") {
+    val whole = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val tiled = Dedup.embeddingNearDup(spark, sf, chunkSize = 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(tiled == whole, s"chunked d5 diverged: ${tiled.diff(whole)} / ${whole.diff(tiled)}")
+  }
+
+  test("d9 SRP banding: finds every planted high-cosine near-dup, exactly as brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 100).map(i => (i.toLong, unit(), i % 10))
+    val planted = (0 until 20).map { i =>
+      val (_, v, l) = base(i)
+      val noisy = v.map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+      ((100 + i).toLong, noisy, l)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("d9srp").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SrpBanded.srpBandedNearDup(spark, tmp, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val all = base ++ planted
+    val brute = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if cos(all(i)._2, all(j)._2) >= 0.9
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))).toSet
+    // planted pairs sit at cos ≈ 0.998 where the 8x8 S-curve recall is ~1 - 2e-7
+    assert(brute.size >= 20)
+    assert(got == brute, s"SRP banding diverged: missing=${brute -- got} extra=${got -- brute}")
   }
 
   test("streaming knn: stream of queries scores against static corpus") {
