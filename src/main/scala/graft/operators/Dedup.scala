@@ -404,7 +404,7 @@ object Dedup {
     * sets are deduped before the join, so n_shared counts distinct
     * shared trigrams. */
   def contamination(spark: SparkSession, d: String, minShared: Int = 3,
-                    maxDf: Int = Int.MaxValue): DataFrame = {
+                    maxDf: Int = 1000): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -413,8 +413,9 @@ object Dedup {
         "i -> xxhash64(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))).as("ng"))
     // Document-frequency cap — the 100 TB guard: a stop-gram appearing
     // in df docs creates O(df²) join rows while carrying no
-    // contamination signal. Default keeps every gram (oracle parity on
-    // the synthetic corpus); a real run sets maxDf to, say, 1000.
+    // contamination signal. ON by default (the shipped plan is the
+    // 100 TB plan; the oracle applies the same cap); Int.MaxValue is
+    // the explicit opt-out.
     val grams =
       if (maxDf == Int.MaxValue) allGrams
       else {
@@ -439,12 +440,14 @@ object Dedup {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
-  def contaminationSql(minShared: Int = 3): String =
-    s"""WITH grams AS (
+  def contaminationSql(minShared: Int = 3, maxDf: Int = 1000): String =
+    s"""WITH grams0 AS (
        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ng
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |        WHERE len(string_split(text, ' ')) >= 3))
+       |        WHERE len(string_split(text, ' ')) >= 3)),
+       |rare AS (SELECT ng FROM grams0 GROUP BY ng HAVING count(*) <= $maxDf),
+       |grams AS (SELECT g.doc_id, g.ng FROM grams0 g JOIN rare USING (ng))
        |SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS n_shared
        |FROM grams e JOIN grams t ON e.ng = t.ng AND e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
        |GROUP BY 1, 2 HAVING count(*) >= $minShared

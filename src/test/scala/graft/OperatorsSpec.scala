@@ -160,6 +160,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cand <= 200, s"prefix filter generated $cand candidates (all-pairs = 7140)")
   }
 
+  test("d7 df cap: capped default equals opt-out here; tighter caps only shrink evidence") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id")) -> r.getAs[Long]("n_shared")).toMap
+    val capped = pairs(Dedup.contamination(spark, sf))              // maxDf = 1000, the shipped default
+    val uncapped = pairs(Dedup.contamination(spark, sf, maxDf = Int.MaxValue))
+    assert(capped == uncapped, "no trigram reaches df=1000 at this sf; capped default must agree")
+    val tight = pairs(Dedup.contamination(spark, sf, maxDf = 2))
+    tight.foreach { case (k, n) =>
+      assert(uncapped.contains(k), s"pair $k appeared only under the cap")
+      assert(n <= uncapped(k), s"pair $k gained shared grams under the cap")
+    }
+  }
+
   test("d5 chunked block-matrix join equals the single-chunk result") {
     val whole = Dedup.embeddingNearDup(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
