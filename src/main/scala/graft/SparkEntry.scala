@@ -101,16 +101,11 @@ object SparkEntry {
       SimilaritySearch.recordById(Tables.documents(s, d), "doc_id", 42L)),
     "v8_semantic_search" -> ((s, d) =>
       SimilaritySearch.semanticSearch(s, d, SearchText, 10)),
-    // Output scalar digests of each vector, not the raw array column:
-    // the driver's compare sorts/hashes rows and crashes on array cells.
-    "v9_embed_ingest" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), vectors.embed_text(col("text")).as("embedding"))
-        .select(col("doc_id"),
-          size(col("embedding")).as("dim"),
-          round(expr("sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + x * x))"), 6).as("norm"),
-          md5(concat_ws(",", expr("transform(embedding, x -> cast(round(x, 5) as string))"))).as("vec_md5"))
-        .orderBy(col("doc_id"))),
+    // Scalar integer digest of the embed path (no array column — the
+    // driver's compare crashes on array cells; no float column — the
+    // digest is the exact pre-normalization integer state, and the
+    // `consistent` flag pins the float embedding to it Spark-side).
+    "v9_embed_ingest" -> ((s, d) => graft.sources.Ingest.embedIngestDigest(s, d)),
     "v10_filtered_knn" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
       val emb = Tables.embeddings(s, d)
@@ -122,7 +117,7 @@ object SparkEntry {
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
     "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
-    // diversity rerank (rows-only: iterative greedy, not SQL-expressible)
+    // diversity rerank (oracle: the greedy loop unrolled into k CTE stages)
     "v17_mmr_rerank" -> ((s, d) => SimilaritySearch.mmrRerank(
       Tables.embeddings(s, d), "embedding", "vec_id",
       FakeEmbedder.embed(SearchText), 10, 100)),
@@ -293,8 +288,12 @@ object SparkEntry {
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
     "s3_stream_dedup" -> EventStream.dedupBatchSql,
-    // v5_ivf_build, v6_ivf_search, v9_embed_ingest, d2_minhash_lsh,
-    // d3_simhash: not SQL-expressible (k-means / custom hashes) →
+    "d3_simhash" -> Dedup.simhashPairsSql(),
+    "v9_embed_ingest" -> graft.sources.Ingest.embedIngestDigestSql,
+    "v17_mmr_rerank" -> SimilaritySearch.mmrRerankSql(queryVecSql),
+    // v5_ivf_build, v6_ivf_search, v12_pq_search, v14_ivf_similarity_
+    // join, v15_sq_search, d2_minhash_lsh: not SQL-expressible
+    // (k-means training / codebooks / JVM-internal hashes) →
     // rows-only check; invariants covered in ScalaTest specs.
   )
 }

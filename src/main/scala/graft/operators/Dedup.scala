@@ -97,14 +97,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** d3: SimHash near-dup pairs — 64-bit simhash, candidates share one
-    * of four 16-bit bands, verified by hamming distance ≤ maxHamming. */
+  /** d3: SimHash near-dup pairs — 60-bit simhash over distinct
+    * whitespace tokens, candidates share one of four 15-bit bands,
+    * verified by hamming distance ≤ maxHamming.
+    *
+    * The per-token hash is the top 60 bits of md5 (15 hex chars → a
+    * non-negative int64), an ENGINE-NEUTRAL function: every stage —
+    * token hash, per-bit majority vote, banding, xor/bit_count verify
+    * — computes identically in Spark and DuckDB, so the whole LSH
+    * pipeline is oracle-hash-checked rather than rows-only. (The
+    * native [[graft.functions.SimHash64]] expression remains for
+    * hot-path use where a cross-engine oracle isn't needed; md5 costs
+    * ~2× fnv but is still one digest per token.) Majority votes and
+    * band keys are integer arithmetic — no float boundary anywhere. */
   def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), text.simhash64(col("text")).as("sh"))
-    val banded = docs.select(col("doc_id"), col("sh"),
+    val bits = 60
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .select(col("doc_id"), expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+    // one wide aggregate: 60 per-bit majority counters per doc
+    val bitSums = (0 until bits).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = sums.select(col("doc_id"),
+      (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> cast(shiftright(sh, b * 16) & 65535 as bigint))"))
+        "transform(sequence(0, 3), b -> cast(shiftright(sh, b * 15) & 32767 as bigint))"))
         .as(Seq("band", "band_bits")))
     val a = banded.select(col("band"), col("band_bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("band_bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -115,6 +135,32 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB twin of [[simhashPairs]] — same md5-60-bit token hash,
+    * majority vote, 4×15 banding, and xor/bit_count verify. */
+  def simhashPairsSql(maxHamming: Int = 8): String = {
+    val bits = 60
+    val sumCols = (0 until bits).map(b =>
+      s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val shExpr = (0 until bits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents)),
+       |sums AS (SELECT doc_id, $sumCols FROM tok GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $shExpr AS sh FROM sums),
+       |bands AS (
+       |  SELECT doc_id, sh, g.band, (sh >> (g.band * 15)) & 32767 AS bb
+       |  FROM sh, (SELECT unnest(range(0, 4)) AS band) g),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // Per-doc distinct int64-hashed token sets, value-sorted so each

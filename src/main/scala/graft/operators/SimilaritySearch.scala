@@ -173,7 +173,9 @@ object SimilaritySearch {
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         vectors.cosine_sim(col(vecCol), typedLit(query)).as("qs"))
-      .filter(col("qs").isNotNull)
+      // a NaN score (NaN component in a stored vector) would poison
+      // every comparison in the greedy loop — drop it like nulls
+      .filter(col("qs").isNotNull && !isnan(col("qs")))
       .orderBy(col("qs").desc_nulls_last, col("id").asc)
       .limit(candK)
       .as[(Long, Array[Float], Double)]
@@ -215,5 +217,40 @@ object SimilaritySearch {
     }
     selected.toSeq.map { case (id, s, r) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r) }
       .toDF("id", "mmr_score", "rank")
+  }
+
+  /** DuckDB twin of [[mmrRerank]]: the greedy selection UNROLLED into
+    * k pick/update CTE stages (k is a small constant, so the unrolled
+    * SQL is the honest equivalent of the driver-side loop — no
+    * recursion quirks, same order of operations). `1 - λ` is written
+    * as an expression so DuckDB computes the identical IEEE double
+    * (e.g. 0.30000000000000004 for λ = 0.7) the Scala loop uses. */
+  def mmrRerankSql(queryVec: String, k: Int = 10, candK: Int = 100,
+                   lambda: Double = 0.7): String = {
+    val stages = (1 to k).map { n =>
+      s"""p$n AS (
+         |  SELECT id, v, $lambda * qs - (1 - $lambda) * maxsim AS ps
+         |  FROM s${n - 1} WHERE rank IS NULL ORDER BY ps DESC, id LIMIT 1),
+         |s$n AS (
+         |  SELECT s.id, s.v, s.qs,
+         |    CASE WHEN s.id = p.id THEN s.maxsim
+         |         ELSE greatest(s.maxsim, list_cosine_similarity(s.v, p.v)) END AS maxsim,
+         |    CASE WHEN s.id = p.id THEN $n ELSE s.rank END AS rank,
+         |    CASE WHEN s.id = p.id THEN p.ps ELSE s.sel_score END AS sel_score
+         |  FROM s${n - 1} s CROSS JOIN p$n p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($queryVec AS DOUBLE[])) AS qs
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |s0 AS (
+       |  SELECT id, v, qs, 0.0 AS maxsim,
+       |    CAST(NULL AS INTEGER) AS rank, CAST(NULL AS DOUBLE) AS sel_score
+       |  FROM c0 WHERE qs IS NOT NULL AND NOT isnan(qs)
+       |  ORDER BY qs DESC, id LIMIT $candK),
+       |$stages
+       |SELECT id, round(sel_score, 6) AS mmr_score, rank
+       |FROM s$k WHERE rank IS NOT NULL ORDER BY rank""".stripMargin
   }
 }

@@ -61,6 +61,100 @@ object Ingest {
     graft.Tables.invalidate(outDir)
   }
 
+  /** v9: oracle-checkable digest of the embed-ingest path.
+    *
+    * [[graft.functions.FakeEmbedder]] is char-trigram FNV-1a feature
+    * hashing (integer ±1 bucket votes) followed by L2 normalization —
+    * so the PRE-normalization state is pure integer arithmetic that a
+    * SQL engine can replicate exactly: per-doc bucket weights and
+    * their squared norm. This query emits
+    *   (doc_id, feature_md5, sq_norm, dim, consistent)
+    * where feature_md5 fingerprints the 64 integer weights,
+    * sq_norm = Σw², and `consistent` is the Spark-side check that the
+    * ACTUAL embedding column (the codegen'd `embed_text` expression)
+    * equals weights/√sq_norm componentwise. The oracle recomputes the
+    * integer side in DuckDB and emits `TRUE AS consistent` — if
+    * `embed_text` ever drifts from the portable formula, the Spark
+    * side flips to false and the hash compare fails loudly. No float
+    * ever reaches the compared columns. (ASCII corpus assumption:
+    * `ascii(substr(..))` — codepoint — equals JVM `charAt` only below
+    * U+10000; the documents corpus is ASCII.) */
+  def embedIngestDigest(spark: SparkSession, d: String): DataFrame = {
+    val fnv = {
+      def step(h: String, c: String) = s"((($h) ^ ($c)) * 16777619) % 4294967296"
+      step(step(step("2166136261", "a"), "b"), "c")
+    }
+    // FakeEmbedder brackets the lowercased text with STX/ETX
+    // sentinels (U+0002/U+0003 — hidden as raw control chars in its
+    // seemingly-empty source literals; visible in the bytecode), so
+    // boundary trigrams vote too. Whitespace-normalize first, exactly
+    // like embedDocuments does before embedding.
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"),
+        concat(lit("\u0002"),
+          lower(regexp_replace(col("text"), "\\s+", " ")), lit("\u0003")).as("s"))
+    val tri = docs.filter(length(col("s")) >= 3)
+      .select(col("doc_id"), col("s"),
+        explode(expr("sequence(1, length(s) - 2)")).as("i"))
+      .select(col("doc_id"),
+        expr("ascii(substr(s, i, 1))").as("a"),
+        expr("ascii(substr(s, i + 1, 1))").as("b"),
+        expr("ascii(substr(s, i + 2, 1))").as("c"))
+      .select(col("doc_id"), expr(fnv).as("h3"))
+    val wb = tri
+      .select(col("doc_id"), expr("(h3 & 2147483647) % 64").as("bucket"),
+        expr("case when (shiftright(h3, 31) & 1) = 0 then 1 else -1 end").as("sgn"))
+      .groupBy(col("doc_id"), col("bucket")).agg(sum(col("sgn")).as("w"))
+    // dense 64-bucket grid so absent buckets digest as explicit zeros
+    val grid = docs.select(col("doc_id"), explode(expr("sequence(0, 63)")).as("bucket"))
+    val wfull = grid.join(wb, Seq("doc_id", "bucket"), "left").na.fill(0L, Seq("w"))
+    val dig = wfull.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(struct(col("bucket"), col("w")))).as("bw"),
+      sum(col("w") * col("w")).as("sq_norm"))
+    val emb = embedDocuments(
+      graft.Tables.documents(spark, d).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("embedding"))
+    dig.join(emb, Seq("doc_id"))
+      .select(col("doc_id"),
+        md5(concat_ws(",", expr("transform(bw, x -> cast(x.w as string))"))).as("feature_md5"),
+        col("sq_norm"),
+        size(col("embedding")).as("dim"),
+        when(col("sq_norm") === 0,
+          expr("forall(embedding, x -> x = cast(0 as float))"))
+          .otherwise(expr(
+            "forall(zip_with(embedding, transform(bw, x -> x.w), " +
+              "(e, w) -> abs(e - w / sqrt(cast(sq_norm as double))) < 1e-5), p -> p)"))
+          .as("consistent"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[embedIngestDigest]]'s integer side. */
+  def embedIngestDigestSql: String = {
+    def step(h: String, c: String) = s"(xor(($h), ($c)) * 16777619) % 4294967296"
+    val fnv = step(step(step("2166136261", "a"), "b"), "c")
+    s"""WITH t AS (SELECT doc_id, chr(2) || lower(regexp_replace(text, '\\s+', ' ', 'g')) || chr(3) AS s FROM documents
+       |           WHERE text IS NOT NULL AND len(text) > 0 AND doc_id IS NOT NULL),
+       |pos AS (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i FROM t WHERE len(s) >= 3),
+       |tri AS (SELECT doc_id,
+       |          ascii(substr(s, i, 1)) AS a, ascii(substr(s, i + 1, 1)) AS b,
+       |          ascii(substr(s, i + 2, 1)) AS c
+       |        FROM pos),
+       |h AS (SELECT doc_id, $fnv AS h3 FROM tri),
+       |wb AS (SELECT doc_id, (h3 & 2147483647) % 64 AS bucket,
+       |         CAST(SUM(CASE WHEN ((h3 >> 31) & 1) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+       |       FROM h GROUP BY 1, 2),
+       |grid AS (SELECT t.doc_id, g.bucket
+       |         FROM t, (SELECT unnest(range(0, 64)) AS bucket) g),
+       |wfull AS (SELECT grid.doc_id, grid.bucket, COALESCE(wb.w, 0) AS w
+       |          FROM grid LEFT JOIN wb ON grid.doc_id = wb.doc_id AND grid.bucket = wb.bucket),
+       |dig AS (SELECT doc_id,
+       |          md5(string_agg(CAST(w AS VARCHAR), ',' ORDER BY bucket)) AS feature_md5,
+       |          CAST(SUM(w * w) AS BIGINT) AS sq_norm
+       |        FROM wfull GROUP BY doc_id)
+       |SELECT doc_id, feature_md5, sq_norm, 64 AS dim, TRUE AS consistent
+       |FROM dig ORDER BY doc_id""".stripMargin
+  }
+
   /** ORC interchange — the other columnar format warehouses hand
     * around. Same pushdown/pruning machinery as parquet (verified in
     * spec via PushedFilters); raw text still enters via CSV/JSONL. */
