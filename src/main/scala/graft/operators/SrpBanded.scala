@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import graft.Tables
 import graft.functions.vectors
 
@@ -43,20 +47,42 @@ object SrpBanded {
   private def quantized(emb: Column): Column =
     transform(emb.cast("array<double>"), x => floor(x * lit(1e6)).cast("long"))
 
+  /** Codegen-callable kernel: 64 integer hyperplane dots → 8 band
+    * keys in one tight primitive loop (the per-bit HOF-lambda form
+    * costs ~Dim·Bits interpreted closure calls per row). Same math
+    * as [[srpBandedNearDupSql]]'s generated SQL, verified by the
+    * oracle compare. */
+  def bandKeysJ(q: ArrayData): ArrayData = {
+    val n = math.min(Dim, q.numElements())
+    val keys = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var key = 0L
+      var k = 0
+      while (k < RowsPerBand) {
+        val row = signs(b * RowsPerBand + k)
+        var dot = 0L
+        var j = 0
+        while (j < n) { dot += q.getLong(j) * row(j); j += 1 }
+        if (dot >= 0) key |= (1L << k)
+        k += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
   def srpBandedNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
     val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
-    def dot(i: Int): Column = aggregate(
-      zip_with(col("q"), array(signs(i).map(s => lit(s.toLong)): _*), (x, s) => x * s),
-      lit(0L), (acc, x) => acc + x)
-    def bit(i: Int): Column = when(dot(i) >= 0, lit(1)).otherwise(lit(0))
-    def key(b: Int): Column =
-      (0 until RowsPerBand).map(k => bit(b * RowsPerBand + k) * lit(1 << k)).reduce(_ + _)
     // only (vec_id, band, key) rides the candidate shuffle
+    val keysCol = graft.functions.GraftBridge.column(
+      SrpBandKeysExpr(graft.functions.GraftBridge.expression(col("q"))))
     val banded = qt.select(col("vec_id"),
-      posexplode(array((0 until Bands).map(key): _*)).as(Seq("band", "bk")))
+      posexplode(keysCol).as(Seq("band", "bk")))
     val a = banded.select(col("band"), col("bk"), col("vec_id").as("id_a"))
     val b = banded.select(col("band"), col("bk"), col("vec_id").as("id_b"))
     val cand = a.join(b, Seq("band", "bk"))
