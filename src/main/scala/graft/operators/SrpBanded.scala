@@ -31,6 +31,20 @@ import graft.functions.vectors
   * data — identical in Spark and DuckDB by construction — while the
   * recall/precision behavior (the LSH S-curve) is spec-tested on
   * planted near-duplicates. */
+/** `srp_band_keys(q)` → array<long> of [[SrpBanded.Bands]] band keys
+  * from one codegen'd pass over the quantized components (see
+  * [[SrpBanded.bandKeysJ]]). */
+case class SrpBandKeysExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_band_keys"
+  override def nullSafeEval(v: Any): Any =
+    SrpBanded.bandKeysJ(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, q => s"graft.operators.SrpBanded.bandKeysJ($q)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SrpBanded {
   val Dim = 64
   val Bits = 64
@@ -79,8 +93,8 @@ object SrpBanded {
       .select(col("vec_id"), col("embedding"))
     val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
     // only (vec_id, band, key) rides the candidate shuffle
-    val keysCol = graft.functions.GraftBridge.column(
-      SrpBandKeysExpr(graft.functions.GraftBridge.expression(col("q"))))
+    val keysCol = org.apache.spark.sql.GraftBridge.column(
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("q"))))
     val banded = qt.select(col("vec_id"),
       posexplode(keysCol).as(Seq("band", "bk")))
     val a = banded.select(col("band"), col("bk"), col("vec_id").as("id_a"))
