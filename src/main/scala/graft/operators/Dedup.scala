@@ -26,7 +26,8 @@ object Dedup {
   // it, so an entry from a stopped session is a dead handle. Session
   // hygiene + growth bound live in SessionCache (checkpointed pair
   // graphs pin executor storage until GC'd — keep the bound small).
-  private val pairsCache = new graft.SessionCache[(String, Double), DataFrame](16)
+  private val pairsCache = new graft.SessionCache[(String, Double), DataFrame](
+    16, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
 
   /** d1: exact dedup by content hash. Emits every doc with its
     * canonical keeper (min doc_id of the identical-text group). */
@@ -255,7 +256,8 @@ object Dedup {
     */
   // the resolved component map is d6's output AND d8's input — one
   // pipeline materializes it once (result is already checkpointed)
-  private val compCache = new graft.SessionCache[(String, Double, Int), DataFrame](16)
+  private val compCache = new graft.SessionCache[(String, Double, Int), DataFrame](
+    16, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
 
   def dupComponents(spark: SparkSession, d: String, threshold: Double = 0.3,
                     maxIters: Int = 20): DataFrame =

@@ -173,15 +173,19 @@ object Multimodal {
         f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
     }
 
-  /** DuckDB twin of the fake decoder: the corpus is pure ASCII, so the
-    * utf-8 byte histogram equals the per-char codepoint histogram. */
+  /** DuckDB twin of the fake decoder, computed over BYTES (hex-pair
+    * decode of the utf-8 blob), not codepoints — `unicode(ch) % 8`
+    * would equal `byte & 7` only for pure-ASCII text, and that latent
+    * assumption would silently break oracle parity on the first
+    * non-ASCII doc. `byte & 7` = low-3-bits of the low hex nibble. */
   def decodeBatchSql: String = {
     val cs = (0 until 8).map(i =>
       s"CAST(len(list_filter(codes, x -> x = $i)) AS INTEGER) AS c$i").mkString(",\n      |  ")
-    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+    s"""SELECT doc_id, CAST(len(codes) AS INTEGER) AS n_bytes,
       |  $cs
-      |FROM (SELECT doc_id, text,
-      |        list_transform(string_split_regex(text, ''), ch -> unicode(ch) % 8) AS codes
+      |FROM (SELECT doc_id,
+      |        list_transform(regexp_extract_all(hex(encode(text)), '..'),
+      |          p -> (strpos('0123456789ABCDEF', p[2]) - 1) % 8) AS codes
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
   }

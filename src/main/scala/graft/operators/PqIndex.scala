@@ -122,7 +122,8 @@ object PqIndex {
   // Encode ONCE, query many: without this every search re-quantizes
   // the whole corpus (m·k·dsub float ops per row per query), defeating
   // the compressed-scan point. The persisted equivalent is IvfPqStore.
-  private val codesCache = new graft.SessionCache[(String, Int, Int), DataFrame](8)
+  private val codesCache = new graft.SessionCache[(String, Int, Int), DataFrame](
+    8, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
 
   def searchSummary(spark: SparkSession, d: String, queryText: String,
                     topK: Int = 10): DataFrame = {

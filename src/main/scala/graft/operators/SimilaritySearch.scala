@@ -192,7 +192,8 @@ object SimilaritySearch {
     val maxSim = Array.fill(n)(0.0)
     val taken = Array.fill(n)(false)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
-    while (selected.length < k && selected.length < n) {
+    var exhausted = false
+    while (!exhausted && selected.length < k && selected.length < n) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
@@ -207,12 +208,18 @@ object SimilaritySearch {
         }
         i += 1
       }
-      taken(best) = true
-      selected += ((cands(best)._1, bestScore, selected.length + 1))
-      var j = 0
-      while (j < n) {
-        if (!taken(j)) maxSim(j) = math.max(maxSim(j), cos(cands(j)._2, cands(best)._2))
-        j += 1
+      // best stays -1 iff every remaining score is NaN: the qs filter
+      // can't catch NaN components past the query's length, and those
+      // reach the greedy scores through maxSim. Nothing rankable left.
+      if (best < 0) exhausted = true
+      else {
+        taken(best) = true
+        selected += ((cands(best)._1, bestScore, selected.length + 1))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) maxSim(j) = math.max(maxSim(j), cos(cands(j)._2, cands(best)._2))
+          j += 1
+        }
       }
     }
     selected.toSeq.map { case (id, s, r) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r) }

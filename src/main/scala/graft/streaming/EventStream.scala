@@ -159,7 +159,16 @@ object EventStream {
     * against replayed/duplicated events (at 100 TB/day the state
     * store only ever holds one horizon's worth of keys). Plain
     * `dropDuplicates("event_id")` would never evict state, because the
-    * event-time column is not part of the key subset. */
+    * event-time column is not part of the key subset.
+    *
+    * Keeper semantics: the FIRST-arriving row per event_id survives —
+    * exact-duplicate replays (the streaming-ingest case this guards)
+    * are keeper-independent; duplicates with DIVERGENT payloads would
+    * make the survivor arrival-order-dependent (the batch twin below
+    * pins min(event_type) instead; the spec asserts the corpus has no
+    * divergent duplicates so the two stay comparable). A chained
+    * min-normalization before the dedup is not expressible here:
+    * complete-mode queries reject a second stateful operator. */
   def dedupStream(spark: SparkSession, d: String): DataFrame = {
     val schema = Tables.eventsRaw(spark, d).schema
     Tables.eventsNormalize(

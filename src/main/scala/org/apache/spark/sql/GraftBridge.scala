@@ -21,4 +21,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the block storage behind a `localCheckpoint(true)`-backed
+    * DataFrame: its analyzed plan is a `LogicalRDD` over the persisted
+    * checkpoint RDD, and `Dataset.unpersist` only clears CacheManager
+    * entries — the RDD blocks themselves need `rdd.unpersist`. Used as
+    * the eviction hook of graft.SessionCache so evicted pair graphs /
+    * component maps free executor storage instead of pinning it until
+    * RDD GC. No-op for plans without LogicalRDD nodes. */
+  def unpersistPlanRdds(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

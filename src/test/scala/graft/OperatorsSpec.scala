@@ -832,6 +832,18 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("s3 streaming dedup agrees with its batch twin") {
+    // The stream keeps the FIRST-arriving row per event_id; the batch
+    // twin keeps min(event_type). Those agree only while no event_id
+    // carries divergent event_types — assert that corpus property here
+    // so replayed data with divergent payloads fails THIS assert
+    // loudly instead of making the stream-vs-batch compare flake.
+    val divergent = Tables.events(spark, sf)
+      .groupBy(col("event_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") > 1).count()
+    assert(divergent == 0,
+      "corpus has duplicate event_ids with divergent event_types; " +
+        "stream first-keeper vs batch min-keeper would be nondeterministic")
     val batch = EventStream.dedupBatch(spark, sf).collect().map(_.toSeq).toSet
     val stream = EventStream.runDedupOnce(spark, sf, "graft_s3_spec")
       .orderBy(col("event_type")).collect().map(_.toSeq).toSet
