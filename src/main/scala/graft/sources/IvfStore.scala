@@ -56,6 +56,56 @@ object IvfStore {
       IvfIndex.Model(cs)
     })
 
+  /** Incremental maintenance: fold freshly-embedded rows into the
+    * persisted index WITHOUT a full rebuild — the reference's
+    * "UPDATE ... SET embedding = ..." (sql/04_embeddings.sql:5-7)
+    * feeding its ivfflat index (sql/05_vector_index.sql:3-6), where
+    * new rows become searchable without re-running CREATE INDEX.
+    *
+    * New/updated vectors are assigned to the EXISTING centroids, and
+    * only the touched list partitions are rewritten via dynamic
+    * partition overwrite: the lists that gain rows, plus the lists
+    * holding a stale copy of an updated id. Locating stale copies is
+    * an id-column-pruned scan of the store — the one unavoidable
+    * full-store read, and it reads one small column. Updates win over
+    * existing rows with the same id. Centroids drift from optimal as
+    * upserts accumulate — IVFFlat's standard trade; a periodic full
+    * [[write]] re-trains and re-balances.
+    *
+    * Returns the touched list ids (what a spec asserts rewrite
+    * minimality against). */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+             vecCol: String, idCol: String): Seq[Int] = {
+    val model = readCentroids(spark, dir)
+    val assigned = IvfIndex.assign(updates, vecCol, model)
+    val store = spark.read.parquet(s"$dir/lists")
+    val updIds = updates.select(col(idCol)).distinct()
+    val oldLists = store.join(broadcast(updIds), Seq(idCol))
+      .select(col("list_id")).distinct().collect().map(_.getInt(0))
+    val newLists = assigned
+      .select(col("list_id")).distinct().collect().map(_.getInt(0))
+    val touched = (oldLists ++ newLists).distinct.sorted.toSeq
+    if (touched.nonEmpty) {
+      // survivors: touched-partition rows minus stale copies of
+      // updated ids (an id that moved lists must not stay behind)
+      val survivors = store
+        .filter(col("list_id").isin(touched: _*))
+        .join(broadcast(updIds), Seq(idCol), "left_anti")
+      // break lineage from the files about to be overwritten — the
+      // write cannot read the path it replaces; touched-lists data is
+      // bounded (the whole point of the incremental path)
+      val merged = survivors.unionByName(assigned).localCheckpoint(true)
+      try merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id")
+        .parquet(s"$dir/lists")
+      finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      // cached list scans are stale now; centroids re-read (unchanged)
+      graft.Tables.invalidate(s"$dir/lists")
+    }
+    touched
+  }
+
   /** Probe the persisted index: rank centroids on the driver, scan
     * only the `nprobe` matching list partitions. */
   def search(spark: SparkSession, dir: String, vecCol: String, idCol: String,

@@ -85,6 +85,68 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
   }
 
+  test("IVF upsert: new vectors searchable, stale copy gone, only touched partitions rewritten") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
+    graft.sources.IvfStore.write(spark, emb, "embedding", model, dir)
+
+    // per-list file snapshot: rewrites produce fresh part filenames
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/lists").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => s"${f.getName}:${f.length()}").toSet)
+        .toMap
+    val before = partFiles()
+
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].first()
+    // move id 7 to a DIFFERENT list: give it the embedding of a vector
+    // whose current assignment differs from id 7's
+    val assigned = IvfIndex.assign(emb, "embedding", model)
+      .select(col("vec_id"), col("list_id"))
+    val l7 = assigned.filter(col("vec_id") === 7L).first().getInt(1)
+    val donor = assigned.filter(col("list_id") =!= l7)
+      .orderBy(col("vec_id")).first().getLong(0)
+    val vDonor = emb.filter(col("vec_id") === donor)
+      .select(col("embedding")).as[Array[Float]].first()
+
+    val updates = Seq((maxId + 1, v0, 0), (7L, vDonor, 0))
+      .toDF("vec_id", "embedding", "label")
+    val touched = graft.sources.IvfStore.upsert(spark, dir, updates, "embedding", "vec_id")
+
+    // the new id is searchable: query = its own embedding, nprobe 1
+    // reaches the list it was appended to
+    val hits = graft.sources.IvfStore
+      .search(spark, dir, "embedding", "vec_id", v0, 5, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(maxId + 1), s"upserted id ${maxId + 1} not found in $hits")
+
+    // the moved id lives in exactly one list — its NEW assignment
+    val after = spark.read.parquet(s"$dir/lists")
+    val rows7 = after.filter(col("vec_id") === 7L)
+      .select(col("list_id")).collect().map(_.getInt(0)).toSeq
+    val lDonor = assigned.filter(col("vec_id") === donor).first().getInt(1)
+    assert(rows7 == Seq(lDonor), s"moved id 7: lists $rows7, expected Seq($lDonor)")
+    assert(touched.contains(l7) && touched.contains(lDonor))
+
+    // rewrite minimality: untouched list partitions byte-identical
+    val afterFiles = partFiles()
+    before.foreach { case (part, files) =>
+      val id = part.stripPrefix("list_id=").toInt
+      if (touched.contains(id))
+        assert(afterFiles(part) != files, s"$part touched but files unchanged")
+      else
+        assert(afterFiles(part) == files, s"$part untouched but files rewritten")
+    }
+    // row accounting: one new row, no duplicates
+    assert(after.count() == emb.count() + 1)
+    assert(after.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0)
+  }
+
   test("filtered knn only returns rows passing the predicate") {
     val docs = Tables.documents(spark, sf)
     val en = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
