@@ -147,6 +147,12 @@ object SparkEntry {
     "d7_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "d8_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "d9_srp_banded_neardup" -> ((s, d) => SrpBanded.srpBandedNearDup(s, d)),
+    // reference-schema parity: customer_records_data mapped from the
+    // corpus, queried through the reference's two tool statements
+    "r1_ref_filtered_knn" -> ((s, d) =>
+      ReferenceParity.findSimilarLive(s, d, SearchText)),
+    "r2_ref_record_lookup" -> ((s, d) =>
+      ReferenceParity.recordById(s, d, "POL-00000042")),
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
@@ -266,6 +272,8 @@ object SparkEntry {
     "d7_contamination" -> Dedup.contaminationSql(),
     "d8_canonical_docs" -> Dedup.canonicalDocsSql(),
     "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
+    "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
+    "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
     "t1_lang_profile" -> TextOps.langProfileSql,
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,

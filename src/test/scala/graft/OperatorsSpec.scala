@@ -831,6 +831,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lp.join(nt, "doc_id").filter($"n_toks" =!= $"n").count() == 0)
   }
 
+  test("reference parity: embed path matches stored embeddings, lookup returns the mapped row") {
+    import spark.implicits._
+    // the ingest path runs end-to-end over reference-shaped rows:
+    // every record embeds to a well-formed unit-or-zero 64-dim vector
+    // (the stored embeddings the oracle scores against are the
+    // driver's own vectors — sql/04's UPDATE fills the column from a
+    // model we don't have; what the fixture proves is the schema +
+    // query mapping, and that OUR embed path accepts these rows)
+    val cr = ReferenceParity.customerRecords(spark, sf)
+    val reEmbedded = graft.sources.Ingest.embedDocuments(
+      cr.select(col("id"), col("abstract").as("text")), "id")
+    assert(reEmbedded.count() == cr.count())
+    val badDim = reEmbedded.filter(size(col("embedding")) =!= 64).count()
+    assert(badDim == 0)
+    val norms = reEmbedded.select(expr(
+      "aggregate(embedding, cast(0.0 as double), (s, x) -> s + x * x)").as("sq"))
+    assert(norms.filter(abs(col("sq") - 1.0) > 1e-3 && col("sq") =!= 0.0).count() == 0)
+    // get_record_by_id: exactly one row, reference columns populated
+    val r = ReferenceParity.recordById(spark, sf, "POL-00000042").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("type") == "POLICY")
+    assert(row.getAs[String]("number") == "CUST-42")
+    assert(row.getAs[Long]("withdrawn") == 0L)
+    // find_similar over live policies never returns withdrawn/article ids
+    val hits = ReferenceParity.findSimilarLive(spark, sf, "water damage", 10)
+      .select(col("id")).as[String].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { id =>
+      assert(id.startsWith("POL-"))
+      assert(id.stripPrefix("POL-").toLong % 5 != 0)
+    }
+  }
+
   test("s3 streaming dedup agrees with its batch twin") {
     // The stream keeps the FIRST-arriving row per event_id; the batch
     // twin keeps min(event_type). Those agree only while no event_id
