@@ -58,6 +58,7 @@ object SparkEntry {
     "q30_percent_rank" -> CoreQueries.q30PercentRank _,
     "q31_text_search" -> CoreQueries.q31TextSearch _,
     "q32_pagination" -> ((s, d) => CoreQueries.q32Pagination(s, d)),
+    "q33_global_decile" -> CoreQueries.q33GlobalDecile _,
     // skew-resilient two-phase aggregation, oracle = the plain GROUP BY
     // it must be indistinguishable from
     "q28_salted_agg" -> ((s, d) => {
@@ -212,6 +213,7 @@ object SparkEntry {
     "q30_percent_rank" -> CoreQueries.q30Sql,
     "q31_text_search" -> CoreQueries.q31Sql,
     "q32_pagination" -> CoreQueries.q32Sql(),
+    "q33_global_decile" -> CoreQueries.q33Sql,
     "q28_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -757,4 +757,87 @@ object CoreQueries {
        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
        |FROM orders ORDER BY o_orderkey
        |LIMIT $pageSize OFFSET ${page * pageSize}""".stripMargin
+
+  /** q33: GLOBAL deciles of order price with NO global sort — the
+    * variant q26's partitioned NTILE deliberately deferred. Exact (not
+    * approx_percentile), via distributed order statistics:
+    *
+    *   1. per-value counts — an ordinary shuffle on the value;
+    *   2. cumulative counts by the t5 two-pass trick: value-RANGE
+    *      blocks (monotone in the value), per-block subtotals
+    *      prefix-scanned on the driver, then a window PARTITIONED by
+    *      block — nothing ever funnels through one reducer;
+    *   3. the 9 boundary values (smallest value whose cumulative count
+    *      reaches ceil(i·N/10)) — 9 rows, collected;
+    *   4. bucketing is a map-only broadcast compare, final agg is 10
+    *      groups.
+    *
+    * Value-based deciles (ties land in one bucket, so bucket sizes are
+    * N/10 only up to tie mass) — the definition both engines compute
+    * deterministically; NTILE's rank-split of ties would depend on row
+    * order. */
+  def q33GlobalDecile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.orders(spark, d).select(col("o_totalprice").cast(dec).as("p"))
+    val cnt = v.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val stats = v.agg(count(lit(1)), min(col("p").cast("double")),
+      max(col("p").cast("double"))).head()
+    val n = stats.getLong(0)
+    if (n == 0) return spark.emptyDataFrame
+      .select(lit(1).as("decile"), lit(0L).as("n"), lit(0.0).as("min_price"),
+        lit(0.0).as("max_price"), lit(0.0).as("sum_price"))
+    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+    val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
+    val width = math.max((hi - lo) / targetBlocks, 1e-9)
+    val blkCol = least(floor((col("p").cast("double") - lit(lo)) / lit(width)),
+      lit(targetBlocks - 1)).cast("long")
+    val blocked = cnt.withColumn("blk", blkCol)
+    val totals = blocked.groupBy(col("blk")).agg(sum(col("c")).as("blk_c"))
+      .orderBy(col("blk")).collect()
+    var acc = 0L
+    val prefix = totals.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offsets = prefix.toDF("blk", "blk_before")
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = blocked
+      .withColumn("local_cc", sum(col("c")).over(wLocal))
+      .join(broadcast(offsets), Seq("blk"))
+      .withColumn("cc", col("blk_before") + col("local_cc"))
+    // thresholds t_i = ceil(i*N/10); row (p, cc) is boundary i iff
+    // t_i lands in (cc - c, cc] — each i matched by exactly one row
+    val thresholds = (1 to 9).map(i => (i, (i * n + 9) / 10)).toDF("i", "t")
+    val bounds = cum.join(broadcast(thresholds),
+        col("t") > col("cc") - col("c") && col("t") <= col("cc"))
+      .select(col("i"), col("p").cast("double").as("bp"))
+      .collect().map(r => r.getDouble(1)).sorted
+    val bArr = typedLit(bounds.toSeq)
+    v.select(col("p"),
+        (lit(1) + size(filter(bArr, b => col("p").cast("double") > b))).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("decile"))
+  }
+
+  def q33Sql: String =
+    """WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |nn AS (SELECT count(*) AS n FROM v),
+      |cum AS (SELECT p, c, sum(c) OVER (ORDER BY p) AS cc
+      |        FROM (SELECT p, count(*) AS c FROM v GROUP BY p)),
+      |b AS (SELECT i, min(CAST(p AS DOUBLE)) AS bp
+      |      FROM cum, (SELECT unnest(range(1, 10)) AS i) ii, nn
+      |      WHERE (i * nn.n + 9) // 10 > cc - c AND (i * nn.n + 9) // 10 <= cc
+      |      GROUP BY i)
+      |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n,
+      |  CAST(min(p) AS DOUBLE) AS min_price,
+      |  CAST(max(p) AS DOUBLE) AS max_price,
+      |  CAST(sum(p) AS DOUBLE) AS sum_price
+      |FROM (SELECT p,
+      |        1 + (SELECT count(*) FROM b WHERE CAST(v.p AS DOUBLE) > b.bp) AS decile
+      |      FROM v)
+      |GROUP BY decile ORDER BY decile""".stripMargin
 }

@@ -572,6 +572,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 global deciles: exact sizes, no unpartitioned window") {
+    val df = CoreQueries.q33GlobalDecile(spark, sf)
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"global (unpartitioned) window in q33 plan:\n$unpartitioned")
+    val r = df.collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n")).sum == total)
+    assert(r.map(_.getAs[Int]("decile")).toSeq == (1 to r.length))
+    // value-based deciles: bucket boundaries are monotone
+    val maxs = r.map(_.getAs[Double]("max_price"))
+    assert(maxs.zip(maxs.tail).forall { case (a, b) => a <= b })
+    // tie mass aside, each decile holds ~N/10 (orders prices are
+    // near-unique, so sizes stay within a loose band)
+    r.map(_.getAs[Long]("n")).foreach(nD =>
+      assert(math.abs(nD - total / 10.0) <= math.max(2, total * 0.02), s"decile size $nD vs N=$total"))
+  }
+
   test("batched decode emits one feature row per doc, deterministic") {
     val a = Multimodal.decodeBatched(spark, sf).collect()
     val b = Multimodal.decodeBatched(spark, sf, batchSize = 7).collect()
