@@ -233,6 +233,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream1 == batch)
   }
 
+  test("streaming IVF probe: equals batch store probe, scan partition-pruned") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    val store = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    graft.sources.IvfStore.write(spark, emb, "embedding", model, store)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfprobe_q").toString
+    val q1 = "fast vector search over spark tables"
+    val q2 = "slow filter batch"
+    Seq(s"""{"query_id": 1, "query_text": "$q1"}""",
+      s"""{"query_id": 2, "query_text": "$q2"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = graft.streaming.IvfProbeStream
+      .runOnce(spark, tmp, store, k = 5, nprobe = 3).collect()
+    assert(out.length == 10) // 2 queries x 5 neighbors
+    // per query: identical to the batch probe of the same store
+    Seq(1L -> q1, 2L -> q2).foreach { case (qid, qt) =>
+      val batch = graft.sources.IvfStore.search(spark, store, "embedding",
+        "vec_id", graft.functions.FakeEmbedder.embed(qt), 5, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val stream = out.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(stream == batch, s"query $qid: stream $stream != batch $batch")
+    }
+    // the per-batch scan pruned to the probed lists, not the store
+    val plan = graft.streaming.IvfProbeStream.lastProbePlan
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no partition pruning in streaming probe plan:\n$plan")
+  }
+
   test("stream-stream time-range join equals batch twin") {
     val batch = EventStream.clickPurchaseJoinBatch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
