@@ -111,7 +111,8 @@ object Dedup {
     * hot-path use where a cross-engine oracle isn't needed; md5 costs
     * ~2× fnv but is still one digest per token.) Majority votes and
     * band keys are integer arithmetic — no float boundary anywhere. */
-  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 8,
+                   maxBucket: Int = 256): DataFrame = {
     val bits = 60
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
@@ -123,24 +124,36 @@ object Dedup {
     val sh = sums.select(col("doc_id"),
       (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sh"))
+    // degenerate-bucket cap, same rationale (and default posture) as
+    // [[minhashLsh]]'s: template-alike corpora concentrate docs into a
+    // few band values (measured at sf0.1: one 1582-doc bucket = 1.25M
+    // of 2.9M candidate pairs) and a hot bucket is quadratic. True
+    // near-dups (hamming ≤ 8 of 60) collide in other bands with high
+    // probability; the cap is deterministic, so the oracle mirrors it.
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> cast(shiftright(sh, b * 15) & 32767 as bigint))"))
         .as(Seq("band", "band_bits")))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_bits"))))
+      .filter(col("bn") <= maxBucket)
     val a = banded.select(col("band"), col("band_bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("band_bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "band_bits"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the pair-dedup shuffle: the xor/bit_count check
+      // is per-row-cheap and cuts the dedup exchange from every
+      // candidate to just the passing pairs
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
 
   /** DuckDB twin of [[simhashPairs]] — same md5-60-bit token hash,
     * majority vote, 4×15 banding, and xor/bit_count verify. */
-  def simhashPairsSql(maxHamming: Int = 8): String = {
+  def simhashPairsSql(maxHamming: Int = 8, maxBucket: Int = 256): String = {
     val bits = 60
     val sumCols = (0 until bits).map(b =>
       s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
@@ -152,15 +165,18 @@ object Dedup {
        |sums AS (SELECT doc_id, $sumCols FROM tok GROUP BY doc_id),
        |sh AS (SELECT doc_id, $shExpr AS sh FROM sums),
        |bands AS (
-       |  SELECT doc_id, sh, g.band, (sh >> (g.band * 15)) & 32767 AS bb
-       |  FROM sh, (SELECT unnest(range(0, 4)) AS band) g),
+       |  SELECT * FROM (
+       |    SELECT doc_id, sh, g.band, (sh >> (g.band * 15)) & 32767 AS bb,
+       |      count(*) OVER (PARTITION BY g.band, (sh >> (g.band * 15)) & 32767) AS bn
+       |    FROM sh, (SELECT unnest(range(0, 4)) AS band) g)
+       |  WHERE bn <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming)
        |SELECT id_a, id_b, hamming FROM cand
-       |WHERE hamming <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 
