@@ -779,48 +779,60 @@ object CoreQueries {
   def q33GlobalDecile(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val v = Tables.orders(spark, d).select(col("o_totalprice").cast(dec).as("p"))
-    val cnt = v.groupBy(col("p")).agg(count(lit(1)).as("c"))
-    val stats = v.agg(count(lit(1)), min(col("p").cast("double")),
-      max(col("p").cast("double"))).head()
-    val n = stats.getLong(0)
-    if (n == 0) return spark.emptyDataFrame
-      .select(lit(1).as("decile"), lit(0L).as("n"), lit(0.0).as("min_price"),
-        lit(0.0).as("max_price"), lit(0.0).as("sum_price"))
-    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
-    val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
-    val width = math.max((hi - lo) / targetBlocks, 1e-9)
-    val blkCol = least(floor((col("p").cast("double") - lit(lo)) / lit(width)),
-      lit(targetBlocks - 1)).cast("long")
-    val blocked = cnt.withColumn("blk", blkCol)
-    val totals = blocked.groupBy(col("blk")).agg(sum(col("c")).as("blk_c"))
-      .orderBy(col("blk")).collect()
-    var acc = 0L
-    val prefix = totals.map { r =>
-      val o = (r.getLong(0), acc); acc += r.getLong(1); o
-    }.toSeq
-    val offsets = prefix.toDF("blk", "blk_before")
-    val wLocal = Window.partitionBy(col("blk")).orderBy(col("p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = blocked
-      .withColumn("local_cc", sum(col("c")).over(wLocal))
-      .join(broadcast(offsets), Seq("blk"))
-      .withColumn("cc", col("blk_before") + col("local_cc"))
-    // thresholds t_i = ceil(i*N/10); row (p, cc) is boundary i iff
-    // t_i lands in (cc - c, cc] — each i matched by exactly one row
-    val thresholds = (1 to 9).map(i => (i, (i * n + 9) / 10)).toDF("i", "t")
-    val bounds = cum.join(broadcast(thresholds),
-        col("t") > col("cc") - col("c") && col("t") <= col("cc"))
-      .select(col("i"), col("p").cast("double").as("bp"))
-      .collect().map(r => r.getDouble(1)).sorted
-    val bArr = typedLit(bounds.toSeq)
-    v.select(col("p"),
-        (lit(1) + size(filter(bArr, b => col("p").cast("double") > b))).as("decile"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"),
-        min(col("p")).cast("double").as("min_price"),
-        max(col("p")).cast("double").as("max_price"),
-        sum(col("p")).cast("double").as("sum_price"))
-      .orderBy(col("decile"))
+    // ONE scan of the fact: every later job (stats, block subtotals,
+    // boundaries, final weighted agg) runs over the cached per-value
+    // counts — a frame bounded by the value-domain cardinality, not
+    // the row count
+    val cnt = v.groupBy(col("p")).agg(count(lit(1)).as("c")).cache()
+    try {
+      val stats = cnt.agg(coalesce(sum(col("c")), lit(0L)),
+        min(col("p").cast("double")), max(col("p").cast("double"))).head()
+      val n = stats.getLong(0)
+      if (n == 0) return spark.emptyDataFrame
+        .select(lit(1).as("decile"), lit(0L).as("n"), lit(0.0).as("min_price"),
+          lit(0.0).as("max_price"), lit(0.0).as("sum_price"))
+      val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+      val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
+      val width = math.max((hi - lo) / targetBlocks, 1e-9)
+      val blkCol = least(floor((col("p").cast("double") - lit(lo)) / lit(width)),
+        lit(targetBlocks - 1)).cast("long")
+      val blocked = cnt.withColumn("blk", blkCol)
+      val totals = blocked.groupBy(col("blk")).agg(sum(col("c")).as("blk_c"))
+        .orderBy(col("blk")).collect()
+      var acc = 0L
+      val prefix = totals.map { r =>
+        val o = (r.getLong(0), acc); acc += r.getLong(1); o
+      }.toSeq
+      val offsets = prefix.toDF("blk", "blk_before")
+      val wLocal = Window.partitionBy(col("blk")).orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = blocked
+        .withColumn("local_cc", sum(col("c")).over(wLocal))
+        .join(broadcast(offsets), Seq("blk"))
+        .withColumn("cc", col("blk_before") + col("local_cc"))
+      // thresholds t_i = ceil(i*N/10); row (p, cc) is boundary i iff
+      // t_i lands in (cc - c, cc] — each i matched by exactly one row
+      val thresholds = (1 to 9).map(i => (i, (i * n + 9) / 10)).toDF("i", "t")
+      val bounds = cum.join(broadcast(thresholds),
+          col("t") > col("cc") - col("c") && col("t") <= col("cc"))
+        .select(col("i"), col("p").cast("double").as("bp"))
+        .collect().map(r => r.getDouble(1)).sorted
+      val bArr = typedLit(bounds.toSeq)
+      // weighted final agg over the distinct values: sum(p·c) in
+      // decimal equals the row-level sum the oracle computes. The
+      // 10-row result is materialized EAGERLY (local relation) so the
+      // cache can be released here instead of leaking past return.
+      val agg = cnt.select(col("p"), col("c"),
+          (lit(1) + size(filter(bArr, b => col("p").cast("double") > b))).as("decile"))
+        .groupBy(col("decile"))
+        .agg(sum(col("c")).as("n"),
+          min(col("p")).cast("double").as("min_price"),
+          max(col("p")).cast("double").as("max_price"),
+          sum(col("p") * col("c")).cast("double").as("sum_price"))
+        .orderBy(col("decile"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally cnt.unpersist(blocking = false)
   }
 
   def q33Sql: String =
