@@ -268,6 +268,7 @@ object SparkEntry {
          |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
          |ORDER BY similarity DESC, doc_id LIMIT 10""".stripMargin,
     "d1_exact_dedup" -> Dedup.exactDedupSql,
+    "d2_minhash_lsh" -> Dedup.minhashLshSql(),
     "d4_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "d5_embedding_neardup" -> Dedup.embeddingNearDupSql(),
     "d6_dup_components" -> Dedup.dupComponentsSql(),

@@ -98,6 +98,78 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB twin of [[minhashLsh]] — the full MinHash+LSH pipeline as
+    * SQL, so d2 is oracle-HASH-checked rather than rows-only. Every
+    * stage is integer arithmetic both engines compute bit-identically:
+    *
+    *  - [[graft.functions.TextHash.fnv64]]: FNV-1a's 41-bit prime
+    *    keeps `h * prime < 2^105`, inside HUGEINT — one `% 2^64` per
+    *    step wraps like JVM long multiply;
+    *  - [[graft.functions.TextHash.mix]]: the two 64-bit-constant
+    *    multiplies split into 32-bit halves
+    *    (`lo(a)·C + (hi(a)·lo(C) mod 2^32)·2^32 mod 2^64`) because a
+    *    64×64 product overflows signed INT128;
+    *  - signature mins compare SIGNED (matching JVM long compares), so
+    *    u64 values are recentered before `min`;
+    *  - the band key here is the raw signature slice (as a string)
+    *    where Spark uses xxhash64 of the slice — both are injective
+    *    functions of the slice, so the buckets (and the capped,
+    *    verified pair set) are identical without replicating xxhash.
+    */
+  def minhashLshSql(numHashes: Int = 32, bands: Int = 4,
+                    threshold: Double = 0.7, maxBucket: Int = 64): String = {
+    val rows = numHashes / bands
+    val M = "18446744073709551616" // 2^64
+    val M32 = 4294967296L // 2^32
+    def mulmod(h: String, c: BigInt): String = {
+      val cl = c % M32
+      s"((($h) % $M32) * CAST($c AS HUGEINT) + (((($h) // $M32) * $cl) % $M32) * $M32) % $M"
+    }
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("ff51afd7ed558ccd", 16)
+    val c3 = BigInt("c4ceb9fe1a85ec53", 16)
+    val fnvInit = BigInt("cbf29ce484222325", 16)
+    val fnvPrime = BigInt("100000001b3", 16)
+    // prime is 41-bit: direct HUGEINT multiply fits (< 2^105)
+    val fnv = (1 to 5).foldLeft(s"CAST($fnvInit AS HUGEINT)") { (h, i) =>
+      s"((xor($h, CAST(unicode(substr(s, $i, 1)) AS HUGEINT)) * $fnvPrime) % $M)"
+    }
+    val half = BigInt(1) << 63
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(text) - 3), i -> substr(text, i, 5)))) AS s
+       |  FROM documents WHERE len(text) >= 5),
+       |base AS (SELECT DISTINCT doc_id, $fnv AS h FROM sh),
+       |mj AS (SELECT doc_id, h, unnest(range(0, $numHashes)) AS j FROM base),
+       |m0 AS (SELECT doc_id, j, xor(h, (CAST($golden AS HUGEINT) * (j + 1)) % $M) AS h FROM mj),
+       |m1 AS (SELECT doc_id, j, ${mulmod("xor(h, h >> 33)", c2)} AS h FROM m0),
+       |m2 AS (SELECT doc_id, j, ${mulmod("xor(h, h >> 33)", c3)} AS h FROM m1),
+       |m3 AS (SELECT doc_id, j, xor(h, h >> 33) AS h FROM m2),
+       |sig AS (SELECT doc_id, j,
+       |          CAST(min(CASE WHEN h >= $half THEN h - $M ELSE h END) AS BIGINT) AS mh
+       |        FROM m3 GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // $rows AS band,
+       |            array_to_string(list(mh ORDER BY j), ',') AS band_key
+       |          FROM sig GROUP BY doc_id, j // $rows),
+       |capped AS (SELECT * FROM (
+       |    SELECT doc_id, band, band_key,
+       |      count(*) OVER (PARTITION BY band, band_key) AS bn FROM bands)
+       |  WHERE bn <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM capped a JOIN capped b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |tox AS (SELECT doc_id, list_distinct(list_transform(
+       |          range(1, len(text) - 3), i -> substr(text, i, 5))) AS t5
+       |        FROM documents WHERE len(text) >= 5)
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST(len(list_intersect(a.t5, b.t5)) AS DOUBLE) /
+       |        CAST(len(a.t5) + len(b.t5) - len(list_intersect(a.t5, b.t5)) AS DOUBLE), 4) AS jaccard
+       |FROM cand c JOIN tox a ON c.id_a = a.doc_id JOIN tox b ON c.id_b = b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.t5, b.t5)) AS DOUBLE) /
+       |        CAST(len(a.t5) + len(b.t5) - len(list_intersect(a.t5, b.t5)) AS DOUBLE), 4) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** d3: SimHash near-dup pairs — 60-bit simhash over distinct
     * whitespace tokens, candidates share one of four 15-bit bands,
     * verified by hamming distance ≤ maxHamming.
