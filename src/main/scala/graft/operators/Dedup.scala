@@ -552,14 +552,17 @@ object Dedup {
     // contamination signal. ON by default (the shipped plan is the
     // 100 TB plan; the oracle applies the same cap); Int.MaxValue is
     // the explicit opt-out.
+    // df as a window count over ng rather than a groupBy+self-join:
+    // ONE exchange by ng that the eval×train equi-join below then
+    // reuses (both branches arrive hash-partitioned by ng) — 5
+    // exchanges instead of 7 end-to-end, and the gram set is
+    // exploded/shuffled once instead of twice
     val grams =
       if (maxDf == Int.MaxValue) allGrams
-      else {
-        val rare = allGrams.groupBy(col("ng"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-          .select(col("ng"))
-        allGrams.join(rare, "ng")
-      }
+      else allGrams
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ng"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
     // Equi-join of the two parity halves on the hashed n-gram. Each
     // branch re-scans + re-explodes (cheap, fully codegen'd); the
     // measured alternative — one groupBy(ng) with collect_set posting
