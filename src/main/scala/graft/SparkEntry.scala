@@ -175,6 +175,8 @@ object SparkEntry {
     "m3_decode_batch" -> ((s, d) => Multimodal.decodeBatchedFlat(s, d)),
     "m4_media_header" -> Multimodal.mediaHeader _,
     "m5_modality_route" -> Multimodal.modalityRoute _,
+    "m6_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "m7_audio_chunk" -> ((s, d) => Multimodal.audioChunk(s, d)),
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
     "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
@@ -295,6 +297,8 @@ object SparkEntry {
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
     "m5_modality_route" -> Multimodal.modalityRouteSql,
+    "m6_resize_plan" -> Multimodal.resizePlanSql(),
+    "m7_audio_chunk" -> Multimodal.audioChunkSql(),
     "m3_decode_batch" -> Multimodal.decodeBatchSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,

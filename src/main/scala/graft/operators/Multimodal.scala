@@ -130,6 +130,88 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** m6: resize planning — the ML-preprocessing step that decides each
+    * image's target geometry before the (stubbed) pixel resample.
+    * Aspect-preserving fit into 224×224 in pure INTEGER arithmetic
+    * (`floor(short·224 / long)`) so both engines agree exactly — a
+    * float scale factor could round 223.9999 differently. Also emits
+    * the ViT-style 16px patch-grid count the training pipeline packs
+    * by. Map-only at any scale; the real resampler slots into the
+    * same row shape via [[decodeBatched]]'s mapPartitions pattern. */
+  def resizePlan(spark: SparkSession, d: String, fit: Int = 224,
+                 patch: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val w = (col("n_chars") % 1024 + 16).cast("long")
+    val h = ((col("n_chars") * 7) % 768 + 16).cast("long")
+    val outW = when(w >= h, lit(fit.toLong)).otherwise(floor(w * fit / h).cast("long"))
+    val outH = when(w >= h, floor(h * fit / w).cast("long")).otherwise(lit(fit.toLong))
+    docs.select(col("doc_id"), w.as("src_w"), h.as("src_h"),
+        outW.as("out_w"), outH.as("out_h"))
+      .withColumn("n_patches",
+        (ceil(col("out_w").cast("double") / patch) *
+          ceil(col("out_h").cast("double") / patch)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  def resizePlanSql(fit: Int = 224, patch: Int = 16): String =
+    s"""SELECT doc_id, src_w, src_h, out_w, out_h,
+       |  CAST(ceil(CAST(out_w AS DOUBLE) / $patch) *
+       |       ceil(CAST(out_h AS DOUBLE) / $patch) AS BIGINT) AS n_patches
+       |FROM (
+       |  SELECT doc_id, src_w, src_h,
+       |    CASE WHEN src_w >= src_h THEN $fit
+       |         ELSE CAST(src_w * $fit // src_h AS BIGINT) END AS out_w,
+       |    CASE WHEN src_w >= src_h THEN CAST(src_h * $fit // src_w AS BIGINT)
+       |         ELSE $fit END AS out_h
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(n_chars % 1024 + 16 AS BIGINT) AS src_w,
+       |      CAST((n_chars * 7) % 768 + 16 AS BIGINT) AS src_h
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** m7: audio chunking — fixed-window segmentation with overlap (the
+    * Whisper-style 30s-window prep, scaled down): each synthesized
+    * clip (duration keyed off n_chars) explodes into rows of
+    * [start, end) windows stepping `windowMs − overlapMs`, with the
+    * per-chunk sample count at 16 kHz. All integer arithmetic; the
+    * explode is map-side (sequence over a computed range), so 100 TB
+    * of audio chunks without a shuffle until someone aggregates. */
+  def audioChunk(spark: SparkSession, d: String, windowMs: Int = 10000,
+                 overlapMs: Int = 1000, rateHz: Int = 16000): DataFrame = {
+    val step = windowMs - overlapMs
+    val docs = Tables.documents(spark, d)
+    val dur = (col("n_chars") * 37 % 60000 + 1000).cast("long")
+    docs.select(col("doc_id"), dur.as("duration_ms"))
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("duration_ms") - windowMs).cast("double") / step), lit(0))
+            .cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * step).as("start_ms"),
+        least(col("chunk_idx") * step + windowMs, col("duration_ms")).as("end_ms"))
+      .withColumn("n_samples",
+        ((col("end_ms") - col("start_ms")) * rateHz / 1000).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def audioChunkSql(windowMs: Int = 10000, overlapMs: Int = 1000,
+                    rateHz: Int = 16000): String = {
+    val step = windowMs - overlapMs
+    s"""SELECT doc_id, chunk_idx,
+       |  chunk_idx * $step AS start_ms,
+       |  least(chunk_idx * $step + $windowMs, duration_ms) AS end_ms,
+       |  CAST((least(chunk_idx * $step + $windowMs, duration_ms) - chunk_idx * $step)
+       |    * $rateHz // 1000 AS BIGINT) AS n_samples
+       |FROM (
+       |  SELECT doc_id, duration_ms,
+       |    unnest(range(0, CAST(greatest(
+       |      ceil(CAST(duration_ms - $windowMs AS DOUBLE) / $step), 0) AS BIGINT) + 1)) AS chunk_idx
+       |  FROM (SELECT doc_id, CAST(n_chars * 37 % 60000 + 1000 AS BIGINT) AS duration_ms
+       |        FROM documents))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   case class MediaRow(doc_id: Long, blob: Array[Byte])
   case class MediaFeature(doc_id: Long, n_bytes: Int,
                           c0: Int, c1: Int, c2: Int, c3: Int,

@@ -633,6 +633,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total == r.getInt(r.fieldIndex("n_bytes")))
   }
 
+  test("m6 resize plan: aspect preserved within integer rounding, fits the box") {
+    val r = Multimodal.resizePlan(spark, sf).collect()
+    r.foreach { row =>
+      val (sw, sh) = (row.getAs[Long]("src_w"), row.getAs[Long]("src_h"))
+      val (ow, oh) = (row.getAs[Long]("out_w"), row.getAs[Long]("out_h"))
+      assert(ow <= 224 && oh <= 224 && ow >= 1 && oh >= 1)
+      assert(math.max(ow, oh) == 224) // long side always fills the box
+      // integer-floor aspect: short side = floor(short * 224 / long)
+      val expected = if (sw >= sh) sh * 224 / sw else sw * 224 / sh
+      assert(math.min(ow, oh) == expected)
+      val patches = row.getAs[Long]("n_patches")
+      assert(patches == ((ow + 15) / 16) * ((oh + 15) / 16))
+    }
+  }
+
+  test("m7 audio chunks: full coverage, correct overlap, bounded windows") {
+    val rows = Multimodal.audioChunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    rows.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.head.getAs[Long]("start_ms") == 0L)
+      sorted.foreach { c =>
+        val len = c.getAs[Long]("end_ms") - c.getAs[Long]("start_ms")
+        assert(len > 0 && len <= 10000)
+        assert(c.getAs[Long]("n_samples") == len * 16)
+      }
+      // consecutive chunks step by window - overlap; coverage is gapless
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_ms") - a.getAs[Long]("start_ms") == 9000L)
+          assert(b.getAs[Long]("start_ms") < a.getAs[Long]("end_ms")) // overlap
+        case _ =>
+      }
+    }
+  }
+
   test("plan shapes: broadcasts, pushdown, and no-shuffle knn hold") {
     // q3: every join is a broadcast; filters reach the scans
     val q3 = CoreQueries.q3CustOrderRevenue(spark, sf).queryExecution.executedPlan.toString
