@@ -9,38 +9,46 @@ import org.apache.spark.sql.SparkSession
   * and the map is hard-bounded so a long-lived driver churning
   * through `newSession()` instances cannot grow it forever.
   *
-  * Overflow evicts the OLDEST entries (by insertion order) down to
-  * half capacity and hands each evicted value to `onEvict` — the
-  * hook where checkpoint-backed DataFrames release their pinned
-  * executor storage (see [[org.apache.spark.sql.GraftBridge
-  * .unpersistPlanRdds]]). Without it, eviction would silently drop
-  * the only reference to blocks that then live until RDD GC; and
-  * clearing wholesale would evict other sessions' live entries.
+  * Two removal paths with DIFFERENT cleanup semantics:
+  *
+  *  - `invalidate` (data the value points at was rewritten): evicted
+  *    values go to `onEvict` — for checkpoint-backed DataFrames that
+  *    unpersists the pinned blocks immediately. Outstanding handles
+  *    were already meaningless (they referenced the old data).
+  *  - overflow eviction (cache grew past `maxEntries`): the OLDEST
+  *    entries are dropped by reference only, WITHOUT `onEvict` — a
+  *    caller may still hold the returned DataFrame, and a
+  *    localCheckpoint-backed frame cannot be recomputed once its
+  *    blocks are unpersisted. Dropping the reference lets Spark's
+  *    ContextCleaner reclaim the blocks when the last handle goes
+  *    out of scope; eager unpersist here would break live handles.
   */
 final class SessionCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => ()) {
   private val m = scala.collection.concurrent.TrieMap.empty[(SparkSession, K), (V, Long)]
   private val seq = new AtomicLong()
-
-  private def evict(k: (SparkSession, K), v: V): Unit =
-    if (m.remove(k).isDefined) {
-      // best-effort: an eviction must never fail the lookup that
-      // triggered it (the value may belong to a dying session)
-      try onEvict(v) catch { case _: Throwable => () }
-    }
 
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V = {
     // dead-session entries: their SparkContext (and with it every
     // cached block) is already gone — drop without onEvict
     m.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     if (m.size > maxEntries)
+      // oldest-first, down to half capacity; reference-drop only (see
+      // class doc — live handles must keep working)
       m.toSeq.sortBy(_._2._2).dropRight(maxEntries / 2).foreach {
-        case (k, (v, _)) => evict(k, v)
+        case (k, _) => m.remove(k): Unit
       }
     m.getOrElseUpdate((spark, key), (build, seq.incrementAndGet()))._1
   }
 
   /** drop entries whose key matches `pred` — the invalidation hook for
-    * flows that rewrite data a cached value points at */
+    * flows that rewrite data a cached value points at. Values are
+    * handed to `onEvict` (their backing storage is released: any
+    * outstanding handle already referenced stale data). */
   def invalidate(pred: K => Boolean): Unit =
-    m.toSeq.foreach { case (k, (v, _)) => if (pred(k._2)) evict(k, v) }
+    m.toSeq.foreach { case (k, (v, _)) =>
+      if (pred(k._2) && m.remove(k).isDefined) {
+        // best-effort: invalidation must not fail the caller
+        try onEvict(v) catch { case _: Throwable => () }
+      }
+    }
 }

@@ -776,6 +776,11 @@ object CoreQueries {
     * N/10 only up to tie mass) — the definition both engines compute
     * deterministically; NTILE's rank-split of ties would depend on row
     * order. */
+  /** set by [[q33GlobalDecile]]: unpartitioned-Window count of its
+    * internal cumulative-count stage (spec hook — the returned frame
+    * is a LocalRelation whose plan can't witness the internals) */
+  @volatile private[graft] var q33UnpartitionedWindows: Int = -1
+
   def q33GlobalDecile(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val v = Tables.orders(spark, d).select(col("o_totalprice").cast(dec).as("p"))
@@ -810,6 +815,13 @@ object CoreQueries {
         .withColumn("local_cc", sum(col("c")).over(wLocal))
         .join(broadcast(offsets), Seq("blk"))
         .withColumn("cc", col("blk_before") + col("local_cc"))
+      // the result below is an eagerly-collected LocalRelation, so a
+      // spec can't see THIS plan — record the internal cumsum stage's
+      // window shape for the no-single-reducer assertion
+      q33UnpartitionedWindows = cum.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
       // thresholds t_i = ceil(i*N/10); row (p, cc) is boundary i iff
       // t_i lands in (cc - c, cc] — each i matched by exactly one row
       val thresholds = (1 to 9).map(i => (i, (i * n + 9) / 10)).toDF("i", "t")

@@ -28,6 +28,13 @@ object Dedup {
   // graphs pin executor storage until GC'd — keep the bound small).
   private val pairsCache = new graft.SessionCache[(String, Double), DataFrame](
     16, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+  // a rewrite of the source dir releases the stale checkpointed pair
+  // graph / component map (overflow eviction, by contrast, only drops
+  // references — see SessionCache's class doc)
+  graft.Tables.onInvalidate { p =>
+    pairsCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+    compCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+  }
 
   /** d1: exact dedup by content hash. Emits every doc with its
     * canonical keeper (min doc_id of the identical-text group). */
@@ -115,6 +122,14 @@ object Dedup {
     *    where Spark uses xxhash64 of the slice — both are injective
     *    functions of the slice, so the buckets (and the capped,
     *    verified pair set) are identical without replicating xxhash.
+    *
+    * KNOWN LIMIT: fnv64 iterates UTF-16 code units (JVM `charAt`),
+    * this SQL iterates codepoints (`unicode(substr)`); they agree up
+    * to U+FFFF and diverge on supplementary characters (surrogate
+    * pairs). Replicating surrogate arithmetic in SQL isn't worth the
+    * complexity, so the spec asserts the corpus is BMP-only — a
+    * non-BMP corpus fails THAT assert loudly instead of silently
+    * hash-mismatching here (same policy as m3's byte histogram).
     */
   def minhashLshSql(numHashes: Int = 32, bands: Int = 4,
                     threshold: Double = 0.7, maxBucket: Int = 64): String = {

@@ -124,6 +124,9 @@ object PqIndex {
   // the compressed-scan point. The persisted equivalent is IvfPqStore.
   private val codesCache = new graft.SessionCache[(String, Int, Int), DataFrame](
     8, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+  // a rewrite of the source dir releases stale checkpointed codes
+  graft.Tables.onInvalidate(p =>
+    codesCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1)))
 
   def searchSummary(spark: SparkSession, d: String, queryText: String,
                     topK: Int = 10): DataFrame = {

@@ -95,11 +95,28 @@ object IvfStore {
       // write cannot read the path it replaces; touched-lists data is
       // bounded (the whole point of the incremental path)
       val merged = survivors.unionByName(assigned).localCheckpoint(true)
-      try merged.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("list_id")
-        .parquet(s"$dir/lists")
-      finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      try {
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("list_id")
+          .parquet(s"$dir/lists")
+        // dynamic overwrite only rewrites partitions PRESENT in the
+        // written data: a touched list emptied by a move (its only
+        // rows migrated elsewhere) appears in no output row and its
+        // old file — holding the stale copy — would survive. Delete
+        // those emptied partitions explicitly.
+        val present = merged.select(col("list_id")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val emptied = touched.filterNot(present)
+        if (emptied.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          emptied.foreach { l =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/lists/list_id=$l")
+            val fs = p.getFileSystem(conf)
+            fs.delete(p, true): Unit
+          }
+        }
+      } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
       // cached list scans are stale now; centroids re-read (unchanged)
       graft.Tables.invalidate(s"$dir/lists")
     }

@@ -82,6 +82,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
 
+  test("d2 oracle premise: corpus is BMP-only (UTF-16 units == codepoints)") {
+    // minhashLshSql iterates codepoints while TextHash.fnv64 iterates
+    // UTF-16 code units — identical up to U+FFFF. A supplementary
+    // character would silently diverge the oracle; fail HERE instead.
+    val nonBmp = Tables.documents(spark, sf).select(col("text")).collect()
+      .count { r =>
+        val t = r.getString(0)
+        t != null && t.codePointCount(0, t.length) != t.length
+      }
+    assert(nonBmp == 0,
+      s"$nonBmp docs contain non-BMP characters; d2's DuckDB oracle would diverge")
+  }
+
   test("minhash LSH detects a true near-duplicate pair") {
     import spark.implicits._
     // two near-identical docs + noise docs, via the same pipeline pieces
@@ -604,10 +617,10 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("q33 global deciles: exact sizes, no unpartitioned window") {
     val df = CoreQueries.q33GlobalDecile(spark, sf)
-    val unpartitioned = df.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
-    }
-    assert(unpartitioned.isEmpty, s"global (unpartitioned) window in q33 plan:\n$unpartitioned")
+    // the returned frame is an eagerly-collected LocalRelation — the
+    // cumsum stage's plan is recorded by the operator itself
+    assert(CoreQueries.q33UnpartitionedWindows == 0,
+      s"q33 cumsum stage used ${CoreQueries.q33UnpartitionedWindows} global (unpartitioned) windows")
     val r = df.collect()
     val total = Tables.orders(spark, sf).count()
     assert(r.map(_.getAs[Long]("n")).sum == total)

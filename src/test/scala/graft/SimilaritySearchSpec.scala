@@ -147,6 +147,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(after.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0)
   }
 
+  test("IVF upsert: a list emptied by a move loses its partition (no stale copy)") {
+    import spark.implicits._
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // list 0 = {1, 2}; list 1 = {3} (singleton)
+    val emb = Seq((1L, v(1f, 0f), 0), (2L, v(0.9f, 0f), 0), (3L, v(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 2, 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    graft.sources.IvfStore.write(spark, emb, "embedding", model, dir)
+    val assigned = IvfIndex.assign(emb, "embedding", model)
+    val l3 = assigned.filter(col("vec_id") === 3L).select("list_id").first().getInt(0)
+    val l1 = assigned.filter(col("vec_id") === 1L).select("list_id").first().getInt(0)
+    assert(l3 != l1, "test premise: 3 sits alone in its own list")
+    // move the singleton into the other cluster -> its old list empties
+    val updates = Seq((3L, v(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val touched = graft.sources.IvfStore.upsert(spark, dir, updates, "embedding", "vec_id")
+    assert(touched.contains(l3) && touched.contains(l1))
+    // dynamic overwrite can't rewrite a partition absent from the
+    // output — upsert must have deleted the emptied one explicitly
+    assert(!new java.io.File(s"$dir/lists/list_id=$l3").exists(),
+      s"emptied partition list_id=$l3 still on disk (stale copy of id 3)")
+    val after = spark.read.parquet(s"$dir/lists")
+    assert(after.count() == 3)
+    val rows3 = after.filter(col("vec_id") === 3L)
+      .select("list_id").collect().map(_.getInt(0)).toSeq
+    assert(rows3 == Seq(l1), s"id 3 lists after move: $rows3")
+  }
+
   test("filtered knn only returns rows passing the predicate") {
     val docs = Tables.documents(spark, sf)
     val en = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
