@@ -276,6 +276,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"no partition pruning in streaming probe plan:\n$plan")
   }
 
+  test("IVF upsert then streaming probe: freshly upserted vector is served") {
+    import spark.implicits._
+    // the reference's refresh flow end-to-end: data changes (sql/04),
+    // index maintained incrementally (sql/05), and the SERVING path —
+    // here the streaming probe — sees the new vector without a rebuild
+    val emb = Tables.embeddings(spark, sf)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", 8, 3)
+    val store = java.nio.file.Files.createTempDirectory("ivf_up_stream").toString
+    graft.sources.IvfStore.write(spark, emb, "embedding", model, store)
+    val qText = "fast vector search over spark tables"
+    val qVec = graft.functions.FakeEmbedder.embed(qText)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    // upsert a vector identical to the query embedding — it must become
+    // the top hit through the streaming path
+    val updates = Seq((maxId + 1, qVec, 0)).toDF("vec_id", "embedding", "label")
+    graft.sources.IvfStore.upsert(spark, store, updates, "embedding", "vec_id")
+    val tmp = java.nio.file.Files.createTempDirectory("ivfup_q").toString
+    Seq(s"""{"query_id": 9, "query_text": "$qText"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = graft.streaming.IvfProbeStream
+      .runOnce(spark, tmp, store, k = 3, nprobe = 2).collect()
+    val top = out.maxBy(_.getDouble(2))
+    assert(top.getLong(1) == maxId + 1,
+      s"streaming probe top hit ${top.getLong(1)} != upserted ${maxId + 1}")
+    assert(top.getDouble(2) == 1.0)
+  }
+
   test("stream-stream time-range join equals batch twin") {
     val batch = EventStream.clickPurchaseJoinBatch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
