@@ -148,6 +148,8 @@ object SparkEntry {
     "d7_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "d8_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "d9_srp_banded_neardup" -> ((s, d) => SrpBanded.srpBandedNearDup(s, d)),
+    "d10_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "v18_knn_graph" -> ((s, d) => SrpBanded.knnGraph(s, d)),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -169,6 +171,8 @@ object SparkEntry {
     "t12_pii_redact" -> TextOps.piiRedact _,
     "t13_unigram_logprob" -> TextOps.unigramLogprob _,
     "t14_len_histogram" -> TextOps.lenHistogram _,
+    "t15_repetition" -> TextOps.repetition _,
+    "t16_mix_weights" -> TextOps.mixWeights _,
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -181,6 +185,7 @@ object SparkEntry {
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
     "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
     "s3_stream_dedup" -> EventStream.dedupBatch _,
+    "s4_stream_topk" -> EventStream.trendingBatch _,
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -277,6 +282,8 @@ object SparkEntry {
     "d7_contamination" -> Dedup.contaminationSql(),
     "d8_canonical_docs" -> Dedup.canonicalDocsSql(),
     "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
+    "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
+    "v18_knn_graph" -> SrpBanded.knnGraphSql(),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
     "t1_lang_profile" -> TextOps.langProfileSql,
@@ -293,6 +300,8 @@ object SparkEntry {
     "t12_pii_redact" -> TextOps.piiRedactSql,
     "t13_unigram_logprob" -> TextOps.unigramLogprobSql,
     "t14_len_histogram" -> TextOps.lenHistogramSql,
+    "t15_repetition" -> TextOps.repetitionSql,
+    "t16_mix_weights" -> TextOps.mixWeightsSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
@@ -303,6 +312,7 @@ object SparkEntry {
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,
     "s3_stream_dedup" -> EventStream.dedupBatchSql,
+    "s4_stream_topk" -> EventStream.trendingSql,
     "d3_simhash" -> Dedup.simhashPairsSql(),
     "v9_embed_ingest" -> graft.sources.Ingest.embedIngestDigestSql,
     "v17_mmr_rerank" -> SimilaritySearch.mmrRerankSql(queryVecSql),

@@ -606,4 +606,52 @@ object Dedup {
        |FROM grams e JOIN grams t ON e.ng = t.ng AND e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY eval_id, train_id""".stripMargin
+
+  /** d10: sub-document chunk dedup (the C4/RefinedWeb move at chunk
+    * granularity) — split every doc into fixed 16-token chunks, hash
+    * each, keep the globally FIRST occurrence of every hash (ordered
+    * by (doc_id, chunk_idx)), and report the per-document duplicated-
+    * chunk fraction a cleaning pass would strip.
+    *
+    * Shuffle carries (hash, doc_id, chunk_idx) — 16 bytes + 2 ints
+    * per chunk, never the text. One exchange on the hash for the
+    * first-occurrence window, one narrow re-agg per doc. Keeper
+    * choice is row_number over the unique (doc_id, chunk_idx) key —
+    * tie-free, deterministic in both engines. */
+  def chunkDedup(spark: SparkSession, d: String, chunkTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(floor((size(ts) - 1) / $chunkTokens) as int)), " +
+          s"i -> md5(array_join(slice(ts, i * $chunkTokens + 1, $chunkTokens), ' ')))"))
+          .as(Seq("chunk_idx", "h")))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .select(col("doc_id"), col("h"),
+        (row_number().over(w) === 1).as("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keeper"), 0L).otherwise(1L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  def chunkDedupSql(chunkTokens: Int = 16): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    md5(array_to_string(ts[(i * $chunkTokens + 1):((i + 1) * $chunkTokens)], ' ')) AS h
+       |  FROM toks, UNNEST(range(CAST(floor((len(ts) - 1) / $chunkTokens) AS BIGINT) + 1)) AS t(i)),
+       |k AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1 AS keeper
+       |  FROM ch)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN keeper THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS dup_frac
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -139,4 +139,78 @@ object SrpBanded {
        |WHERE list_cosine_similarity(a.v, b.v) >= $tau
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** v18: approximate k-NN GRAPH construction — every vector's k
+    * nearest neighbors among its SRP band collisions (the candidate
+    * generator NN-Descent-style graph pipelines start from; Dong et
+    * al., WWW'11 is the public reference). Same scale shape as d9:
+    * candidates only meet inside a band bucket, exact cosine scores
+    * only candidate pairs, and the per-source top-k is a window over
+    * the candidate set (WindowGroupLimit keeps k per partition before
+    * the shuffle). Deterministic banding (pinned integer hyperplanes)
+    * makes the WHOLE approximate pipeline oracle-checkable — the
+    * DuckDB twin replicates the bands, so the reported graph matches
+    * bit-for-bit; recall vs the exact graph is spec-tested. */
+  def knnGraph(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
+    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val keysCol = org.apache.spark.sql.GraftBridge.column(
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("q"))))
+    val banded = qt.select(col("vec_id"),
+      posexplode(keysCol).as(Seq("band", "bk")))
+    val a = banded.select(col("band"), col("bk"), col("vec_id").as("src"))
+    val b = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
+    val cand = a.join(b, Seq("band", "bk"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
+
+  /** DuckDB twin: same pinned hyperplanes → same candidate set → same
+    * graph. Ranking floats are the identical IEEE cosine values in
+    * both engines (verified by d9's threshold compare), ties broken
+    * on dst. */
+  def knnGraphSql(k: Int = 5): String = {
+    def keySql(b: Int): String =
+      (0 until RowsPerBand).map { kk =>
+        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
+      }.mkString(" + ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qt AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM cand c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |ranked AS (
+       |  SELECT src, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT src, dst, rk, round(sim, 6) AS sim
+       |FROM ranked WHERE rk <= $k ORDER BY src, rk""".stripMargin
+  }
 }

@@ -453,4 +453,131 @@ object TextOps {
       |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
       |  GROUP BY lang, bg)
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
+  /** t15: Gopher-style repetition filters (Rae et al. 2021, public) —
+    * duplicate-token fraction, top-bigram fraction, top-trigram
+    * fraction, and the repetitive flag.
+    *
+    * Entirely MAP-ONLY: the per-doc n-gram mode is a sorted-array
+    * run-length maximum (`array_sort` + one `aggregate` fold) instead
+    * of an explode→groupBy, so 100 TB of documents contribute ZERO
+    * shuffle rows — the only exchange is the final doc_id order for
+    * the gate. The flag compares integers (100·max > thresh·total),
+    * never float boundaries, so it cannot flake across engines; the
+    * reported fractions are single int/int divisions (exact IEEE in
+    * both engines). */
+  def repetition(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    // max run length in the sorted n-gram array == mode frequency
+    def modeCount(arr: String): String =
+      s"""aggregate(array_sort($arr),
+         |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+         |  (a, x) -> named_struct('prev', x,
+         |    'run', if(x <=> a.prev, a.run + 1L, 1L),
+         |    'best', greatest(a.best, if(x <=> a.prev, a.run + 1L, 1L))),
+         |  a -> a.best)""".stripMargin
+    val grams = docs.select(col("doc_id"),
+      expr("split(text, ' ')").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"),
+        // size guards: Spark's sequence(1, 0) steps DOWNWARD, so a
+        // 1-token doc would index element_at(ts, 0) and throw
+        expr(modeCount(
+          "if(size(ts) < 2, cast(array() as array<string>), transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
+          .as("max_bg"),
+        greatest(size(col("ts")) - 1, lit(0)).cast("long").as("n_bg"),
+        expr(modeCount(
+          "if(size(ts) < 3, cast(array() as array<string>), transform(sequence(1, size(ts) - 2), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2))))"))
+          .as("max_tg"),
+        greatest(size(col("ts")) - 2, lit(0)).cast("long").as("n_tg"))
+    grams.select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_tok_frac"),
+        (col("max_bg").cast("double") / col("n_bg")).as("top_bigram_frac"),
+        (col("max_tg").cast("double") / col("n_tg")).as("top_trigram_frac"),
+        (col("max_bg") * 100 > col("n_bg") * 18 ||
+         col("max_tg") * 100 > col("n_tg") * 16).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin computes the same mode via unnest+group (different
+    * plan, identical integers — the oracle checks output, not shape). */
+  def repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
+      |    greatest(len(ts) - 1, 0) AS n_bg, greatest(len(ts) - 2, 0) AS n_tg
+      |  FROM toks),
+      |bg AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bg FROM (
+      |    SELECT doc_id, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |        i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks)
+      |    GROUP BY doc_id, g) GROUP BY doc_id),
+      |tg AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tg FROM (
+      |    SELECT doc_id, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+      |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g FROM toks)
+      |    GROUP BY doc_id, g) GROUP BY doc_id),
+      |j AS (
+      |  SELECT b.doc_id, b.n_tokens, b.n_distinct, b.n_bg, b.n_tg,
+      |    coalesce(bg.max_bg, 0) AS max_bg, coalesce(tg.max_tg, 0) AS max_tg
+      |  FROM base b LEFT JOIN bg ON b.doc_id = bg.doc_id
+      |              LEFT JOIN tg ON b.doc_id = tg.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_tok_frac,
+      |  CAST(max_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+      |  CAST(max_tg AS DOUBLE) / n_tg AS top_trigram_frac,
+      |  (max_bg * 100 > n_bg * 18 OR max_tg * 100 > n_tg * 16) AS repetitive
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  /** t16: training-mix weight planner — per-language token shares vs
+    * a target mix, producing the over/under-sampling weight a data
+    * loader applies. One narrow aggregate (key cardinality = number
+    * of languages) plus a 1-row broadcast total — the t7/t13 scalar
+    * pattern, nothing data-sized crosses the wire. Weight arithmetic
+    * is literal·int/int in a fixed order, so both engines produce
+    * bit-identical doubles. */
+  def mixWeights(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val target = typedLit(Map(
+      "en" -> 0.40, "zh" -> 0.15, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15))
+    // The grand total is a window over the ALREADY-AGGREGATED per-
+    // lang rows: one corpus scan, and the unpartitioned window runs
+    // over #languages rows (bounded model-sized state, like the q6/t8
+    // global finals) — never over the data. The two-branch
+    // crossJoin(broadcast(total)) alternative re-scanned the corpus.
+    val perLang = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_toks"))
+    perLang
+      .withColumn("total_toks",
+        sum(col("lang_toks")).over(Window.partitionBy()))
+      .select(col("lang"), col("n_docs"), col("lang_toks"), col("total_toks"),
+        (col("lang_toks").cast("double") / col("total_toks")).as("actual_share"),
+        element_at(target, col("lang")).as("target_share"))
+      .withColumn("weight",
+        col("target_share") * col("total_toks") / col("lang_toks"))
+      .withColumn("oversample", col("weight") > lit(1.0))
+      .drop("total_toks")
+      .orderBy(col("lang"))
+  }
+
+  def mixWeightsSql: String =
+    """WITH per_lang AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_toks
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(lang_toks) AS BIGINT) AS total_toks FROM per_lang),
+      |tgt AS (SELECT * FROM (VALUES ('en', 0.40), ('zh', 0.15), ('de', 0.15),
+      |  ('es', 0.15), ('fr', 0.15)) AS t(lang, target_share))
+      |SELECT p.lang, p.n_docs, p.lang_toks,
+      |  CAST(p.lang_toks AS DOUBLE) / total_toks AS actual_share,
+      |  CAST(target_share AS DOUBLE) AS target_share,
+      |  CAST(target_share AS DOUBLE) * total_toks / p.lang_toks AS weight,
+      |  CAST(target_share AS DOUBLE) * total_toks / p.lang_toks > 1.0 AS oversample
+      |FROM per_lang p JOIN tgt USING (lang), tot
+      |ORDER BY lang""".stripMargin
 }

@@ -299,4 +299,63 @@ object EventStream {
         Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** s4: streaming trending — per-hour top-3 event types by count.
+    * The stream side is the watermarked windowed count (the only
+    * stateful operator; ranking a stream INSIDE the query would need
+    * a second stateful op, which complete-mode rejects), and the
+    * top-3 cut runs over the sink — the standard serve-side trim for
+    * a trending board. Batch twin below carries identical semantics
+    * end-to-end and is the oracle-checked entry; the spec asserts
+    * stream == batch over the same files. */
+  def trendingStream(spark: SparkSession, d: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, d).schema
+    Tables.eventsNormalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour_ts"),
+        col("event_type"), col("n"))
+  }
+
+  /** rank-and-trim a counts table to the top-3 per hour (deterministic
+    * tie-break on event_type) — applied to the memory sink by the
+    * stream path and inline by the batch twin */
+  def trendingTop3(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("hour_ts")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("hour_ts"), col("rk"))
+  }
+
+  def runTrendingOnce(spark: SparkSession, d: String,
+                      name: String = "graft_s5"): DataFrame = {
+    val q = trendingStream(spark, d)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    trendingTop3(spark.table(name))
+  }
+
+  /** batch twin — the oracle-checked s4 entry */
+  def trendingBatch(spark: SparkSession, d: String): DataFrame =
+    trendingTop3(
+      Tables.events(spark, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n")))
+
+  def trendingSql: String =
+    """SELECT hour_ts, event_type, n, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT hour_ts, event_type, n,
+      |    row_number() OVER (PARTITION BY hour_ts ORDER BY n DESC, event_type) AS rk
+      |  FROM (
+      |    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts,
+      |      event_type, count(*) AS n
+      |    FROM events GROUP BY hour_ts, event_type))
+      |WHERE rk <= 3 ORDER BY hour_ts, rk""".stripMargin
 }

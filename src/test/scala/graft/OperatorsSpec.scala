@@ -1008,4 +1008,85 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy(col("event_type")).collect().map(_.toSeq).toSet
     assert(stream == batch)
   }
+
+  test("s4 trending: streaming top-3 equals batch twin") {
+    val batch = EventStream.trendingBatch(spark, sf).collect().map(_.toSeq).toSet
+    val stream = EventStream.runTrendingOnce(spark, sf, "graft_s4_spec")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("t15 repetition: planted spam doc flagged, diverse doc not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t15rep").toString
+    Seq(
+      (1L, Array.fill(10)("spam").mkString(" "), "en", "s", 49L),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "s", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.repetition(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("repetitive"))
+    assert(r(1L).getAs[Double]("dup_tok_frac") == 0.9)
+    assert(r(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(!r(2L).getAs[Boolean]("repetitive"))
+    assert(r(2L).getAs[Double]("dup_tok_frac") == 0.0)
+    // real corpus: all fractions well-formed
+    val corpus = TextOps.repetition(spark, sf).collect()
+    corpus.foreach { x =>
+      Seq("dup_tok_frac", "top_bigram_frac", "top_trigram_frac").foreach { c =>
+        val v = x.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+  }
+
+  test("d10 chunk dedup: detects a verbatim 16-token chunk reuse") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => s"c$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("d10chunk").toString
+    Seq(
+      (1L, shared + " " + (1 to 16).map(i => s"a$i").mkString(" "), "en", "s", 0L),
+      (2L, shared + " " + (1 to 16).map(i => s"b$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Dedup.chunkDedup(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_chunks"), x.getAs[Long]("n_dup_chunks"))).toMap
+    assert(r(1L) == (2L, 0L), s"doc 1 got ${r(1L)}") // first occurrence keeps its chunks
+    assert(r(2L) == (2L, 1L), s"doc 2 got ${r(2L)}") // the shared chunk is the dup
+  }
+
+  test("v18 knn graph: planted near-dups are each other's rank-1 neighbors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 100).map(i => (i.toLong, unit(), i % 10))
+    val planted = (0 until 20).map { i =>
+      val (_, v, l) = base(i)
+      ((100 + i).toLong, v.map(x => x + (rng.nextGaussian() * 0.02).toFloat), l)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("v18knn").toString
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val g = SrpBanded.knnGraph(spark, tmp, k = 5).collect()
+    g.foreach { r =>
+      assert(r.getAs[Long]("src") != r.getAs[Long]("dst"), "self edge")
+      val rk = r.getAs[Int]("rk"); assert(rk >= 1 && rk <= 5)
+    }
+    // at cos ≈ 0.998 the 8x8 SRP S-curve recall is ~1: every planted
+    // twin pair must surface, and as the top-ranked neighbor
+    val rank1 = g.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst")).toMap
+    (0 until 20).foreach { i =>
+      assert(rank1.get(100L + i).contains(i.toLong),
+        s"planted twin of ${100 + i} not rank-1: got ${rank1.get(100L + i)}")
+      assert(rank1.get(i.toLong).contains(100L + i),
+        s"planted twin of $i not rank-1: got ${rank1.get(i.toLong)}")
+    }
+  }
 }
