@@ -150,6 +150,8 @@ object SparkEntry {
     "d9_srp_banded_neardup" -> ((s, d) => SrpBanded.srpBandedNearDup(s, d)),
     "d10_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     "v18_knn_graph" -> ((s, d) => SrpBanded.knnGraph(s, d)),
+    "v19_graph_search" -> ((s, d) =>
+      SrpBanded.graphSearch(s, d, FakeEmbedder.embed(SearchText))),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -284,6 +286,7 @@ object SparkEntry {
     "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
+    "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
     "t1_lang_profile" -> TextOps.langProfileSql,

@@ -213,4 +213,157 @@ object SrpBanded {
        |SELECT src, dst, rk, round(sim, 6) AS sim
        |FROM ranked WHERE rk <= $k ORDER BY src, rk""".stripMargin
   }
+
+  // the search graph is the expensive part — build it once per
+  // (dir, k) and serve every query from the checkpointed edges
+  private val graphCache = new graft.SessionCache[(String, Int), DataFrame](
+    8, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+  graft.Tables.onInvalidate { p =>
+    graphCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+  }
+  def materializedGraph(spark: SparkSession, d: String, k: Int): DataFrame =
+    graphCache.getOrElseUpdate(spark, (d, k)) {
+      knnGraph(spark, d, k).select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+
+  /** Driver-side twin of [[bandKeysJ]] for a query vector — the same
+    * integer-quantized hyperplane signs, so a query lands in exactly
+    * the buckets its equal corpus vector would. */
+  def queryBandKeys(queryVec: Array[Float]): Seq[(Int, Long)] = {
+    val q = queryVec.take(Dim).map(x => math.floor(x * 1e6).toLong)
+    (0 until Bands).map { b =>
+      var key = 0L
+      var k = 0
+      while (k < RowsPerBand) {
+        val row = signs(b * RowsPerBand + k)
+        var dot = 0L
+        var j = 0
+        while (j < q.length) { dot += q(j) * row(j); j += 1 }
+        if (dot >= 0) key |= (1L << k)
+        k += 1
+      }
+      (b, key)
+    }
+  }
+
+  /** v19: LSH-seeded graph ANN search — multi-probe SRP entry + k-NN
+    * graph beam expansion (the public playbook: Charikar STOC'02
+    * probing for candidates, NSW/HNSW-style neighbor expansion —
+    * Malkov & Yashunin, TPAMI'18 — to recover LSH misses).
+    *
+    * The frontier is seeded from the QUERY'S OWN band buckets (the
+    * vectors that collide with it under the pinned hyperplanes), then
+    * `iters` hops over the v18 graph pull in each candidate's exact
+    * nearest neighbors — members of the query's similarity cluster
+    * that the bands happened to miss. Fixed-entry-point navigation
+    * (classic in-memory HNSW) does NOT transplant to an LSH-collision
+    * graph: on a low-similarity corpus the graph is too sparse to
+    * navigate from arbitrary seeds, and the measured recall collapses;
+    * query-bucket seeding starts INSIDE the target neighborhood
+    * instead.
+    *
+    * Scale shape: the banded table is partitioned by (band, key) on
+    * disk in a real deployment — the seed read prunes to 8 buckets
+    * (IvfStore-style PartitionFilters); each hop is a broadcast-
+    * frontier equi-join on src against the edge table; every
+    * intermediate is bounded by maxEntries + iters·beam·graphK rows.
+    * Iteration count is fixed, not data-dependent. */
+  def graphSearch(spark: SparkSession, d: String, queryVec: Array[Float],
+                  k: Int = 10, beam: Int = 8, iters: Int = 2,
+                  maxEntries: Int = 64, graphK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
+    val graph = materializedGraph(spark, d, graphK)
+    val q = typedLit(queryVec)
+    def score(ids: DataFrame): DataFrame =
+      broadcast(ids).join(emb, "vec_id")
+        .select(col("vec_id"),
+          vectors.cosine_sim(col("embedding"), q).as("sim"))
+    // seed: corpus vectors sharing a band bucket with the query
+    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val keysCol = org.apache.spark.sql.GraftBridge.column(
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv"))))
+    val banded = qt.select(col("vec_id"),
+      posexplode(keysCol).as(Seq("band", "bk")))
+    val probe = queryBandKeys(queryVec)
+      .map { case (b, bk) => col("band") === b && col("bk") === bk }
+      .reduce(_ || _)
+    var frontier = banded.filter(probe).select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(maxEntries)
+    var visited = score(frontier)
+    (1 to iters).foreach { _ =>
+      val neigh = broadcast(frontier)
+        .join(graph, frontier("vec_id") === graph("src"))
+        .select(col("dst").as("vec_id"))
+      val cand = score(frontier.union(neigh).distinct())
+      visited = visited.union(cand).distinct()
+      frontier = cand.orderBy(col("sim").desc, col("vec_id")).limit(beam)
+        .select(col("vec_id"))
+    }
+    // final cut: visited is bounded (≤ maxEntries + iters·beam·graphK
+    // rows), so the unpartitioned rank is over model-sized state
+    val w = Window.orderBy(col("sim").desc, col("vec_id"))
+    visited.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("rk"))
+  }
+
+  /** DuckDB twin: the graph CTEs from [[knnGraphSql]] + the beam
+    * iterations unrolled as c1/f1 … c_iters stages. */
+  def graphSearchSql(queryVecSql: String, k: Int = 10, beam: Int = 8,
+                     iters: Int = 3, entries: Int = 4, graphK: Int = 5): String = {
+    def keySql(b: Int): String =
+      (0 until RowsPerBand).map { kk =>
+        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
+      }.mkString(" + ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
+    }.mkString("\nUNION ALL\n")
+    val hops = (1 to iters).map { i =>
+      val prevF = if (i == 1) "f0" else s"f${i - 1}"
+      val prevV = if (i == 1) "f0s" else s"v${i - 1}"
+      s"""c$i AS (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_id FROM $prevF
+         |    UNION ALL
+         |    SELECT g.dst AS vec_id FROM $prevF f JOIN graph g ON g.src = f.vec_id)),
+         |c${i}s AS (SELECT c.vec_id, s.sim FROM c$i c JOIN qscore s USING (vec_id)),
+         |v$i AS (SELECT DISTINCT vec_id, sim FROM (
+         |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
+         |f$i AS (SELECT vec_id FROM c${i}s ORDER BY sim DESC, vec_id LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qt AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |gscored AS (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM cand c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |graph AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM gscored) WHERE rk <= $graphK),
+       |qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
+       |qscore AS (
+       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
+       |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
+       |f0 AS (SELECT vec_id FROM qt ORDER BY vec_id LIMIT $entries),
+       |f0s AS (SELECT f.vec_id, s.sim FROM f0 f JOIN qscore s USING (vec_id)),
+       |$hops
+       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+       |  FROM v$iters)
+       |WHERE rk <= $k ORDER BY rk""".stripMargin
+  }
 }

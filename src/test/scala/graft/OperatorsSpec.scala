@@ -1089,4 +1089,33 @@ class OperatorsSpec extends AnyFunSuite {
         s"planted twin of $i not rank-1: got ${rank1.get(i.toLong)}")
     }
   }
+
+  test("v19 graph search: deterministic, self-retrieving, decent recall on the small corpus") {
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    // query with an indexed vector's own embedding -> itself at rank 1
+    val probeId = emb.keys.min
+    val self = SrpBanded.graphSearch(spark, sf, emb(probeId)).collect()
+    assert(self.head.getAs[Long]("vec_id") == probeId)
+    assert(self.head.getAs[Double]("sim") == 1.0)
+    // deterministic: two runs bit-identical
+    val q = graft.functions.FakeEmbedder.embed("fast vector search over spark tables")
+    val a = SrpBanded.graphSearch(spark, sf, q).collect().map(_.toSeq).toSeq
+    val b = SrpBanded.graphSearch(spark, sf, q).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // recall floor vs exact knn (deterministic — this is a fixed number
+    // for this corpus, asserted with margin below its measured value)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val exact = emb.toSeq.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val got = a.map(_.head.asInstanceOf[Long]).toSet
+    val recall = (exact & got).size / 10.0
+    assert(recall >= 0.5, s"graph-search recall $recall vs exact top-10")
+  }
 }
