@@ -286,7 +286,8 @@ object SparkEntry {
     "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
-    "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql),
+    "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql,
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
     "t1_lang_profile" -> TextOps.langProfileSql,

@@ -247,31 +247,79 @@ object SrpBanded {
     }
   }
 
+  /** Multi-probe key set (Lv et al., VLDB'07 — public): for each band,
+    * the query's exact key plus every key within Hamming distance
+    * `radius` of it. A near-neighbor whose SRP bits disagree with the
+    * query's in ≤ radius positions of SOME band still lands in a
+    * probed bucket, so the seed pool covers the true neighborhood even
+    * when exact-key collisions are rare (a low-similarity query on a
+    * random corpus collides exactly in a band with prob ~2^-RowsPerBand).
+    * Deterministic, sorted — interpolated verbatim into the oracle SQL. */
+  def queryProbeKeys(queryVec: Array[Float], radius: Int = 2): Seq[(Int, Long)] = {
+    val exact = queryBandKeys(queryVec)
+    val flips: Seq[Long] = radius match {
+      case 0 => Seq(0L)
+      case 1 => 0L +: (0 until RowsPerBand).map(i => 1L << i)
+      case _ =>
+        val one = (0 until RowsPerBand).map(i => 1L << i)
+        val two = for {
+          i <- 0 until RowsPerBand; j <- (i + 1) until RowsPerBand
+        } yield (1L << i) | (1L << j)
+        0L +: (one ++ two)
+    }
+    (for { (b, key) <- exact; f <- flips } yield (b, key ^ f)).distinct.sorted
+  }
+
   /** v19: LSH-seeded graph ANN search — multi-probe SRP entry + k-NN
     * graph beam expansion (the public playbook: Charikar STOC'02
-    * probing for candidates, NSW/HNSW-style neighbor expansion —
-    * Malkov & Yashunin, TPAMI'18 — to recover LSH misses).
+    * banding, Lv et al. VLDB'07 multi-probe for candidates, NSW/
+    * HNSW-style neighbor expansion — Malkov & Yashunin, TPAMI'18 —
+    * to recover the remaining LSH misses).
     *
-    * The frontier is seeded from the QUERY'S OWN band buckets (the
-    * vectors that collide with it under the pinned hyperplanes), then
-    * `iters` hops over the v18 graph pull in each candidate's exact
-    * nearest neighbors — members of the query's similarity cluster
-    * that the bands happened to miss. Fixed-entry-point navigation
-    * (classic in-memory HNSW) does NOT transplant to an LSH-collision
-    * graph: on a low-similarity corpus the graph is too sparse to
-    * navigate from arbitrary seeds, and the measured recall collapses;
-    * query-bucket seeding starts INSIDE the target neighborhood
-    * instead.
+    * Seeding: the probed pool is every corpus vector in a bucket
+    * within Hamming-distance `probeRadius` of the query's key in any
+    * band ([[queryProbeKeys]]); the pool is scored exactly and the
+    * top `maxEntries` become the first frontier. Exact-key-only
+    * seeding does NOT work on a low-similarity corpus — the query's
+    * own buckets hold ~N·Bands/2^RowsPerBand near-random vectors and
+    * the graph is too sparse to escape them (measured recall 0.1);
+    * radius-2 probing covers each true neighbor with prob ≈ 0.98 at
+    * cos ≈ 0.4. Then `iters` hops over the v18 graph pull in each
+    * frontier member's graph neighbors.
     *
     * Scale shape: the banded table is partitioned by (band, key) on
-    * disk in a real deployment — the seed read prunes to 8 buckets
-    * (IvfStore-style PartitionFilters); each hop is a broadcast-
+    * disk ([[graft.sources.SrpStore]]) — the seed read prunes to the
+    * probed buckets via `PartitionFilters`; each hop is a broadcast-
     * frontier equi-join on src against the edge table; every
-    * intermediate is bounded by maxEntries + iters·beam·graphK rows.
-    * Iteration count is fixed, not data-dependent. */
+    * intermediate after the seed cut is bounded by
+    * maxEntries + iters·beam·graphK rows. Iteration count is fixed,
+    * not data-dependent. */
   def graphSearch(spark: SparkSession, d: String, queryVec: Array[Float],
                   k: Int = 10, beam: Int = 8, iters: Int = 2,
-                  maxEntries: Int = 64, graphK: Int = 5): DataFrame = {
+                  maxEntries: Int = 64, graphK: Int = 5,
+                  probeRadius: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
+    // pool: corpus vectors in any probed (band, key) bucket
+    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val keysCol = org.apache.spark.sql.GraftBridge.column(
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv"))))
+    val banded = qt.select(col("vec_id"),
+      posexplode(keysCol).as(Seq("band", "bk")))
+    val probe = queryProbeKeys(queryVec, probeRadius)
+      .map { case (b, bk) => col("band") === b && col("bk") === bk }
+      .reduce(_ || _)
+    val pool = banded.filter(probe).select(col("vec_id")).distinct()
+    graphSearchFrom(spark, d, pool, queryVec, k, beam, iters, maxEntries, graphK)
+  }
+
+  /** Beam search over the v18 graph from an already-probed seed pool
+    * (either [[graphSearch]]'s in-memory banding or a pruned
+    * [[graft.sources.SrpStore]] read — the results are identical). */
+  private[graft] def graphSearchFrom(spark: SparkSession, d: String,
+      pool: DataFrame, queryVec: Array[Float], k: Int, beam: Int,
+      iters: Int, maxEntries: Int, graphK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
@@ -282,18 +330,11 @@ object SrpBanded {
       broadcast(ids).join(emb, "vec_id")
         .select(col("vec_id"),
           vectors.cosine_sim(col("embedding"), q).as("sim"))
-    // seed: corpus vectors sharing a band bucket with the query
-    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("qv"))
-    val keysCol = org.apache.spark.sql.GraftBridge.column(
-      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv"))))
-    val banded = qt.select(col("vec_id"),
-      posexplode(keysCol).as(Seq("band", "bk")))
-    val probe = queryBandKeys(queryVec)
-      .map { case (b, bk) => col("band") === b && col("bk") === bk }
-      .reduce(_ || _)
-    var frontier = banded.filter(probe).select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(maxEntries)
-    var visited = score(frontier)
+    // seed cut: exact-score the pool, keep the best maxEntries
+    val seed = score(pool)
+      .orderBy(col("sim").desc, col("vec_id")).limit(maxEntries)
+    var visited = seed
+    var frontier = seed.select(col("vec_id"))
     (1 to iters).foreach { _ =>
       val neigh = broadcast(frontier)
         .join(graph, frontier("vec_id") === graph("src"))
@@ -303,8 +344,8 @@ object SrpBanded {
       frontier = cand.orderBy(col("sim").desc, col("vec_id")).limit(beam)
         .select(col("vec_id"))
     }
-    // final cut: visited is bounded (≤ maxEntries + iters·beam·graphK
-    // rows), so the unpartitioned rank is over model-sized state
+    // final cut: visited is bounded (≤ maxEntries + iters·(maxEntries
+    // + beam·graphK) rows), so the unpartitioned rank is model-sized
     val w = Window.orderBy(col("sim").desc, col("vec_id"))
     visited.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -312,10 +353,16 @@ object SrpBanded {
       .orderBy(col("rk"))
   }
 
-  /** DuckDB twin: the graph CTEs from [[knnGraphSql]] + the beam
-    * iterations unrolled as c1/f1 … c_iters stages. */
-  def graphSearchSql(queryVecSql: String, k: Int = 10, beam: Int = 8,
-                     iters: Int = 3, entries: Int = 4, graphK: Int = 5): String = {
+  /** DuckDB twin: the graph CTEs from [[knnGraphSql]], the query's
+    * multi-probe (band, key) set interpolated as a literal VALUES
+    * list (computed driver-side by the SAME [[queryProbeKeys]] the
+    * Scala path uses), and the beam iterations unrolled as c1/f1 …
+    * c_iters stages — every stage mirrors [[graphSearchFrom]]:
+    * seed = top-maxEntries of the scored pool, hop = frontier ∪
+    * graph-neighbors rescored, frontier = top-beam. */
+  def graphSearchSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
+                     k: Int = 10, beam: Int = 8, iters: Int = 2,
+                     maxEntries: Int = 64, graphK: Int = 5): String = {
     def keySql(b: Int): String =
       (0 until RowsPerBand).map { kk =>
         val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
@@ -324,6 +371,7 @@ object SrpBanded {
     val bandSelects = (0 until Bands).map { b =>
       s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
     }.mkString("\nUNION ALL\n")
+    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
     val hops = (1 to iters).map { i =>
       val prevF = if (i == 1) "f0" else s"f${i - 1}"
       val prevV = if (i == 1) "f0s" else s"v${i - 1}"
@@ -358,8 +406,14 @@ object SrpBanded {
        |qscore AS (
        |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
        |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
-       |f0 AS (SELECT vec_id FROM qt ORDER BY vec_id LIMIT $entries),
-       |f0s AS (SELECT f.vec_id, s.sim FROM f0 f JOIN qscore s USING (vec_id)),
+       |probe(band, bk) AS (VALUES $probeValues),
+       |pool AS (
+       |  SELECT DISTINCT b.vec_id FROM bands b
+       |  JOIN probe p ON b.band = p.band AND b.bk = p.bk),
+       |f0s AS (
+       |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
+       |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
+       |f0 AS (SELECT vec_id FROM f0s),
        |$hops
        |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
        |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk

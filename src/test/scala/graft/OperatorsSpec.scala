@@ -1116,6 +1116,7 @@ class OperatorsSpec extends AnyFunSuite {
       .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
     val got = a.map(_.head.asInstanceOf[Long]).toSet
     val recall = (exact & got).size / 10.0
+    info(s"graph-search recall vs exact top-10: $recall")
     assert(recall >= 0.5, s"graph-search recall $recall vs exact top-10")
   }
 }
