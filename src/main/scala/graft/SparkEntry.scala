@@ -152,6 +152,13 @@ object SparkEntry {
     "v18_knn_graph" -> ((s, d) => SrpBanded.knnGraph(s, d)),
     "v19_graph_search" -> ((s, d) =>
       SrpBanded.graphSearch(s, d, FakeEmbedder.embed(SearchText))),
+    // v19's serve path: identical search, seeds read from the
+    // persisted (band, bk)-partitioned SrpStore with partition
+    // pruning instead of banding the corpus per query
+    "v20_graph_search_stored" -> ((s, d) =>
+      graft.sources.SrpStore.graphSearch(s, d,
+        graft.sources.SrpStore.storeFor(s, d),
+        FakeEmbedder.embed(SearchText))),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -287,6 +294,9 @@ object SparkEntry {
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
     "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql,
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
+    // same oracle as v19: the stored path must return the same rows
+    "v20_graph_search_stored" -> SrpBanded.graphSearchSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),

@@ -294,31 +294,44 @@ object SrpBanded {
     * intermediate after the seed cut is bounded by
     * maxEntries + iters·beam·graphK rows. Iteration count is fixed,
     * not data-dependent. */
+  /** The (vec_id, embedding, band, bk) banding of a corpus — the
+    * in-memory form of what [[graft.sources.SrpStore]] persists. */
+  private[graft] def bandedOf(emb: DataFrame): DataFrame = {
+    val qt = emb.select(col("vec_id"), col("embedding"),
+      quantized(col("embedding")).as("qv"))
+    val keysCol = org.apache.spark.sql.GraftBridge.column(
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv"))))
+    qt.select(col("vec_id"), col("embedding"),
+      posexplode(keysCol).as(Seq("band", "bk")))
+  }
+
   def graphSearch(spark: SparkSession, d: String, queryVec: Array[Float],
                   k: Int = 10, beam: Int = 8, iters: Int = 2,
                   maxEntries: Int = 64, graphK: Int = 5,
                   probeRadius: Int = 2): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
-    // pool: corpus vectors in any probed (band, key) bucket
-    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("qv"))
-    val keysCol = org.apache.spark.sql.GraftBridge.column(
-      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv"))))
-    val banded = qt.select(col("vec_id"),
-      posexplode(keysCol).as(Seq("band", "bk")))
-    val probe = queryProbeKeys(queryVec, probeRadius)
-      .map { case (b, bk) => col("band") === b && col("bk") === bk }
-      .reduce(_ || _)
-    val pool = banded.filter(probe).select(col("vec_id")).distinct()
-    graphSearchFrom(spark, d, pool, queryVec, k, beam, iters, maxEntries, graphK)
+    // pool: corpus vectors in any probed (band, key) bucket — a
+    // broadcast equi-join against the literal probe keys (a 296-term
+    // OR chain codegens poorly; the join is one hash lookup per row)
+    val probeDf = queryProbeKeys(queryVec, probeRadius).toDF("band", "bk")
+    val pool = bandedOf(emb)
+      .join(broadcast(probeDf), Seq("band", "bk"))
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    val scored = pool.select(col("vec_id"),
+      vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
+    graphSearchFrom(spark, d, scored, queryVec, k, beam, iters, maxEntries, graphK)
   }
 
-  /** Beam search over the v18 graph from an already-probed seed pool
-    * (either [[graphSearch]]'s in-memory banding or a pruned
-    * [[graft.sources.SrpStore]] read — the results are identical). */
+  /** Beam search over the v18 graph from an already-probed, already-
+    * scored seed pool (either [[graphSearch]]'s in-memory banding or
+    * a pruned [[graft.sources.SrpStore]] read — the floats are the
+    * same IEEE values either way, so the results are identical). */
   private[graft] def graphSearchFrom(spark: SparkSession, d: String,
-      pool: DataFrame, queryVec: Array[Float], k: Int, beam: Int,
+      scoredPool: DataFrame, queryVec: Array[Float], k: Int, beam: Int,
       iters: Int, maxEntries: Int, graphK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
@@ -330,8 +343,8 @@ object SrpBanded {
       broadcast(ids).join(emb, "vec_id")
         .select(col("vec_id"),
           vectors.cosine_sim(col("embedding"), q).as("sim"))
-    // seed cut: exact-score the pool, keep the best maxEntries
-    val seed = score(pool)
+    // seed cut: keep the best maxEntries of the scored pool
+    val seed = scoredPool
       .orderBy(col("sim").desc, col("vec_id")).limit(maxEntries)
     var visited = seed
     var frontier = seed.select(col("vec_id"))

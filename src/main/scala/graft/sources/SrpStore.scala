@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SrpBanded
+import graft.functions.vectors
+
+/** On-disk SRP-banded LSH table — the persisted serve path for v19's
+  * graph search (the reference's always-on index role: sql/05 keeps
+  * an ivfflat index resident so queries never scan the corpus; this
+  * is the same contract for the SRP side).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/banded/band=<b>/bk=<key>/   (vec_id, embedding) rows
+  * }}}
+  * One row per (vector, band): the corpus is stored Bands (8) times,
+  * the standard LSH space/time trade. A multi-probe seed read
+  * compiles to a scan whose `PartitionFilters` prune to the probed
+  * buckets — ~probeKeys/(Bands·2^RowsPerBand) of the files, decided
+  * in the file index before any IO. Storing the embedding IN the row
+  * means seeding never joins back to the corpus table: the probe
+  * scores what it reads.
+  */
+object SrpStore {
+
+  def write(spark: SparkSession, d: String, dir: String): Unit = {
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    SrpBanded.bandedOf(emb)
+      .select(col("vec_id"), col("embedding"), col("band"), col("bk"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("band", "bk")
+      .parquet(s"$dir/banded")
+    graft.Tables.invalidate(dir)
+  }
+
+  // a serving process opens the store ONCE and probes it per query:
+  // memoize the DataFrame handle so the file index (a listing of up
+  // to Bands·2^RowsPerBand partition dirs) is built once, not per
+  // probe. Partition pruning still happens per query — the filter is
+  // applied to the retained index, not the data.
+  private val frameCache = new graft.SessionCache[String, DataFrame](8)
+  graft.Tables.onInvalidate { p =>
+    frameCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
+  private def bandedFrame(spark: SparkSession, dir: String): DataFrame =
+    frameCache.getOrElseUpdate(spark, dir)(spark.read.parquet(s"$dir/banded"))
+
+  /** Pruned multi-probe read: distinct (vec_id, embedding) across the
+    * probed buckets, exact-scored against the query. The OR-of-
+    * equalities predicate is static partition pruning — evaluated
+    * against the partition listing, not the data. */
+  def scoredPool(spark: SparkSession, dir: String,
+                 queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
+    val probe = SrpBanded.queryProbeKeys(queryVec, probeRadius)
+      .map { case (b, bk) => col("band") === b && col("bk") === bk }
+      .reduce(_ || _)
+    // score BEFORE the per-id dedup: each band copy of a vector
+    // yields the same IEEE sim, so the dedup shuffle carries
+    // (vec_id, sim) — 16 bytes — instead of the embedding
+    bandedFrame(spark, dir)
+      .filter(probe) // partition-pruned scan
+      .select(col("vec_id"),
+        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
+      .dropDuplicates("vec_id")
+  }
+
+  /** v19 served from the persisted table: identical results to
+    * [[SrpBanded.graphSearch]] (same pool, same IEEE floats), but the
+    * seed read touches only the probed partitions instead of banding
+    * the whole corpus per query. */
+  def graphSearch(spark: SparkSession, d: String, dir: String,
+                  queryVec: Array[Float], k: Int = 10, beam: Int = 8,
+                  iters: Int = 2, maxEntries: Int = 64, graphK: Int = 5,
+                  probeRadius: Int = 2): DataFrame =
+    SrpBanded.graphSearchFrom(spark, d,
+      scoredPool(spark, dir, queryVec, probeRadius),
+      queryVec, k, beam, iters, maxEntries, graphK)
+
+  // one store per corpus dir, built lazily for the queries() entry —
+  // a real deployment writes it once at ingest time (like IvfStore)
+  private val storeCache = new graft.SessionCache[String, String](
+    4, (_: String) => ())
+  graft.Tables.onInvalidate { p =>
+    storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
+  def storeFor(spark: SparkSession, d: String): String =
+    storeCache.getOrElseUpdate(spark, d) {
+      val dir = java.nio.file.Files.createTempDirectory("srpstore").toString
+      write(spark, d, dir)
+      dir
+    }
+}

@@ -352,4 +352,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(lists.map(_.getLong(1)).sum == emb.count())
     assert(lists.length >= 4, "k-means collapsed to too few lists")
   }
+
+  test("persisted SRP store: graph search equals in-memory, seed scan is partition-pruned") {
+    val q = FakeEmbedder.embed(queryText)
+    val dir = java.nio.file.Files.createTempDirectory("srp_store").toString
+    graft.sources.SrpStore.write(spark, sf, dir)
+    val stored = graft.sources.SrpStore.graphSearch(spark, sf, dir, q)
+    val inMem = graft.operators.SrpBanded.graphSearch(spark, sf, q)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      inMem.collect().map(_.toSeq).toSeq,
+      "stored serve path diverged from in-memory graph search")
+    // the seed read must prune to the probed (band, bk) buckets —
+    // static partition pruning, decided before any IO
+    val pool = graft.sources.SrpStore.scoredPool(spark, dir, q)
+    val scan = pool.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in scored-pool plan"))
+    assert(scan.toString.contains("PartitionFilters"),
+      s"no partition pruning in:\n$scan")
+    val probed = graft.operators.SrpBanded.queryProbeKeys(q).toSet
+    val total = spark.read.parquet(s"$dir/banded")
+      .select("band", "bk").distinct().count()
+    val read = scan.selectedPartitions.partitionCount
+    info(s"seed scan read $read of $total (band, bk) partitions")
+    assert(read <= probed.size && read < total,
+      s"scan read $read partitions (store has $total, probe set ${probed.size})")
+  }
 }
