@@ -330,9 +330,12 @@ object SparkEntry {
     "d3_simhash" -> Dedup.simhashPairsSql(),
     "v9_embed_ingest" -> graft.sources.Ingest.embedIngestDigestSql,
     "v17_mmr_rerank" -> SimilaritySearch.mmrRerankSql(queryVecSql),
-    // v5_ivf_build, v6_ivf_search, v12_pq_search, v14_ivf_similarity_
-    // join, v15_sq_search, d2_minhash_lsh: not SQL-expressible
-    // (k-means training / codebooks / JVM-internal hashes) →
-    // rows-only check; invariants covered in ScalaTest specs.
+    // the k-means / probe arithmetic is pinned to exact integers
+    // (IvfIndex object doc), so the whole training loop replays in SQL
+    "v5_ivf_build" -> IvfIndex.buildSummarySql(),
+    "v6_ivf_search" -> IvfIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v14_ivf_similarity_join" -> IvfIndex.similarityJoinSql(JoinQueryFilter),
+    // v12_pq_search, v15_sq_search: codebook/range training pinned the
+    // same way — twins below
   )
 }

@@ -143,8 +143,15 @@ case class DotProduct(left: Expression, right: Expression)
   * quantizer assignment (reference: sql/05_vector_index.sql ivfflat).
   * The centroid matrix rides along as a broadcast-sized reference
   * object, so assignment is map-only: no shuffle, no join.
+  *
+  * Operates on the INTEGER-QUANTIZED corpus (`array<long>`, see
+  * [[graft.operators.IvfIndex.quantize]]) against centroids that are
+  * exact-integer-sum / count divisions — every distance term is an
+  * IEEE double computed from exactly-representable operands in a
+  * fixed dim-ascending order, so the assignment is bit-reproducible
+  * in any engine (the property the DuckDB oracle relies on).
   */
-case class ClosestCentroid(child: Expression, centroids: Array[Array[Float]])
+case class ClosestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override val nullIntolerant: Boolean = true
@@ -156,7 +163,7 @@ case class ClosestCentroid(child: Expression, centroids: Array[Array[Float]])
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.ClosestCentroid.nearestJ($a, $cRef)")
   }
@@ -165,7 +172,7 @@ case class ClosestCentroid(child: Expression, centroids: Array[Array[Float]])
 
 /** Indices of the `nprobe` nearest centroids (squared-L2), best
   * first — the multi-probe assignment for IVF-accelerated joins. */
-case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override val nullIntolerant: Boolean = true
@@ -173,7 +180,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
   override def nullSafeEval(v: Any): Any =
     ClosestCentroid.nearestN(v.asInstanceOf[ArrayData], centroids, nprobe)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.ClosestCentroid.nearestN($a, $cRef, $nprobe)")
   }
@@ -181,10 +188,10 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
 }
 
 object ClosestCentroid {
-  def nearest(a: ArrayData, cs: Array[Array[Float]]): Int = nearestJ(a, cs)
+  def nearest(a: ArrayData, cs: Array[Array[Double]]): Int = nearestJ(a, cs)
 
   /** static, codegen-callable: nprobe nearest list ids, best first */
-  def nearestN(a: ArrayData, cs: Array[Array[Float]], nprobe: Int): ArrayData = {
+  def nearestN(a: ArrayData, cs: Array[Array[Double]], nprobe: Int): ArrayData = {
     val dists = new Array[Double](cs.length)
     var c = 0
     while (c < cs.length) {
@@ -192,7 +199,7 @@ object ClosestCentroid {
       val n = math.min(a.numElements(), cen.length)
       var s = 0.0; var i = 0
       while (i < n) {
-        val d = a.getFloat(i).toDouble - cen(i).toDouble
+        val d = a.getLong(i).toDouble - cen(i)
         s += d * d; i += 1
       }
       dists(c) = s
@@ -202,14 +209,14 @@ object ClosestCentroid {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(idx)
   }
   /** static, codegen-callable */
-  def nearestJ(a: ArrayData, cs: Array[Array[Float]]): Int = {
+  def nearestJ(a: ArrayData, cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
       val cen = cs(c)
       val n = math.min(a.numElements(), cen.length)
       var s = 0.0; var i = 0
       while (i < n) {
-        val d = a.getFloat(i).toDouble - cen(i).toDouble
+        val d = a.getLong(i).toDouble - cen(i)
         s += d * d; i += 1
       }
       if (s < bestD) { bestD = s; best = c }

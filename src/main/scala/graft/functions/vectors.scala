@@ -15,7 +15,7 @@ object vectors {
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def embed_text(t: Column): Column = c(EmbedText(e(t)))
-  def closest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
+  def closest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     c(ClosestCentroid(e(v), centroids))
 
   /** register SQL names on the session (temp functions) */

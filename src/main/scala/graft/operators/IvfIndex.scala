@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.vectors
@@ -10,13 +10,26 @@ import graft.functions.vectors
   * (sql/05_vector_index.sql:3-6).
   *
   * Build = Lloyd k-means with deterministic init (first k vectors by
-  * id). Every step is scale-shaped:
+  * id), run over the INTEGER-QUANTIZED corpus (floor(x·10⁶) as int64,
+  * the same pinning [[SrpBanded]] uses). That makes the whole
+  * training loop bit-reproducible across engines:
+  *  - per-(list, dim) update sums are exact int64 sums — no float
+  *    accumulation order anywhere in training;
+  *  - a centroid component is CAST(sum AS DOUBLE)/count — one IEEE
+  *    division of exactly-representable operands;
+  *  - assignment distances accumulate (q_j − c_j)² in a fixed
+  *    dim-ascending order from those exact operands.
+  * So the fitted model — and with it v5's list profile, v6's probe
+  * set and v14's join probes — is a deterministic function of the
+  * data, and the DuckDB oracle replays it exactly ([[fitCtes]]).
+  *
+  * Every step is scale-shaped:
   * - assignment is map-only (centroid matrix rides as a broadcast
   *   reference object inside a codegen'd expression — no join, no
   *   shuffle of the corpus);
   * - the update step shuffles only (k × dim) partial sums (posexplode
   *   → groupBy (cluster, dim) with map-side combine);
-  * - centroids collect to the driver (k × dim floats — tiny at any
+  * - centroids collect to the driver (k × dim doubles — tiny at any
   *   corpus size).
   * At cluster scale the assigned corpus would be written back
   * partitioned by `list_id` so a probe reads nprobe/nlists of the
@@ -25,9 +38,19 @@ import graft.functions.vectors
   */
 object IvfIndex {
 
-  case class Model(centroids: Array[Array[Float]]) {
+  /** quantization scale: floor(x·10⁶) — components land in ±10⁶,
+    * squared-distance sums ≤ dim·(2·10⁶)² ≈ 2.6e14 ≪ 2⁵³, so every
+    * intermediate stays an exactly-representable double */
+  val Scale = 1000000L
+
+  case class Model(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
   }
+
+  /** `array<float>` → `array<long>` of floor(x·10⁶) — the exact
+    * integer domain training and assignment run in. */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * lit(Scale)).cast("long"))
 
   /** Index builds are expensive and reusable (the reference builds its
     * ivfflat index once, then serves queries); memoize per
@@ -43,32 +66,37 @@ object IvfIndex {
     modelCache.getOrElseUpdate((d, k, iters),
       fit(Tables.embeddings(spark, d), "embedding", "vec_id", k, iters))
 
-  /** Deterministic Lloyd k-means over an `array<float>` column. */
+  /** Deterministic Lloyd k-means over an `array<float>` column
+    * (internally quantized — see the object doc). */
   def fit(emb: DataFrame, vecCol: String, idCol: String,
           k: Int, iters: Int): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var centroids: Array[Array[Float]] = emb
-      .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).as[Array[Float]].collect()
+    val qemb = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+    var centroids: Array[Array[Double]] = qemb
+      .orderBy(col("id")).limit(k)
+      .select(col("q")).as[Array[Long]].collect()
+      .map(_.map(_.toDouble))
 
     for (_ <- 1 to iters) {
-      val assigned = emb.select(
-        vectors.closest_centroid(col(vecCol), centroids).as("list_id"),
-        col(vecCol).as("v"))
+      val assigned = qemb.select(
+        vectors.closest_centroid(col("q"), centroids).as("list_id"),
+        col("q"))
+      // exact int64 partial sums — the shuffle carries (k × dim) rows
       val sums = assigned
-        .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("list_id"), posexplode(col("q")).as(Seq("dim", "x")))
         .groupBy(col("list_id"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
       val dim = centroids(0).length
+      // empty lists keep their previous centroid (mirrored by the
+      // oracle's COALESCE over a left join)
       val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
       val byList = sums.groupBy(_.getInt(0))
       byList.foreach { case (listId, rows) =>
-        val c = new Array[Float](dim)
+        val c = new Array[Double](dim)
         rows.foreach { r =>
-          c(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+          c(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3)
         }
         next(listId) = c
       }
@@ -80,7 +108,8 @@ object IvfIndex {
   /** Corpus with its list assignment — the inverted-file layout. At
     * scale: `.write.partitionBy("list_id").parquet(...)`. */
   def assign(emb: DataFrame, vecCol: String, model: Model): DataFrame =
-    emb.withColumn("list_id", vectors.closest_centroid(col(vecCol), model.centroids))
+    emb.withColumn("list_id",
+      vectors.closest_centroid(quantize(col(vecCol)), model.centroids))
 
   /** Per-list stats — the index summary (v5 output). */
   def buildSummary(spark: SparkSession, d: String, k: Int = 16, iters: Int = 5): DataFrame = {
@@ -92,20 +121,27 @@ object IvfIndex {
       .orderBy(col("list_id"))
   }
 
+  /** Driver-side quantization of a query — the same floor(x·10⁶)
+    * domain the corpus is trained in. */
+  def quantizeQuery(query: Array[Float]): Array[Double] =
+    query.map(x => math.floor(x.toDouble * Scale))
+
   /** The one centroid-ranking kernel every probe path shares: squared
-    * L2 in DOUBLE precision (matching ClosestCentroid's widening — a
-    * float-subtraction copy could rank near-tied lists differently),
-    * ties broken on list id. */
-  def rankLists(model: Model, query: Array[Float], nprobe: Int): Seq[Int] =
+    * L2 over the quantized query in dim-ascending order (bit-identical
+    * to [[graft.functions.ClosestCentroid]] and the oracle SQL), ties
+    * broken on list id. */
+  def rankLists(model: Model, query: Array[Float], nprobe: Int): Seq[Int] = {
+    val qd = quantizeQuery(query)
     model.centroids.zipWithIndex.map { case (c, i) =>
       var s = 0.0
       var j = 0
-      val n = math.min(c.length, query.length)
+      val n = math.min(c.length, qd.length)
       while (j < n) {
-        val dd = c(j).toDouble - query(j).toDouble; s += dd * dd; j += 1
+        val dd = qd(j) - c(j); s += dd * dd; j += 1
       }
       (i, s)
     }.sortBy { case (i, s) => (s, i) }.take(nprobe).map(_._1).toSeq
+  }
 
   /** IVF probe: rank lists by centroid distance to the query, scan
     * only the top `nprobe` lists, exact top-k inside them. */
@@ -134,7 +170,7 @@ object IvfIndex {
     import org.apache.spark.sql.GraftBridge
     val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("q_vec"),
         explode(GraftBridge.column(graft.functions.NearestCentroids(
-          GraftBridge.expression(col(qVecCol)), model.centroids, nprobe))).as("list_id"))
+          GraftBridge.expression(quantize(col(qVecCol))), model.centroids, nprobe))).as("list_id"))
     val assigned = assign(corpus, cVecCol, model)
       .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("c_vec"), col("list_id"))
     assigned.join(probes, Seq("list_id"))
@@ -155,4 +191,111 @@ object IvfIndex {
     search(emb, "embedding", "vec_id", model,
       graft.functions.FakeEmbedder.embed(queryText), topK, nprobe)
   }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twins: the SAME Lloyd iterations replayed in SQL.
+  // Exactness argument: training runs in int64 (SUM of BIGINT),
+  // centroids are CAST(s AS DOUBLE)/n, and every distance unrolls as
+  // a left-associated chain of (CAST(q[j] AS DOUBLE)-c[j])² terms —
+  // the identical IEEE operation sequence the Scala kernels execute.
+  // ---------------------------------------------------------------
+
+  /** squared-L2 between a BIGINT list `q` and a DOUBLE list `c`,
+    * unrolled dim-ascending, left-associated (= the kernel loop). */
+  private def distSql(q: String, c: String, dim: Int): String =
+    (1 to dim).map { j =>
+      s"(CAST($q[$j] AS DOUBLE)-$c[$j])*(CAST($q[$j] AS DOUBLE)-$c[$j])"
+    }.mkString(" + ")
+
+  /** CTE chain: `qt` (quantized corpus) … `cent$iters` (final
+    * centroids) … `af` (final assignment). */
+  private def fitCtes(k: Int, iters: Int, dim: Int): String = {
+    val qt =
+      s"""qt AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * $Scale) AS BIGINT)) AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim)""".stripMargin
+    val cent0 =
+      s"""cent0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS list_id,
+         |         list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM (SELECT vec_id, q FROM qt ORDER BY vec_id LIMIT $k))""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, q, list_id FROM (
+         |    SELECT t.vec_id, t.q, c.list_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${distSql("t.q", "c.c", dim)}, c.list_id) AS rn
+         |    FROM qt t CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT a.list_id, d.i AS dim, SUM(a.q[d.i + 1]) AS s, COUNT(*) AS n
+         |  FROM a$i a CROSS JOIN (SELECT unnest(range($dim)) AS i) d
+         |  GROUP BY 1, 2),
+         |cn$i AS MATERIALIZED (
+         |  SELECT list_id, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+         |  FROM u$i GROUP BY list_id),
+         |cent$i AS MATERIALIZED (
+         |  SELECT p.list_id, COALESCE(n.c, p.c) AS c
+         |  FROM cent${i - 1} p LEFT JOIN cn$i n USING (list_id))""".stripMargin
+    }.mkString(",\n")
+    val af =
+      s"""af AS MATERIALIZED (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT t.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${distSql("t.q", "c.c", dim)}, c.list_id) AS rn
+         |    FROM qt t CROSS JOIN cent$iters c) WHERE rn = 1)""".stripMargin
+    Seq(qt, cent0, iterCtes, af).mkString(",\n")
+  }
+
+  /** v5 oracle: per-list count + min id off the replayed assignment. */
+  def buildSummarySql(k: Int = 16, iters: Int = 5, dim: Int = 64): String =
+    s"""WITH ${fitCtes(k, iters, dim)}
+       |SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors, MIN(vec_id) AS min_vec_id
+       |FROM af GROUP BY list_id ORDER BY list_id""".stripMargin
+
+  /** v6 oracle: rank the replayed centroids against the quantized
+    * query, probe the top `nprobe` lists, exact cosine top-k. */
+  def searchSummarySql(query: Array[Float], k: Int = 16, iters: Int = 5,
+                       topK: Int = 10, nprobe: Int = 4, dim: Int = 64): String = {
+    val qlit = quantizeQuery(query).map(_.toLong).mkString("[", ",", "]")
+    val qVec = query.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+    s"""WITH ${fitCtes(k, iters, dim)},
+       |probed AS MATERIALIZED (
+       |  SELECT list_id FROM (
+       |    SELECT c.list_id,
+       |      row_number() OVER (ORDER BY ${distSql(s"CAST($qlit AS BIGINT[])", "c.c", dim)}, c.list_id) AS rn
+       |    FROM cent$iters c) WHERE rn <= $nprobe)
+       |SELECT e.vec_id,
+       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($qVec AS DOUBLE[])), 6) AS score
+       |FROM af JOIN embeddings e USING (vec_id)
+       |WHERE af.list_id IN (SELECT list_id FROM probed)
+       |ORDER BY score DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** v14 oracle: every query (vec_id % queryMod = 0) probes its
+    * `nprobe` nearest lists, pairs score by exact cosine, top-k per
+    * query with the [[graft.functions.TopKPairs]] tie order. */
+  def similarityJoinSql(queryMod: Int, k: Int = 16, iters: Int = 5,
+                        topK: Int = 5, nprobe: Int = 4, dim: Int = 64): String =
+    s"""WITH ${fitCtes(k, iters, dim)},
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT t.vec_id AS query_id, c.list_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${distSql("t.q", "c.c", dim)}, c.list_id) AS rn
+       |    FROM (SELECT * FROM qt WHERE vec_id % $queryMod = 0) t
+       |    CROSS JOIN cent$iters c) WHERE rn <= $nprobe),
+       |pairs AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(
+       |      CAST(ec.embedding AS DOUBLE[]), CAST(eq.embedding AS DOUBLE[])), 6) AS score
+       |  FROM probes p JOIN af a USING (list_id)
+       |  JOIN embeddings eq ON eq.vec_id = p.query_id
+       |  JOIN embeddings ec ON ec.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM pairs) WHERE rk <= $topK
+       |ORDER BY query_id, score DESC, neighbor_id""".stripMargin
 }

@@ -48,10 +48,10 @@ object IvfStore {
   def readCentroids(spark: SparkSession, dir: String): IvfIndex.Model =
     centroidCache.getOrElseUpdate(dir, {
       val rows = spark.read.parquet(s"$dir/centroids")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val k = rows.map(_._1).max + 1
       val dim = rows.map(_._2).max + 1
-      val cs = Array.fill(k)(new Array[Float](dim))
+      val cs = Array.fill(k)(new Array[Double](dim))
       rows.foreach { case (i, j, w) => cs(i)(j) = w }
       IvfIndex.Model(cs)
     })
