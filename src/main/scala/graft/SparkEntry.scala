@@ -335,7 +335,7 @@ object SparkEntry {
     "v5_ivf_build" -> IvfIndex.buildSummarySql(),
     "v6_ivf_search" -> IvfIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v14_ivf_similarity_join" -> IvfIndex.similarityJoinSql(JoinQueryFilter),
-    // v12_pq_search, v15_sq_search: codebook/range training pinned the
-    // same way — twins below
+    "v15_sq_search" -> SqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v12_pq_search" -> PqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
   )
 }

@@ -17,67 +17,82 @@ import graft.Tables
   * The 64-dim float corpus (256 B/vector) is encoded as `m` one-byte
   * codes (here 8 B/vector — 32×): each of the `m` subspaces gets its
   * own k-means codebook. Queries score the codes with an asymmetric
-  * distance table (m × k floats, computed once per query on the
+  * distance table (m × k doubles, computed once per query on the
   * driver) — a table lookup + add per subspace instead of a 64-wide
   * float loop. At 100 TB this is the difference between scanning
   * 100 TB and scanning 3 TB; the exact-rerank step then touches only
   * the top candidates' full vectors.
+  *
+  * Codebook training runs over the floor(x·10⁶) int64 quantization
+  * with the same exactness contract as [[IvfIndex]]: integer update
+  * sums, single-division centroids, fixed-order distance loops. The
+  * fitted codebooks, the per-row codes, and the ADC candidate order
+  * are therefore bit-reproducible — [[searchSummarySql]] replays the
+  * whole pipeline in DuckDB.
   */
 object PqIndex {
 
-  /** codebooks(j)(c) = centroid c of subspace j */
-  case class Model(codebooks: Array[Array[Array[Float]]]) {
+  /** codebooks(j)(c) = centroid c of subspace j (exact-int-sum / n
+    * doubles in the quantized domain) */
+  case class Model(codebooks: Array[Array[Array[Double]]]) {
     def m: Int = codebooks.length
     def k: Int = codebooks(0).length
     def dsub: Int = codebooks(0)(0).length
   }
 
-  /** distance table for a query: table(j)(c) = ||q_j - codebook(j)(c)||² */
-  def distanceTable(model: Model, query: Array[Float]): Array[Array[Float]] =
+  /** distance table for a query: table(j)(c) = ‖qq_j − codebook(j)(c)‖²
+    * over the quantized query, dsub-ascending accumulation */
+  def distanceTable(model: Model, query: Array[Float]): Array[Array[Double]] = {
+    val qq = IvfIndex.quantizeQuery(query)
     Array.tabulate(model.m) { j =>
       Array.tabulate(model.k) { c =>
         val cen = model.codebooks(j)(c)
-        var s = 0.0f
+        var s = 0.0
         var i = 0
         while (i < cen.length) {
-          val d = query(j * model.dsub + i) - cen(i); s += d * d; i += 1
+          val d = qq(j * model.dsub + i) - cen(i); s += d * d; i += 1
         }
         s
       }
     }
+  }
 
   /** Fit per-subspace codebooks with deterministic Lloyd iterations.
     * One distributed pass per iteration covers ALL subspaces: encode →
-    * posexplode (subspace, code, dim, x) → groupBy mean. */
+    * posexplode (subspace, code, dim, x) → groupBy over exact int64
+    * sums. */
   def fit(emb: DataFrame, vecCol: String, idCol: String,
           m: Int = 8, k: Int = 16, iters: Int = 4): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val dsub = dim / m
+    val qemb = emb.select(col(idCol).as("id"), IvfIndex.quantize(col(vecCol)).as("q"))
     // init: subspace slices of the first k vectors by id; a corpus
     // smaller than k simply yields fewer codes per subspace (the same
     // graceful degradation IvfIndex.fit has)
-    val init = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).as[Array[Float]].collect()
+    val init = qemb.orderBy(col("id")).limit(k)
+      .select(col("q")).as[Array[Long]].collect()
     val k2 = math.min(k, init.length)
     require(k2 > 0, "PqIndex.fit: empty corpus")
-    var books = Array.tabulate(m)(j =>
-      Array.tabulate(k2)(c => init(c).slice(j * dsub, (j + 1) * dsub)))
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      Array.tabulate(k2)(c =>
+        init(c).slice(j * dsub, (j + 1) * dsub).map(_.toDouble)))
 
     for (_ <- 1 to iters) {
-      val enc = encodeColumn(col(vecCol), Model(books))
-      val sums = emb.select(posexplode(enc).as(Seq("j", "code")),
-          col(vecCol).as("v"))
+      val enc = encodeQuantized(col("q"), Model(books))
+      val sums = qemb.select(posexplode(enc).as(Seq("j", "code")),
+          col("q"))
         .select(col("j"), col("code"),
-          posexplode(expr(s"slice(v, j * $dsub + 1, $dsub)")).as(Seq("dim", "x")))
+          posexplode(slice(col("q"), col("j") * dsub + 1, lit(dsub))).as(Seq("dim", "x")))
         .groupBy(col("j"), col("code"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
+      // empty codes keep their previous centroid (oracle: COALESCE)
       val next = books.map(_.map(_.clone()))
       sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, c), rows) =>
-        val cen = new Array[Float](dsub)
-        rows.foreach(r => cen(r.getInt(2)) = (r.getDouble(3) / r.getLong(4)).toFloat)
+        val cen = new Array[Double](dsub)
+        rows.foreach(r => cen(r.getInt(2)) = r.getLong(3).toDouble / r.getLong(4))
         next(j)(c) = cen
       }
       books = next
@@ -85,10 +100,13 @@ object PqIndex {
     Model(books)
   }
 
-  def encodeColumn(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
-    GraftBridge.column(PqEncode(GraftBridge.expression(vec), model.codebooks))
+  private def encodeQuantized(q: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(q), model.codebooks))
 
-  def adcColumn(codes: org.apache.spark.sql.Column, table: Array[Array[Float]]): org.apache.spark.sql.Column =
+  def encodeColumn(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
+    encodeQuantized(IvfIndex.quantize(vec), model)
+
+  def adcColumn(codes: org.apache.spark.sql.Column, table: Array[Array[Double]]): org.apache.spark.sql.Column =
     GraftBridge.column(PqAdcDistance(GraftBridge.expression(codes), table))
 
   /** ADC search with exact rerank: approximate distances over the
@@ -157,10 +175,88 @@ object PqIndex {
       .orderBy(col("score").asc_nulls_last, col(idCol).asc)
       .limit(topK)
   }
+
+  /** DuckDB twin of [[searchSummary]]: replays codebook training
+    * (per-(j, code) materialized Lloyd CTEs), encoding, the ADC
+    * candidate cut and the exact rerank. The per-subspace distance
+    * unrolls dsub-ascending; the per-row ADC sum unrolls j-ascending
+    * over a `list(... ORDER BY j)` — both matching the kernels'
+    * accumulation order exactly. */
+  def searchSummarySql(query: Array[Float], m: Int = 8, k: Int = 16,
+                       iters: Int = 4, topK: Int = 10, rerank: Int = 4,
+                       dim: Int = 64): String = {
+    val dsub = dim / m
+    val qq = IvfIndex.quantizeQuery(query)
+    val qVec = query.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+    val qqLit = qq.map(_.toString).mkString("[", ",", "]")
+    // squared L2 between sub (BIGINT list) and cb list `c`, unrolled
+    def subDist(sub: String, c: String): String =
+      (1 to dsub).map { i =>
+        s"(CAST($sub[$i] AS DOUBLE)-$c[$i])*(CAST($sub[$i] AS DOUBLE)-$c[$i])"
+      }.mkString(" + ")
+    // squared L2 between the literal quantized query's subspace j and `c`
+    def queryDist(c: String): String =
+      (1 to dsub).map { i =>
+        s"(qq.ql[a.j * $dsub + $i]-$c[$i])*(qq.ql[a.j * $dsub + $i]-$c[$i])"
+      }.mkString(" + ")
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, j, sub, code FROM (
+         |    SELECT t.vec_id, t.j, t.sub, c.code,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.j
+         |        ORDER BY ${subDist("t.sub", "c.c")}, c.code) AS rn
+         |    FROM qs t JOIN cb${i - 1} c USING (j)) WHERE rn = 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT a.j, a.code, d.i AS dim, SUM(a.sub[d.i + 1]) AS s, COUNT(*) AS n
+         |  FROM a$i a CROSS JOIN (SELECT unnest(range($dsub)) AS i) d
+         |  GROUP BY 1, 2, 3),
+         |cn$i AS MATERIALIZED (
+         |  SELECT j, code, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+         |  FROM u$i GROUP BY j, code),
+         |cb$i AS MATERIALIZED (
+         |  SELECT p.j, p.code, COALESCE(n.c, p.c) AS c
+         |  FROM cb${i - 1} p LEFT JOIN cn$i n USING (j, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * ${IvfIndex.Scale}) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |qs AS MATERIALIZED (
+       |  SELECT vec_id, d.j AS j, list_slice(q, d.j * $dsub + 1, (d.j + 1) * $dsub) AS sub
+       |  FROM qt CROSS JOIN (SELECT unnest(range($m)) AS j) d),
+       |cb0 AS MATERIALIZED (
+       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) AS INTEGER) - 1 AS code,
+       |         list_transform(sub, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, j, sub FROM qs
+       |        WHERE vec_id IN (SELECT vec_id FROM qt ORDER BY vec_id LIMIT $k))),
+       |$iterCtes,
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT t.vec_id, t.j, c.code,
+       |      row_number() OVER (PARTITION BY t.vec_id, t.j
+       |        ORDER BY ${subDist("t.sub", "c.c")}, c.code) AS rn
+       |    FROM qs t JOIN cb$iters c USING (j)) WHERE rn = 1),
+       |qlit AS MATERIALIZED (SELECT CAST($qqLit AS DOUBLE[]) AS ql),
+       |adcterms AS MATERIALIZED (
+       |  SELECT a.vec_id, a.j, ${queryDist("c.c")} AS term
+       |  FROM af a JOIN cb$iters c ON a.j = c.j AND a.code = c.code
+       |  CROSS JOIN qlit qq),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ${(1 to m).map(j => s"al[$j]").mkString(" + ")} AS adc
+       |    FROM (SELECT vec_id, list(term ORDER BY j) AS al FROM adcterms GROUP BY vec_id))
+       |  ORDER BY adc ASC, vec_id LIMIT ${topK * rerank})
+       |SELECT e.vec_id,
+       |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST($qVec AS DOUBLE[])), 6) AS score
+       |FROM cand JOIN embeddings e USING (vec_id)
+       |ORDER BY score ASC, vec_id LIMIT $topK""".stripMargin
+  }
 }
 
-/** `pq_encode(vec)` → array<int> of per-subspace nearest-codeword ids. */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+/** `pq_encode(q)` → array<int> of per-subspace nearest-codeword ids
+  * over the int64-quantized vector (fixed-order double accumulation
+  * from exact operands — see [[PqIndex]] object doc). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override val nullIntolerant: Boolean = true
@@ -168,14 +264,14 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override def nullSafeEval(v: Any): Any =
     PqEncode.encodeJ(v.asInstanceOf[ArrayData], codebooks)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     defineCodeGen(ctx, ev, s => s"graft.operators.PqEncode.encodeJ($s, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object PqEncode {
-  def encodeJ(vec: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+  def encodeJ(vec: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val dsub = books(0)(0).length
     val codes = new Array[Int](m)
@@ -183,14 +279,14 @@ object PqEncode {
     while (j < m) {
       val book = books(j)
       var best = 0
-      var bestD = Float.MaxValue
+      var bestD = Double.MaxValue
       var c = 0
       while (c < book.length) {
         val cen = book(c)
-        var s = 0.0f
+        var s = 0.0
         var i = 0
         while (i < dsub) {
-          val d = vec.getFloat(j * dsub + i) - cen(i); s += d * d; i += 1
+          val d = vec.getLong(j * dsub + i).toDouble - cen(i); s += d * d; i += 1
         }
         if (s < bestD) { bestD = s; best = c }
         c += 1
@@ -203,7 +299,7 @@ object PqEncode {
 }
 
 /** `pq_adc(codes)` → approximate squared distance via table lookups. */
-case class PqAdcDistance(child: Expression, table: Array[Array[Float]])
+case class PqAdcDistance(child: Expression, table: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override val nullIntolerant: Boolean = true
@@ -211,14 +307,14 @@ case class PqAdcDistance(child: Expression, table: Array[Array[Float]])
   override def nullSafeEval(v: Any): Any =
     PqAdcDistance.adcJ(v.asInstanceOf[ArrayData], table)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("adcTable", table, "float[][]")
+    val ref = ctx.addReferenceObj("adcTable", table, "double[][]")
     defineCodeGen(ctx, ev, s => s"graft.operators.PqAdcDistance.adcJ($s, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object PqAdcDistance {
-  def adcJ(codes: ArrayData, table: Array[Array[Float]]): Double = {
+  def adcJ(codes: ArrayData, table: Array[Array[Double]]): Double = {
     var s = 0.0
     var j = 0
     while (j < table.length) { s += table(j)(codes.getInt(j)); j += 1 }

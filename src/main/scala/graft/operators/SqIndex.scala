@@ -13,21 +13,28 @@ import graft.Tables
   * equivalent lossy-index tier).
   *
   * 64-dim float32 (256 B) → 64 B codes (4×). Unlike PQ there is no
-  * codebook training — the "model" is 2·dim floats, so fit is a
+  * codebook training — the "model" is 2·dim values, so fit is a
   * single distributed min/max aggregate (map-side partial, 32·dim
-  * tiny rows shuffled) and encode/decode are pure per-row arithmetic
-  * that stays inside whole-stage codegen via zip_with/aggregate.
-  * Search reconstructs approximate vectors from codes, takes
-  * rerank×k candidates by approximate L2, and exact-reranks them.
+  * tiny rows shuffled) and encode / approximate-distance are pure
+  * per-row arithmetic inside whole-stage codegen.
+  *
+  * Everything before the exact rerank runs in INTEGER arithmetic over
+  * the floor(x·10⁶) quantization ([[IvfIndex.quantize]]): ranges are
+  * int64 min/max, a code is one integer division (round-half-up), and
+  * the approximate distance is an exact integer sum of squared
+  * 255-denominator numerators — order-free and bit-identical in any
+  * engine, which is what lets the DuckDB oracle replay the whole
+  * candidate cut ([[searchSummarySql]]). |q·255 − r_num| ≤ (mx−mn)/2
+  * per dim (a code reconstructs its own bucket), so the summed
+  * distance stays ≪ 2⁶³. Search reconstructs nothing: rerank×k
+  * candidates by integer distance, then exact float L2 settles the
+  * final order.
   */
 object SqIndex {
 
-  /** per-dimension affine range; the entire "index model" */
-  case class Model(mins: Array[Float], maxs: Array[Float]) {
+  /** per-dimension quantized range; the entire "index model" */
+  case class Model(mins: Array[Long], maxs: Array[Long]) {
     def dim: Int = mins.length
-    /** code→value scale (0 where the dimension is constant) */
-    def widths: Array[Float] =
-      mins.zip(maxs).map { case (mn, mx) => if (mx > mn) (mx - mn) / 255f else 0f }
   }
 
   private val sqCache =
@@ -40,44 +47,55 @@ object SqIndex {
     * map-side, 32·dim rows to the driver. */
   def fit(emb: DataFrame, vecCol: String): Model = {
     val rows = emb
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(posexplode(IvfIndex.quantize(col(vecCol))).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect()
     val dim = rows.length
-    val mins = new Array[Float](dim)
-    val maxs = new Array[Float](dim)
-    rows.foreach { r => mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2) }
+    val mins = new Array[Long](dim)
+    val maxs = new Array[Long](dim)
+    rows.foreach { r => mins(r.getInt(0)) = r.getLong(1); maxs(r.getInt(0)) = r.getLong(2) }
     Model(mins, maxs)
   }
 
   def fitCached(spark: SparkSession, d: String): Model =
     sqCache.getOrElseUpdate(d, fit(Tables.embeddings(spark, d), "embedding"))
 
-  /** float vector → array<int> of byte codes (kept as int for cheap
-    * arithmetic; a persisted layout would pack to binary) */
+  /** exact integer division of non-negatives: (n − n mod d) / d is an
+    * integer ≤ 2⁵³, so the IEEE division is exact */
+  private def intDiv(n: Column, d: Column): Column =
+    ((n - n % d) / d).cast("long")
+
+  /** float vector → array<int> byte codes: one round-half-up integer
+    * division per dimension, c = ⌊(2·(q−mn)·255 + (mx−mn)) / (2·(mx−mn))⌋ */
   def encode(vec: Column, model: Model): Column = {
     val minsL = typedLit(model.mins)
-    val invW = typedLit(model.widths.map(w => if (w > 0f) 1f / w else 0f))
+    val maxsL = typedLit(model.maxs)
+    val q = IvfIndex.quantize(vec)
     zip_with(
-      zip_with(vec, minsL, (x, mn) => x - mn),
-      invW,
-      (dv, iw) => least(greatest(round(dv * iw), lit(0.0)), lit(255.0)).cast("int"))
+      zip_with(q, minsL, (x, mn) => x - mn),
+      zip_with(maxsL, minsL, (mx, mn) => mx - mn),
+      (dq, w) => when(w > 0,
+        intDiv(dq * lit(510L) + w, w * lit(2L))).otherwise(lit(0L))
+        .cast("int"))
   }
 
-  /** approximate squared L2 between the query and a codes column,
-    * computed without materializing the reconstruction */
+  /** exact integer approximate squared L2 (×255² and ×10¹²): the
+    * query joins the code's reconstruction in 255-denominator
+    * numerators, q·255 − (mn·255 + c·(mx−mn)) */
   def approxDistSq(codes: Column, model: Model, query: Array[Float]): Column = {
-    // (q_i - (min_i + c_i * w_i))² = (qadj_i - c_i * w_i)² with
-    // qadj precomputed on the driver
-    val qadj = typedLit(query.zip(model.mins).map { case (q, mn) => q - mn })
-    val wL = typedLit(model.widths)
-    val diffs = zip_with(zip_with(codes, wL, (c, w) => c * w), qadj, (r, qa) => qa - r)
-    aggregate(diffs, lit(0.0), (acc, x) => acc + x * x)
+    val qq = typedLit(IvfIndex.quantizeQuery(query).map(q => q.toLong * 255L))
+    val rBase = typedLit(model.mins.map(_ * 255L))
+    val width = typedLit(model.maxs.zip(model.mins).map { case (mx, mn) => mx - mn })
+    val rnum = zip_with(
+      zip_with(codes.cast("array<long>"), width, (c, w) => c * w),
+      rBase, (cw, b) => b + cw)
+    val diffs = zip_with(qq, rnum, (a, b) => a - b)
+    aggregate(diffs, lit(0L), (acc, x) => acc + x * x)
   }
 
-  /** SQ scan + exact rerank: approximate distances order rerank×k
-    * candidates, full-precision L2 settles the final top-k. */
+  /** SQ scan + exact rerank: integer approximate distances order
+    * rerank×k candidates, full-precision L2 settles the final top-k. */
   def search(emb: DataFrame, vecCol: String, idCol: String, model: Model,
              query: Array[Float], topK: Int, rerank: Int = 4): DataFrame = {
     val candidates = emb
@@ -98,5 +116,38 @@ object SqIndex {
     val model = fitCached(spark, d)
     search(emb, "embedding", "vec_id", model,
       graft.functions.FakeEmbedder.embed(queryText), topK)
+  }
+
+  /** DuckDB twin of [[searchSummary]]: the min/max fit, the per-dim
+    * integer code, the integer candidate distance (SUM of BIGINT —
+    * order-free, so a plain aggregate replays it) and the exact
+    * rerank. */
+  def searchSummarySql(query: Array[Float], topK: Int = 10,
+                       rerank: Int = 4, dim: Int = 64): String = {
+    val qq = IvfIndex.quantizeQuery(query).map(q => (q.toLong * 255L).toString)
+      .mkString("[", ",", "]")
+    val qVec = query.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+    s"""WITH qt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * ${IvfIndex.Scale}) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |dimstat AS MATERIALIZED (
+       |  SELECT d.i AS dim, MIN(q[d.i + 1]) AS mn, MAX(q[d.i + 1]) AS mx
+       |  FROM qt CROSS JOIN (SELECT unnest(range($dim)) AS i) d GROUP BY 1),
+       |terms AS MATERIALIZED (
+       |  SELECT t.vec_id,
+       |    CAST($qq AS BIGINT[])[s.dim + 1]
+       |      - (s.mn * 255 + (CASE WHEN s.mx > s.mn
+       |          THEN ((t.q[s.dim + 1] - s.mn) * 510 + (s.mx - s.mn)) // (2 * (s.mx - s.mn))
+       |          ELSE 0 END) * (s.mx - s.mn)) AS dnum
+       |  FROM qt t CROSS JOIN dimstat s),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, SUM(dnum * dnum) AS adist FROM terms GROUP BY vec_id)
+       |  ORDER BY adist ASC, vec_id LIMIT ${topK * rerank})
+       |SELECT e.vec_id,
+       |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST($qVec AS DOUBLE[])), 6) AS score
+       |FROM cand JOIN embeddings e USING (vec_id)
+       |ORDER BY score ASC, vec_id LIMIT $topK""".stripMargin
   }
 }

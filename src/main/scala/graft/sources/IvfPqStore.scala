@@ -60,11 +60,11 @@ object IvfPqStore {
   private def readModelsUncached(spark: SparkSession, dir: String): (IvfIndex.Model, PqIndex.Model) = {
     val ivf = IvfStore.readCentroids(spark, s"$dir")
     val rows = spark.read.parquet(s"$dir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getFloat(3)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     val m = rows.map(_._1).max + 1
     val k = rows.map(_._2).max + 1
     val dsub = rows.map(_._3).max + 1
-    val books = Array.fill(m, k)(new Array[Float](dsub))
+    val books = Array.fill(m, k)(new Array[Double](dsub))
     rows.foreach { case (j, c, i, w) => books(j)(c)(i) = w }
     (ivf, PqIndex.Model(books))
   }
