@@ -51,7 +51,16 @@ object Bench {
     val sfJson = sfDir.flatMap { // keep the line valid JSON for any path
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"aggregation":"per-query min over warm passes","cold_total":$coldTotal,"queries":$qs,"sf":"$sfJson"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"aggregation":"per-query min over warm passes","cold_total":$coldTotal,"queries":$qs,"sf":"$sfJson"}"""
+    println(line)
+    // the driver's bench artifact keeps only a tail of stdout, which
+    // truncates the per-query map — persist the full line in-repo so
+    // every timing survives the round
+    try {
+      val out = java.nio.file.Paths.get("docs/bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8")): Unit
+    } catch { case _: Throwable => () } // best-effort: never fail the bench
     spark.stop()
   }
 }
