@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
 object FakeEmbedder {
   val Dim = 64
 
-  def embed(text: String): Array[Float] = {
-    val v = new Array[Double](Dim)
+  /** dim-parametrized so parity fixtures can run at the reference's
+    * actual vector(768) width (sql/02_schema.sql:20); the corpus
+    * tables stay at the default 64. */
+  def embed(text: String, dim: Int = Dim): Array[Float] = {
+    val v = new Array[Double](dim)
     val t = "" + (if (text == null) "" else text.toLowerCase) + ""
     var i = 0
     while (i + 3 <= t.length) {
@@ -28,18 +31,18 @@ object FakeEmbedder {
       var h = 0x811c9dc5
       var j = i
       while (j < i + 3) { h ^= t.charAt(j); h *= 0x01000193; j += 1 }
-      val bucket = (h & 0x7fffffff) % Dim
+      val bucket = (h & 0x7fffffff) % dim
       val sign = if (((h >>> 31) & 1) == 0) 1.0 else -1.0
       v(bucket) += sign
       i += 1
     }
     var norm = 0.0
     var k = 0
-    while (k < Dim) { norm += v(k) * v(k); k += 1 }
+    while (k < dim) { norm += v(k) * v(k); k += 1 }
     val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
-    val out = new Array[Float](Dim)
+    val out = new Array[Float](dim)
     k = 0
-    while (k < Dim) { out(k) = (v(k) * inv).toFloat; k += 1 }
+    while (k < dim) { out(k) = (v(k) * inv).toFloat; k += 1 }
     out
   }
 

@@ -33,15 +33,17 @@ import graft.functions.vectors
   * planted near-duplicates. */
 /** `srp_band_keys(q)` → array<long> of [[SrpBanded.Bands]] band keys
   * from one codegen'd pass over the quantized components (see
-  * [[SrpBanded.bandKeysJ]]). */
-case class SrpBandKeysExpr(child: Expression) extends UnaryExpression {
+  * [[SrpBanded.bandKeysJ]]). `dim` selects the hyperplane set — the
+  * corpus tables use the default 64; parity fixtures run 768. */
+case class SrpBandKeysExpr(child: Expression, dim: Int = SrpBanded.Dim)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override val nullIntolerant: Boolean = true
   override def prettyName: String = "srp_band_keys"
   override def nullSafeEval(v: Any): Any =
-    SrpBanded.bandKeysJ(v.asInstanceOf[ArrayData])
+    SrpBanded.bandKeysJ(v.asInstanceOf[ArrayData], dim)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, q => s"graft.operators.SrpBanded.bandKeysJ($q)")
+    defineCodeGen(ctx, ev, q => s"graft.operators.SrpBanded.bandKeysJ($q, $dim)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -51,11 +53,18 @@ object SrpBanded {
   val Bands = 8
   val RowsPerBand: Int = Bits / Bands
 
-  // pinned seed → the same hyperplanes in every session and in the SQL
-  private[graft] val signs: Array[Array[Int]] = {
-    val rng = new scala.util.Random(20260812L)
-    Array.fill(Bits, Dim)(if (rng.nextBoolean()) 1 else -1)
-  }
+  // pinned seed → the same hyperplanes in every session and in the
+  // SQL; one set per dimensionality (the 64-wide set is what the
+  // corpus oracles embed as literals — signsFor(64) must keep
+  // generating it bit-for-bit)
+  private val signsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Int]]]
+  private[graft] def signsFor(dim: Int): Array[Array[Int]] =
+    signsCache.getOrElseUpdate(dim, {
+      val rng = new scala.util.Random(20260812L)
+      Array.fill(Bits, dim)(if (rng.nextBoolean()) 1 else -1)
+    })
+  private[graft] def signs: Array[Array[Int]] = signsFor(Dim)
 
   /** Integer-quantized component array: exact in both engines. */
   private def quantized(emb: Column): Column =
@@ -66,15 +75,18 @@ object SrpBanded {
     * costs ~Dim·Bits interpreted closure calls per row). Same math
     * as [[srpBandedNearDupSql]]'s generated SQL, verified by the
     * oracle compare. */
-  def bandKeysJ(q: ArrayData): ArrayData = {
-    val n = math.min(Dim, q.numElements())
+  def bandKeysJ(q: ArrayData): ArrayData = bandKeysJ(q, Dim)
+
+  def bandKeysJ(q: ArrayData, dim: Int): ArrayData = {
+    val sg = signsFor(dim)
+    val n = math.min(dim, q.numElements())
     val keys = new Array[Long](Bands)
     var b = 0
     while (b < Bands) {
       var key = 0L
       var k = 0
       while (k < RowsPerBand) {
-        val row = signs(b * RowsPerBand + k)
+        val row = sg(b * RowsPerBand + k)
         var dot = 0L
         var j = 0
         while (j < n) { dot += q.getLong(j) * row(j); j += 1 }
@@ -87,14 +99,15 @@ object SrpBanded {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
   }
 
-  def srpBandedNearDup(spark: SparkSession, d: String, tau: Double = 0.35): DataFrame = {
+  def srpBandedNearDup(spark: SparkSession, d: String, tau: Double = 0.35,
+                       dim: Int = Dim): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding"))
     val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
     // only (vec_id, band, key) rides the candidate shuffle
     val keysCol = org.apache.spark.sql.GraftBridge.column(
-      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("q"))))
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("q")), dim))
     val banded = qt.select(col("vec_id"),
       posexplode(keysCol).as(Seq("band", "bk")))
     val a = banded.select(col("band"), col("bk"), col("vec_id").as("id_a"))
@@ -230,13 +243,14 @@ object SrpBanded {
   /** Driver-side twin of [[bandKeysJ]] for a query vector — the same
     * integer-quantized hyperplane signs, so a query lands in exactly
     * the buckets its equal corpus vector would. */
-  def queryBandKeys(queryVec: Array[Float]): Seq[(Int, Long)] = {
-    val q = queryVec.take(Dim).map(x => math.floor(x * 1e6).toLong)
+  def queryBandKeys(queryVec: Array[Float], dim: Int = Dim): Seq[(Int, Long)] = {
+    val sg = signsFor(dim)
+    val q = queryVec.take(dim).map(x => math.floor(x * 1e6).toLong)
     (0 until Bands).map { b =>
       var key = 0L
       var k = 0
       while (k < RowsPerBand) {
-        val row = signs(b * RowsPerBand + k)
+        val row = sg(b * RowsPerBand + k)
         var dot = 0L
         var j = 0
         while (j < q.length) { dot += q(j) * row(j); j += 1 }
@@ -296,11 +310,11 @@ object SrpBanded {
     * not data-dependent. */
   /** The (vec_id, embedding, band, bk) banding of a corpus — the
     * in-memory form of what [[graft.sources.SrpStore]] persists. */
-  private[graft] def bandedOf(emb: DataFrame): DataFrame = {
+  private[graft] def bandedOf(emb: DataFrame, dim: Int = Dim): DataFrame = {
     val qt = emb.select(col("vec_id"), col("embedding"),
       quantized(col("embedding")).as("qv"))
     val keysCol = org.apache.spark.sql.GraftBridge.column(
-      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv"))))
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv")), dim))
     qt.select(col("vec_id"), col("embedding"),
       posexplode(keysCol).as(Seq("band", "bk")))
   }
