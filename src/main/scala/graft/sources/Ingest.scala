@@ -76,9 +76,13 @@ object Ingest {
     * integer side in DuckDB and emits `TRUE AS consistent` — if
     * `embed_text` ever drifts from the portable formula, the Spark
     * side flips to false and the hash compare fails loudly. No float
-    * ever reaches the compared columns. (ASCII corpus assumption:
-    * `ascii(substr(..))` — codepoint — equals JVM `charAt` only below
-    * U+10000; the documents corpus is ASCII.) */
+    * ever reaches the compared columns.
+    *
+    * The JVM kernel iterates UTF-16 code units (`charAt`) while SQL
+    * `substr`/`ascii` are codepoint-based — identical only below
+    * U+10000. Both twins therefore decompose codepoints into UTF-16
+    * units (surrogate pairs for astral chars) BEFORE the trigram
+    * walk, so the digest is exact for ANY text, not just ASCII. */
   def embedIngestDigest(spark: SparkSession, d: String): DataFrame = {
     val fnv = {
       def step(h: String, c: String) = s"((($h) ^ ($c)) * 16777619) % 4294967296"
@@ -93,13 +97,21 @@ object Ingest {
       .select(col("doc_id"), col("text"),
         concat(lit("\u0002"),
           lower(regexp_replace(col("text"), "\\s+", " ")), lit("\u0003")).as("s"))
-    val tri = docs.filter(length(col("s")) >= 3)
-      .select(col("doc_id"), col("s"),
-        explode(expr("sequence(1, length(s) - 2)")).as("i"))
+    // codepoints → UTF-16 code units (exactly what charAt yields)
+    val units = docs
+      .select(col("doc_id"), expr(
+        """flatten(transform(
+          |  transform(sequence(1, length(s)), i -> ascii(substr(s, i, 1))),
+          |  cp -> if(cp < 65536, array(cp),
+          |           array(55296 + shiftright(cp - 65536, 10),
+          |                 56320 + ((cp - 65536) % 1024)))))""".stripMargin.replaceAll("\\n\\s*\\|", " ")).as("u"))
+    val tri = units.filter(size(col("u")) >= 3)
+      .select(col("doc_id"), col("u"),
+        explode(expr("sequence(1, size(u) - 2)")).as("i"))
       .select(col("doc_id"),
-        expr("ascii(substr(s, i, 1))").as("a"),
-        expr("ascii(substr(s, i + 1, 1))").as("b"),
-        expr("ascii(substr(s, i + 2, 1))").as("c"))
+        expr("element_at(u, i)").as("a"),
+        expr("element_at(u, i + 1)").as("b"),
+        expr("element_at(u, i + 2)").as("c"))
       .select(col("doc_id"), expr(fnv).as("h3"))
     val wb = tri
       .select(col("doc_id"), expr("(h3 & 2147483647) % 64").as("bucket"),
@@ -134,11 +146,13 @@ object Ingest {
     val fnv = step(step(step("2166136261", "a"), "b"), "c")
     s"""WITH t AS (SELECT doc_id, chr(2) || lower(regexp_replace(text, '\\s+', ' ', 'g')) || chr(3) AS s FROM documents
        |           WHERE text IS NOT NULL AND len(text) > 0 AND doc_id IS NOT NULL),
-       |pos AS (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i FROM t WHERE len(s) >= 3),
-       |tri AS (SELECT doc_id,
-       |          ascii(substr(s, i, 1)) AS a, ascii(substr(s, i + 1, 1)) AS b,
-       |          ascii(substr(s, i + 2, 1)) AS c
-       |        FROM pos),
+       |un AS (SELECT doc_id, flatten(list_transform(
+       |          list_transform(range(1, len(s) + 1), i -> ascii(substr(s, i, 1))),
+       |          cp -> CASE WHEN cp < 65536 THEN [cp]
+       |                ELSE [55296 + (cp - 65536) // 1024, 56320 + (cp - 65536) % 1024] END)) AS u
+       |        FROM t),
+       |pos AS (SELECT doc_id, u, unnest(range(1, len(u) - 1)) AS i FROM un WHERE len(u) >= 3),
+       |tri AS (SELECT doc_id, u[i] AS a, u[i + 1] AS b, u[i + 2] AS c FROM pos),
        |h AS (SELECT doc_id, $fnv AS h3 FROM tri),
        |wb AS (SELECT doc_id, (h3 & 2147483647) % 64 AS bucket,
        |         CAST(SUM(CASE WHEN ((h3 >> 31) & 1) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w

@@ -1119,4 +1119,61 @@ class OperatorsSpec extends AnyFunSuite {
     info(s"graph-search recall vs exact top-10: $recall")
     assert(recall >= 0.5, s"graph-search recall $recall vs exact top-10")
   }
+
+  test("q33 blocked global deciles equal the naive global-sort window result") {
+    import org.apache.spark.sql.expressions.Window
+    // q33 computes exact deciles WITHOUT a global sort (blocked order
+    // statistics); this cross-check recomputes them the obvious way —
+    // one global row_number window (single reducer, fine at spec
+    // scale) — and asserts the full 10-row outputs are identical
+    val v = Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val n = v.count()
+    val thresholds = (1 to 9).map(i => (i * n + 9) / 10)
+    val ranked = v.withColumn("rn",
+      row_number().over(Window.orderBy(col("p"))))
+    val bounds = ranked.filter(col("rn").isin(thresholds: _*))
+      .select(col("p").cast("double")).distinct()
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    val bArr = typedLit(bounds)
+    val naive = v
+      .select(col("p"),
+        (lit(1) + size(filter(bArr, b => col("p").cast("double") > b))).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"),
+        sum(col("p")).cast("double").as("sum_price"))
+      .orderBy(col("decile"))
+      .collect().map(_.toSeq).toSeq
+    val blocked = graft.operators.CoreQueries.q33GlobalDecile(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked == naive,
+      s"blocked deciles diverged from naive global-sort:\n$blocked\nvs\n$naive")
+  }
+
+  test("v9 ingest digest is exact on non-ASCII text, astral chars included") {
+    import spark.implicits._
+    // the digest's `consistent` column compares the portable integer
+    // reconstruction against the ACTUAL codegen'd embed_text output
+    // (JVM charAt semantics) — true on every row means the UTF-16
+    // decomposition replicates the kernel for any text
+    val tmp = java.nio.file.Files.createTempDirectory("nonascii").toString
+    Seq(
+      (1L, "Grüße aus Zürich — schön!"),
+      (2L, "ψυχή καὶ σῶμα"),
+      (3L, "emoji stress 😀🚀 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 test"), // astral: surrogate pairs in the JVM
+      (4L, "plain ascii doc")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.sources.Ingest.embedIngestDigest(spark, tmp).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("consistent"),
+        s"doc ${r.getAs[Long]("doc_id")}: digest reconstruction diverged from embed_text")
+    }
+    // astral doc really exercises the surrogate path: its unit count
+    // exceeds its codepoint count
+    assert(rows.map(_.getAs[Long]("sq_norm")).forall(_ > 0))
+  }
 }
