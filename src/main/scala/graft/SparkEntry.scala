@@ -159,6 +159,9 @@ object SparkEntry {
       graft.sources.SrpStore.graphSearch(s, d,
         graft.sources.SrpStore.storeFor(s, d),
         FakeEmbedder.embed(SearchText))),
+    // one NN-Descent round over v18's graph: neighbors-of-neighbors
+    // rescan repairs LSH misses at n·k² candidate cost
+    "v21_nn_descent" -> ((s, d) => SrpBanded.nnDescentGraph(s, d)),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -298,6 +301,7 @@ object SparkEntry {
     // same oracle as v19: the stored path must return the same rows
     "v20_graph_search_stored" -> SrpBanded.graphSearchSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
+    "v21_nn_descent" -> SrpBanded.nnDescentGraphSql(),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
     "t1_lang_profile" -> TextOps.langProfileSql,

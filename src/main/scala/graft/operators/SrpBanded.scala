@@ -227,6 +227,135 @@ object SrpBanded {
        |FROM ranked WHERE rk <= $k ORDER BY src, rk""".stripMargin
   }
 
+  /** v21: one NN-Descent refinement round over the v18 graph (Dong,
+    * Moses & Li, "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures", WWW'11 — public algorithm). The
+    * principle: if b is near a and c is near b, c is probably near a —
+    * so each node rescans its neighbors-of-neighbors (over the
+    * UNDIRECTED current graph, i.e. forward + reverse edges) and keeps
+    * the best k. One round repairs most LSH misses: band collisions
+    * give a high-recall-but-imperfect G₀, and a missed true neighbor
+    * is usually adjacent to a found one.
+    *
+    * Scale shape: candidates are two self-equi-joins of the edge list
+    * (n·k² rows with k = graphK, the standard NN-Descent budget — no
+    * corpus×corpus term anywhere); exact cosine scores only candidate
+    * pairs; per-source top-k is the same bounded window v18 uses.
+    * Deterministic (exact scores over a deterministic G₀, ties on
+    * dst), so the DuckDB twin replays it bit-for-bit. */
+  def nnDescentGraph(spark: SparkSession, d: String, k: Int = 5,
+                     graphK: Int = 5, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
+    val scoreOf: DataFrame => DataFrame = cand => cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    // refine at DOUBLE the output degree (standard NN-Descent move:
+    // a low-degree graph mixes too slowly on unclustered data), emit
+    // the top k at the end
+    val workK = 2 * k
+    // refined edges are built once per (d, params) and cached like the
+    // v18 graph — graph construction is offline, serving reuses it
+    val g = refinedCache.getOrElseUpdate(spark, (d, k, graphK, rounds)) {
+      var cur = materializedGraph(spark, d, graphK)
+      (1 to rounds).foreach { r =>
+        val und = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val hop2 = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val cand = hop2.union(und).distinct()
+        val next = scoreOf(cand)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= workK)
+          .select(col("src"), col("dst"))
+        // each round's graph feeds n·k² candidates to the next — break
+        // lineage so round r+1 doesn't replay rounds 1..r, and release
+        // the previous round's blocks once the new checkpoint is live
+        // (localCheckpoint is eager). Round 1's `cur` is the shared
+        // materializedGraph — never unpersist that one.
+        val prev = cur
+        cur = next.localCheckpoint(true)
+        if (r > 1) org.apache.spark.sql.GraftBridge.unpersistPlanRdds(prev)
+      }
+      cur
+    }
+    scoreOf(g)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
+
+  /** DuckDB twin: [[knnGraphSql]]'s graph CTEs + the same undirected
+    * two-hop candidate expansion and re-rank, unrolled per round. */
+  def nnDescentGraphSql(k: Int = 5, graphK: Int = 5, rounds: Int = 3): String = {
+    def keySql(b: Int): String =
+      (0 until RowsPerBand).map { kk =>
+        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
+      }.mkString(" + ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
+    }.mkString("\nUNION ALL\n")
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"g${r - 1}"
+      s"""und$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM $prev UNION ALL SELECT dst AS src, src AS dst FROM $prev)),
+         |cand$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
+         |    UNION ALL SELECT src, dst FROM und$r)),
+         |rs$r AS MATERIALIZED (
+         |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+         |  FROM cand$r c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+         |g$r AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+         |    FROM rs$r) WHERE rk <= ${2 * k})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |bands AS MATERIALIZED (
+       |$bandSelects),
+       |cand0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |gscored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |g0 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM gscored) WHERE rk <= $graphK),
+       |$roundCtes,
+       |final_scored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM g$rounds c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id)
+       |SELECT src, dst, rk, round(sim, 6) AS sim FROM (
+       |  SELECT src, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
+       |  FROM final_scored) WHERE rk <= $k ORDER BY src, rk""".stripMargin
+  }
+
+  // v21's refined edge lists, cached with the same lifecycle as the
+  // v18 graph below
+  private val refinedCache = new graft.SessionCache[(String, Int, Int, Int), DataFrame](
+    8, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+  graft.Tables.onInvalidate { p =>
+    refinedCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+  }
+
   // the search graph is the expensive part — build it once per
   // (dir, k) and serve every query from the checkpointed edges
   private val graphCache = new graft.SessionCache[(String, Int), DataFrame](

@@ -1120,6 +1120,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"graph-search recall $recall vs exact top-10")
   }
 
+  test("v21 NN-Descent refinement: graph recall vs exact knn graph improves substantially") {
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    // exact 5-NN graph, brute force over the collected corpus
+    val exact: Map[Long, Set[Long]] = emb.map { case (id, v) =>
+      id -> emb.toSeq.filter(_._1 != id)
+        .map { case (o, w) => (o, cos(v, w)) }
+        .sortBy { case (o, s) => (-s, o) }.take(5).map(_._1).toSet
+    }
+    def recallOf(g: Array[(Long, Long)]): Double = {
+      val bySrc = g.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+      val scores = exact.toSeq.map { case (id, ex) =>
+        bySrc.get(id).map(f => (f & ex).size / 5.0).getOrElse(0.0)
+      }
+      scores.sum / scores.size
+    }
+    val v18 = graft.operators.SrpBanded.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val v21 = graft.operators.SrpBanded.nnDescentGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val (r18, r21) = (recallOf(v18), recallOf(v21))
+    info(s"graph recall@5 vs exact: v18 (bands only) $r18, v21 (NN-Descent refined) $r21")
+    assert(r21 >= r18, s"NN-Descent refinement regressed recall: $r21 < $r18")
+    assert(r21 >= 0.5, s"refined graph recall too low: $r21")
+  }
+
   test("q33 blocked global deciles equal the naive global-sort window result") {
     import org.apache.spark.sql.expressions.Window
     // q33 computes exact deciles WITHOUT a global sort (blocked order
