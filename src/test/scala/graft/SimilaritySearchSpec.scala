@@ -378,4 +378,31 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(read <= probed.size && read < total,
       s"scan read $read partitions (store has $total, probe set ${probed.size})")
   }
+
+  test("streaming SRP probe: equals batch stored graph search, seed scan partition-pruned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srp_stream").toString
+    graft.sources.SrpStore.write(spark, sf, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("srpprobe_q").toString
+    val q1 = "fast vector search over spark tables"
+    val q2 = "slow filter batch"
+    Seq(s"""{"query_id": 1, "query_text": "$q1"}""",
+      s"""{"query_id": 2, "query_text": "$q2"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = graft.streaming.SrpProbeStream
+      .runOnce(spark, tmp, sf, dir, k = 5).collect()
+    assert(out.length == 10) // 2 queries x 5 neighbors
+    Seq(1L -> q1, 2L -> q2).foreach { case (qid, qt) =>
+      val batch = graft.sources.SrpStore.graphSearch(spark, sf, dir,
+          FakeEmbedder.embed(qt), k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val stream = out.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(stream == batch, s"query $qid: stream $stream != batch $batch")
+    }
+    // the per-batch seed read pruned to the probed buckets
+    val plan = graft.streaming.SrpProbeStream.lastSeedPlan
+    assert(plan.contains("PartitionFilters") && plan.contains("band"),
+      s"no partition pruning in streaming seed plan:\n$plan")
+  }
 }
