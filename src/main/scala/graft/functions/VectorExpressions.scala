@@ -139,6 +139,40 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `quantize_vec(v)` — `array<float>` → `array<long>` of floor(x·10⁶):
+  * the exact integer domain the index stack trains and assigns in
+  * (see [[graft.operators.IvfIndex]]). A codegen'd primitive loop,
+  * replacing the `transform(cast(...), floor(x·10⁶))` higher-order
+  * form: HOFs are CodegenFallback in Spark, so the lambda ran
+  * interpreted per row inside every index scan — this keeps the whole
+  * stage compiled. Identical arithmetic: float → double widening,
+  * one double multiply, floor, truncate to long. */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_vec"
+  override def nullSafeEval(v: Any): Any =
+    QuantizeVec.quantizeJ(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.QuantizeVec.quantizeJ($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QuantizeVec {
+  /** static, codegen-callable. Assumes non-null elements (embedding
+    * arrays are written containsNull = false). */
+  def quantizeJ(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * 1e6).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Index of the nearest centroid (squared-L2) — the IVF coarse
   * quantizer assignment (reference: sql/05_vector_index.sql ivfflat).
   * The centroid matrix rides along as a broadcast-sized reference

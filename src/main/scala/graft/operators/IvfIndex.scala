@@ -48,9 +48,13 @@ object IvfIndex {
   }
 
   /** `array<float>` → `array<long>` of floor(x·10⁶) — the exact
-    * integer domain training and assignment run in. */
+    * integer domain training and assignment run in. Codegen'd
+    * primitive loop ([[graft.functions.QuantizeVec]]), not a
+    * higher-order function — HOFs are CodegenFallback and would run
+    * interpreted inside every index scan. */
   def quantize(vec: Column): Column =
-    transform(vec.cast("array<double>"), x => floor(x * lit(Scale)).cast("long"))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.QuantizeVec(org.apache.spark.sql.GraftBridge.expression(vec)))
 
   /** Index builds are expensive and reusable (the reference builds its
     * ivfflat index once, then serves queries); memoize per

@@ -95,12 +95,19 @@ object SqIndex {
   }
 
   /** SQ scan + exact rerank: integer approximate distances order
-    * rerank×k candidates, full-precision L2 settles the final top-k. */
+    * rerank×k candidates, full-precision L2 settles the final top-k.
+    * The scan uses the fused codegen'd kernel ([[SqApproxDist]]) —
+    * encode + distance in one primitive loop; the composable
+    * [[encode]]/[[approxDistSq]] column forms compute the identical
+    * integers but run interpreted (HOFs are CodegenFallback). */
   def search(emb: DataFrame, vecCol: String, idCol: String, model: Model,
              query: Array[Float], topK: Int, rerank: Int = 4): DataFrame = {
+    val qq255 = IvfIndex.quantizeQuery(query).map(q => q.toLong * 255L)
+    val adist = org.apache.spark.sql.GraftBridge.column(
+      SqApproxDist(org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+        model.mins, model.maxs, qq255))
     val candidates = emb
-      .select(col(idCol), col(vecCol),
-        approxDistSq(encode(col(vecCol), model), model, query).as("adist"))
+      .select(col(idCol), col(vecCol), adist.as("adist"))
       .orderBy(col("adist").asc_nulls_last, col(idCol).asc)
       .limit(topK * rerank)
     candidates
@@ -149,5 +156,52 @@ object SqIndex {
        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST($qVec AS DOUBLE[])), 6) AS score
        |FROM cand JOIN embeddings e USING (vec_id)
        |ORDER BY score ASC, vec_id LIMIT $topK""".stripMargin
+  }
+}
+
+/** `sq_approx_dist(vec)` → exact integer approximate squared L2: the
+  * fused quantize → encode → reconstruct → distance kernel of
+  * [[SqIndex.search]]'s scan, one codegen'd primitive loop per row.
+  * Arithmetic identical to the composable column forms (floor(x·10⁶)
+  * quantization, round-half-up integer code, 255-denominator
+  * numerators), so the DuckDB oracle is unchanged. */
+case class SqApproxDist(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                        mins: Array[Long], maxs: Array[Long], qq255: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_approx_dist"
+  override def nullSafeEval(v: Any): Any =
+    SqApproxDist.distJ(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      mins, maxs, qq255)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sqMins", mins, "long[]")
+    val mx = ctx.addReferenceObj("sqMaxs", maxs, "long[]")
+    val qq = ctx.addReferenceObj("sqQq", qq255, "long[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.operators.SqApproxDist.distJ($a, $mn, $mx, $qq)")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}
+
+object SqApproxDist {
+  /** static, codegen-callable */
+  def distJ(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            mins: Array[Long], maxs: Array[Long], qq255: Array[Long]): Long = {
+    val n = math.min(a.numElements(), mins.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val q = math.floor(a.getFloat(i).toDouble * 1e6).toLong
+      val w = maxs(i) - mins(i)
+      val c = if (w > 0) ((q - mins(i)) * 510L + w) / (2L * w) else 0L
+      val d = qq255(i) - (mins(i) * 255L + c * w)
+      s += d * d
+      i += 1
+    }
+    s
   }
 }

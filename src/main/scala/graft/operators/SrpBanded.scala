@@ -66,9 +66,12 @@ object SrpBanded {
     })
   private[graft] def signs: Array[Array[Int]] = signsFor(Dim)
 
-  /** Integer-quantized component array: exact in both engines. */
+  /** Integer-quantized component array: exact in both engines (the
+    * codegen'd [[graft.functions.QuantizeVec]] kernel, same floor(x·10⁶)
+    * arithmetic as the HOF form it replaced). */
   private def quantized(emb: Column): Column =
-    transform(emb.cast("array<double>"), x => floor(x * lit(1e6)).cast("long"))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.QuantizeVec(org.apache.spark.sql.GraftBridge.expression(emb)))
 
   /** Codegen-callable kernel: 64 integer hyperplane dots → 8 band
     * keys in one tight primitive loop (the per-bit HOF-lambda form
