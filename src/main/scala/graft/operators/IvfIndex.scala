@@ -206,14 +206,14 @@ object IvfIndex {
 
   /** squared-L2 between a BIGINT list `q` and a DOUBLE list `c`,
     * unrolled dim-ascending, left-associated (= the kernel loop). */
-  private def distSql(q: String, c: String, dim: Int): String =
+  private[graft] def distSql(q: String, c: String, dim: Int): String =
     (1 to dim).map { j =>
       s"(CAST($q[$j] AS DOUBLE)-$c[$j])*(CAST($q[$j] AS DOUBLE)-$c[$j])"
     }.mkString(" + ")
 
   /** CTE chain: `qt` (quantized corpus) … `cent$iters` (final
     * centroids) … `af` (final assignment). */
-  private def fitCtes(k: Int, iters: Int, dim: Int): String = {
+  private[graft] def fitCtes(k: Int, iters: Int, dim: Int): String = {
     val qt =
       s"""qt AS MATERIALIZED (
          |  SELECT vec_id,

@@ -63,11 +63,20 @@ object PqIndex {
     * sums. */
   def fit(emb: DataFrame, vecCol: String, idCol: String,
           m: Int = 8, k: Int = 16, iters: Int = 4): Model = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    fitQuantized(
+      emb.select(col(idCol).as("id"), IvfIndex.quantize(col(vecCol)).as("q")),
+      dim, m, k, iters)
+  }
+
+  /** Same Lloyd loop over an already-quantized `(id, q: array<long>)`
+    * frame — the entry point [[IvfPqResidual]] uses to train on
+    * residuals (q − floor(coarse centroid)), which stay exact int64. */
+  def fitQuantized(qemb: DataFrame, dim: Int,
+                   m: Int, k: Int, iters: Int): Model = {
+    val spark = qemb.sparkSession
+    import spark.implicits._
     val dsub = dim / m
-    val qemb = emb.select(col(idCol).as("id"), IvfIndex.quantize(col(vecCol)).as("q"))
     // init: subspace slices of the first k vectors by id; a corpus
     // smaller than k simply yields fewer codes per subspace (the same
     // graceful degradation IvfIndex.fit has)
@@ -176,6 +185,55 @@ object PqIndex {
       .limit(topK)
   }
 
+  /** CTE chain for PQ training + final encode over a source CTE
+    * `$src(vec_id, q)` of int64 vectors: `${p}qs` (subspace slices),
+    * `${p}cb0 … ${p}cb$iters` (Lloyd codebooks), `${p}af` (per-row
+    * per-subspace nearest-code assignment). The `p` prefix keeps the
+    * names disjoint when composed with [[IvfIndex.fitCtes]]'s CTEs
+    * (which also emit a/u/cn stages) in [[IvfPqResidual]]'s oracle. */
+  private[graft] def pqFitCtes(src: String, m: Int, k: Int, iters: Int,
+                               dim: Int, p: String = ""): String = {
+    val dsub = dim / m
+    // squared L2 between sub (BIGINT list) and cb list `c`, unrolled
+    def subDist(sub: String, c: String): String =
+      (1 to dsub).map { i =>
+        s"(CAST($sub[$i] AS DOUBLE)-$c[$i])*(CAST($sub[$i] AS DOUBLE)-$c[$i])"
+      }.mkString(" + ")
+    val iterCtes = (1 to iters).map { i =>
+      s"""${p}a$i AS MATERIALIZED (
+         |  SELECT vec_id, j, sub, code FROM (
+         |    SELECT t.vec_id, t.j, t.sub, c.code,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.j
+         |        ORDER BY ${subDist("t.sub", "c.c")}, c.code) AS rn
+         |    FROM ${p}qs t JOIN ${p}cb${i - 1} c USING (j)) WHERE rn = 1),
+         |${p}u$i AS MATERIALIZED (
+         |  SELECT a.j, a.code, d.i AS dim, SUM(a.sub[d.i + 1]) AS s, COUNT(*) AS n
+         |  FROM ${p}a$i a CROSS JOIN (SELECT unnest(range($dsub)) AS i) d
+         |  GROUP BY 1, 2, 3),
+         |${p}cn$i AS MATERIALIZED (
+         |  SELECT j, code, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+         |  FROM ${p}u$i GROUP BY j, code),
+         |${p}cb$i AS MATERIALIZED (
+         |  SELECT p.j, p.code, COALESCE(n.c, p.c) AS c
+         |  FROM ${p}cb${i - 1} p LEFT JOIN ${p}cn$i n USING (j, code))""".stripMargin
+    }.mkString(",\n")
+    s"""${p}qs AS MATERIALIZED (
+       |  SELECT vec_id, d.j AS j, list_slice(q, d.j * $dsub + 1, (d.j + 1) * $dsub) AS sub
+       |  FROM $src CROSS JOIN (SELECT unnest(range($m)) AS j) d),
+       |${p}cb0 AS MATERIALIZED (
+       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) AS INTEGER) - 1 AS code,
+       |         list_transform(sub, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, j, sub FROM ${p}qs
+       |        WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k))),
+       |$iterCtes,
+       |${p}af AS MATERIALIZED (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT t.vec_id, t.j, c.code,
+       |      row_number() OVER (PARTITION BY t.vec_id, t.j
+       |        ORDER BY ${subDist("t.sub", "c.c")}, c.code) AS rn
+       |    FROM ${p}qs t JOIN ${p}cb$iters c USING (j)) WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB twin of [[searchSummary]]: replays codebook training
     * (per-(j, code) materialized Lloyd CTEs), encoding, the ADC
     * candidate cut and the exact rerank. The per-subspace distance
@@ -189,53 +247,16 @@ object PqIndex {
     val qq = IvfIndex.quantizeQuery(query)
     val qVec = query.map(f => f.toDouble.toString).mkString("[", ", ", "]")
     val qqLit = qq.map(_.toString).mkString("[", ",", "]")
-    // squared L2 between sub (BIGINT list) and cb list `c`, unrolled
-    def subDist(sub: String, c: String): String =
-      (1 to dsub).map { i =>
-        s"(CAST($sub[$i] AS DOUBLE)-$c[$i])*(CAST($sub[$i] AS DOUBLE)-$c[$i])"
-      }.mkString(" + ")
     // squared L2 between the literal quantized query's subspace j and `c`
     def queryDist(c: String): String =
       (1 to dsub).map { i =>
         s"(qq.ql[a.j * $dsub + $i]-$c[$i])*(qq.ql[a.j * $dsub + $i]-$c[$i])"
       }.mkString(" + ")
-    val iterCtes = (1 to iters).map { i =>
-      s"""a$i AS MATERIALIZED (
-         |  SELECT vec_id, j, sub, code FROM (
-         |    SELECT t.vec_id, t.j, t.sub, c.code,
-         |      row_number() OVER (PARTITION BY t.vec_id, t.j
-         |        ORDER BY ${subDist("t.sub", "c.c")}, c.code) AS rn
-         |    FROM qs t JOIN cb${i - 1} c USING (j)) WHERE rn = 1),
-         |u$i AS MATERIALIZED (
-         |  SELECT a.j, a.code, d.i AS dim, SUM(a.sub[d.i + 1]) AS s, COUNT(*) AS n
-         |  FROM a$i a CROSS JOIN (SELECT unnest(range($dsub)) AS i) d
-         |  GROUP BY 1, 2, 3),
-         |cn$i AS MATERIALIZED (
-         |  SELECT j, code, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
-         |  FROM u$i GROUP BY j, code),
-         |cb$i AS MATERIALIZED (
-         |  SELECT p.j, p.code, COALESCE(n.c, p.c) AS c
-         |  FROM cb${i - 1} p LEFT JOIN cn$i n USING (j, code))""".stripMargin
-    }.mkString(",\n")
     s"""WITH qt AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * ${IvfIndex.Scale}) AS BIGINT)) AS q
        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
-       |qs AS MATERIALIZED (
-       |  SELECT vec_id, d.j AS j, list_slice(q, d.j * $dsub + 1, (d.j + 1) * $dsub) AS sub
-       |  FROM qt CROSS JOIN (SELECT unnest(range($m)) AS j) d),
-       |cb0 AS MATERIALIZED (
-       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) AS INTEGER) - 1 AS code,
-       |         list_transform(sub, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM (SELECT vec_id, j, sub FROM qs
-       |        WHERE vec_id IN (SELECT vec_id FROM qt ORDER BY vec_id LIMIT $k))),
-       |$iterCtes,
-       |af AS MATERIALIZED (
-       |  SELECT vec_id, j, code FROM (
-       |    SELECT t.vec_id, t.j, c.code,
-       |      row_number() OVER (PARTITION BY t.vec_id, t.j
-       |        ORDER BY ${subDist("t.sub", "c.c")}, c.code) AS rn
-       |    FROM qs t JOIN cb$iters c USING (j)) WHERE rn = 1),
+       |${pqFitCtes("qt", m, k, iters, dim)},
        |qlit AS MATERIALIZED (SELECT CAST($qqLit AS DOUBLE[]) AS ql),
        |adcterms AS MATERIALIZED (
        |  SELECT a.vec_id, a.j, ${queryDist("c.c")} AS term
