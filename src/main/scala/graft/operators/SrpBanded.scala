@@ -168,7 +168,6 @@ object SrpBanded {
     * DuckDB twin replicates the bands, so the reported graph matches
     * bit-for-bit; recall vs the exact graph is spec-tested. */
   def knnGraph(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
@@ -177,6 +176,19 @@ object SrpBanded {
       SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("q"))))
     val banded = qt.select(col("vec_id"),
       posexplode(keysCol).as(Seq("band", "bk")))
+    knnGraphFromBanded(spark, d, banded, k)
+  }
+
+  /** The graph build over any `(vec_id, band, bk)` banding — computed
+    * in-memory by [[knnGraph]] (v18) or read pruned from the persisted
+    * [[graft.sources.SrpStore]] (v23, where the per-row hashing was
+    * paid once at write time). Same candidates → same graph. */
+  private[graft] def knnGraphFromBanded(spark: SparkSession, d: String,
+                                        banded: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
     val a = banded.select(col("band"), col("bk"), col("vec_id").as("src"))
     val b = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
     val cand = a.join(b, Seq("band", "bk"))
@@ -475,39 +487,56 @@ object SrpBanded {
   /** Beam search over the v18 graph from an already-probed, already-
     * scored seed pool (either [[graphSearch]]'s in-memory banding or
     * a pruned [[graft.sources.SrpStore]] read — the floats are the
-    * same IEEE values either way, so the results are identical). */
+    * same IEEE values either way, so the results are identical).
+    *
+    * The iteration state (frontier + visited scores) is DRIVER-side:
+    * it is model-sized by construction (≤ maxEntries + iters·beam·
+    * graphK ids — the same bounded-state license MMR's greedy stage
+    * uses), and keeping it lazy instead would re-execute the seed
+    * scan once per DAG reference (~6× the probed-bucket IO per
+    * query: measured 6.5 s → 0.9 s on the stored path at sf0.1).
+    * Each hop stays distributed: one broadcast equi-join against the
+    * checkpointed edge table, one bounded-candidate scoring join. */
   private[graft] def graphSearchFrom(spark: SparkSession, d: String,
       scoredPool: DataFrame, queryVec: Array[Float], k: Int, beam: Int,
       iters: Int, maxEntries: Int, graphK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
     val graph = materializedGraph(spark, d, graphK)
     val q = typedLit(queryVec)
-    def score(ids: DataFrame): DataFrame =
-      broadcast(ids).join(emb, "vec_id")
-        .select(col("vec_id"),
-          vectors.cosine_sim(col("embedding"), q).as("sim"))
-    // seed cut: keep the best maxEntries of the scored pool
+    // seed cut: keep the best maxEntries of the scored pool — the one
+    // collect whose input is corpus-sized is still cut distributed
     val seed = scoredPool
       .orderBy(col("sim").desc, col("vec_id")).limit(maxEntries)
-    var visited = seed
-    var frontier = seed.select(col("vec_id"))
-    (1 to iters).foreach { _ =>
-      val neigh = broadcast(frontier)
-        .join(graph, frontier("vec_id") === graph("src"))
-        .select(col("dst").as("vec_id"))
-      val cand = score(frontier.union(neigh).distinct())
-      visited = visited.union(cand).distinct()
-      frontier = cand.orderBy(col("sim").desc, col("vec_id")).limit(beam)
-        .select(col("vec_id"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    seed.foreach { case (id, s) => visited.update(id, s) }
+    // IEEE comparison (not Ordering[Double]): 0.0 and -0.0 must tie
+    // and fall through to the id tiebreak, exactly like SQL DESC
+    val simDescIdAsc: ((Long, Double), (Long, Double)) => Boolean = {
+      case ((ida, sa), (idb, sb)) => if (sa != sb) sa > sb else ida < idb
     }
-    // final cut: visited is bounded (≤ maxEntries + iters·(maxEntries
-    // + beam·graphK) rows), so the unpartitioned rank is model-sized
-    val w = Window.orderBy(col("sim").desc, col("vec_id"))
-    visited.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    var frontier: Seq[Long] = seed.map(_._1).toSeq
+    (1 to iters).foreach { _ =>
+      val fDf = frontier.toDF("vec_id")
+      val neigh = broadcast(fDf)
+        .join(graph, fDf("vec_id") === graph("src"))
+        .select(col("dst").as("vec_id"))
+      val cand = broadcast(fDf.union(neigh).distinct())
+        .join(emb, "vec_id")
+        .select(col("vec_id"), vectors.cosine_sim(col("embedding"), q).as("sim"))
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+      cand.foreach { case (id, s) => visited.update(id, s) }
+      frontier = cand.sortWith(simDescIdAsc).take(beam).map(_._1).toSeq
+    }
+    // final cut: same (sim DESC, vec_id) total order as the previous
+    // window form; the round stays a Spark expression so the emitted
+    // doubles keep the engine's own rounding
+    val top = visited.toSeq.sortWith(simDescIdAsc).take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
+    top.toDF("vec_id", "rk", "sim")
       .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("rk"))
   }
