@@ -162,6 +162,13 @@ object SparkEntry {
     // one NN-Descent round over v18's graph: neighbors-of-neighbors
     // rescan repairs LSH misses at n·k² candidate cost
     "v21_nn_descent" -> ((s, d) => SrpBanded.nnDescentGraph(s, d)),
+    // residual IVF-PQ (IVFADC): codes quantize x − centroid(list(x)),
+    // probe scans nprobe lists' 8-byte codes with per-list ADC tables
+    "v22_ivfpq_residual" -> ((s, d) => IvfPqResidual.searchSummary(s, d, SearchText)),
+    // v18's graph build reading the persisted SrpStore banding
+    // (embedding column pruned from the scan) instead of re-hashing
+    "v23_knn_graph_stored" -> ((s, d) =>
+      graft.sources.SrpStore.knnGraphStored(s, d)),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -341,5 +348,8 @@ object SparkEntry {
     "v14_ivf_similarity_join" -> IvfIndex.similarityJoinSql(JoinQueryFilter),
     "v15_sq_search" -> SqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v12_pq_search" -> PqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    // same oracle as v18: the stored build must return the same graph
+    "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),
   )
 }

@@ -1153,6 +1153,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r21 >= 0.5, s"refined graph recall too low: $r21")
   }
 
+  test("v22 residual IVF-PQ: exact rerank, deterministic, residual codes reconstruct better than raw PQ") {
+    val qText = "fast vector search over spark tables"
+    val query = graft.functions.FakeEmbedder.embed(qText)
+    val a = IvfPqResidual.searchSummary(spark, sf, qText).collect()
+    assert(a.length == 10)
+    // two runs bit-identical (training, encoding, probe all pinned)
+    val b = IvfPqResidual.searchSummary(spark, sf, qText).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // returned scores ARE the exact L2 of those ids (the rerank
+    // contract: approximation picks candidates, never the score)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def l2(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- x.indices) { val d = x(i).toDouble - y(i).toDouble; s += d * d }
+      math.sqrt(s)
+    }
+    a.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val want = BigDecimal(l2(emb(id), query))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("score") - want) < 1e-9,
+        s"rerank score for $id is not the exact L2")
+    }
+    // the POINT of residual encoding: at the same (m, k) code budget,
+    // quantizing x − c(list(x)) reconstructs with lower total squared
+    // error than quantizing raw x (between-list variance is absorbed
+    // by the coarse quantizer before the codewords spend their bits)
+    val res = IvfPqResidual.fitCached(spark, sf)
+    val raw = PqIndex.fitCached(spark, sf)
+    val dsub = raw.dsub
+    def subErr(v: Array[Long], off: Int, cen: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < cen.length) { val d = v(off + i).toDouble - cen(i); s += d * d; i += 1 }
+      s
+    }
+    def encodeErr(v: Array[Long], books: Array[Array[Array[Double]]]): Double =
+      books.indices.map { j =>
+        books(j).map(cen => subErr(v, j * dsub, cen)).min
+      }.sum
+    def nearestList(q: Array[Long]): Int =
+      res.ivf.centroids.zipWithIndex.minBy { case (c, i) =>
+        (c.indices.map(x => { val d = q(x).toDouble - c(x); d * d }).sum, i)
+      }._2
+    val (rawErr, residErr) = emb.values.foldLeft((0.0, 0.0)) { case ((er, es), v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val rcl = res.rc(nearestList(q))
+      val r = q.indices.map(i => q(i) - rcl(i)).toArray
+      (er + encodeErr(q, raw.codebooks), es + encodeErr(r, res.pq.codebooks))
+    }
+    info(s"PQ reconstruction error: raw ${rawErr.toLong}, residual ${residErr.toLong}")
+    assert(residErr < rawErr,
+      s"residual codes should reconstruct better: $residErr >= $rawErr")
+  }
+
+  test("v23 stored knn-graph build: identical to v18, banded scan prunes the embedding column") {
+    val stored = graft.sources.SrpStore.knnGraphStored(spark, sf)
+    val live = SrpBanded.knnGraph(spark, sf)
+    assert(stored.collect().map(_.toSeq).toSeq == live.collect().map(_.toSeq).toSeq,
+      "stored-banding build diverged from the in-memory build")
+    // the build must NOT read the stored embedding copies: it scans
+    // the compact banding artifact (vec_id, band, bk — 12 B/row),
+    // not the 2048 probe-sized bucket dirs
+    val scans = stored.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val bandedScans = scans.filter(_.toString.contains("srpstore"))
+    assert(bandedScans.nonEmpty, "no scan over the persisted SrpStore banding")
+    bandedScans.foreach { f =>
+      val readCols = f.requiredSchema.fieldNames.toSet
+      assert(!readCols.contains("embedding"),
+        s"stored graph build reads the embedding column: $readCols")
+    }
+  }
+
   test("q33 blocked global deciles equal the naive global-sort window result") {
     import org.apache.spark.sql.expressions.Window
     // q33 computes exact deciles WITHOUT a global sort (blocked order
