@@ -169,6 +169,17 @@ object SparkEntry {
     // (embedding column pruned from the scan) instead of re-hashing
     "v23_knn_graph_stored" -> ((s, d) =>
       graft.sources.SrpStore.knnGraphStored(s, d)),
+    // beam search over the NN-Descent-refined graph: better per-hop
+    // recall at identical serve cost (graph quality paid at build)
+    "v25_graph_search_refined" -> ((s, d) =>
+      SrpBanded.graphSearchRefined(s, d, FakeEmbedder.embed(SearchText))),
+    // v22 served from a persisted residual-code store: partition-
+    // pruned probe over 8-byte codes, same results as in-memory
+    "v24_ivfpq_residual_stored" -> ((s, d) =>
+      graft.sources.IvfPqStore.searchResidual(s,
+        graft.sources.IvfPqStore.residualStoreFor(s, d),
+        Tables.embeddings(s, d), "embedding", "vec_id",
+        FakeEmbedder.embed(SearchText), topK = 10, nprobe = 4)),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -351,5 +362,9 @@ object SparkEntry {
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),
+    // same oracle as v22: the stored probe must return the same rows
+    "v24_ivfpq_residual_stored" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v25_graph_search_refined" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
   )
 }

@@ -49,8 +49,8 @@ object IvfPqResidual {
       GraftBridge.expression(codes), GraftBridge.expression(listId), tables))
 
   /** corpus with (id, list_id, residual q) — the training/encode input */
-  private def residualFrame(emb: DataFrame, vecCol: String, idCol: String,
-                            ivf: IvfIndex.Model, rc: Array[Array[Long]]): DataFrame = {
+  private[graft] def residualFrame(emb: DataFrame, vecCol: String, idCol: String,
+                                   ivf: IvfIndex.Model, rc: Array[Array[Long]]): DataFrame = {
     val qv = IvfIndex.quantize(col(vecCol))
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         qv.as("qv"), vectors.closest_centroid(qv, ivf.centroids).as("list_id"))

@@ -463,10 +463,12 @@ object SrpBanded {
       posexplode(keysCol).as(Seq("band", "bk")))
   }
 
-  def graphSearch(spark: SparkSession, d: String, queryVec: Array[Float],
-                  k: Int = 10, beam: Int = 8, iters: Int = 2,
-                  maxEntries: Int = 64, graphK: Int = 5,
-                  probeRadius: Int = 2): DataFrame = {
+  /** Exact-scored multi-probe seed pool over the in-memory banding —
+    * the seeding stage [[graphSearch]] and [[graphSearchRefined]]
+    * share (the persisted analogue is
+    * [[graft.sources.SrpStore.scoredPool]]). */
+  private[graft] def scoredProbePool(spark: SparkSession, d: String,
+      queryVec: Array[Float], probeRadius: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
@@ -475,14 +477,50 @@ object SrpBanded {
     // broadcast equi-join against the literal probe keys (a 296-term
     // OR chain codegens poorly; the join is one hash lookup per row)
     val probeDf = queryProbeKeys(queryVec, probeRadius).toDF("band", "bk")
-    val pool = bandedOf(emb)
+    bandedOf(emb)
       .join(broadcast(probeDf), Seq("band", "bk"))
       .select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
-    val scored = pool.select(col("vec_id"),
-      vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
-    graphSearchFrom(spark, d, scored, queryVec, k, beam, iters, maxEntries, graphK)
+      .select(col("vec_id"),
+        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
   }
+
+  def graphSearch(spark: SparkSession, d: String, queryVec: Array[Float],
+                  k: Int = 10, beam: Int = 8, iters: Int = 2,
+                  maxEntries: Int = 64, graphK: Int = 5,
+                  probeRadius: Int = 2): DataFrame =
+    graphSearchFrom(spark, d, scoredProbePool(spark, d, queryVec, probeRadius),
+      queryVec, k, beam, iters, maxEntries, graphK)
+
+  /** v25: the same multi-probe + beam serve path, expanding over the
+    * NN-Descent-REFINED graph (v21's output edges) instead of the raw
+    * band-collision graph. The refined graph's recall@5 is ~4.7× the
+    * raw one's on this corpus (v21 spec), so each hop recovers more
+    * of the true neighborhood at identical per-hop cost — graph
+    * quality is the cheap lever for serve-time recall (build-time
+    * n·k² refinement vs serve-time beam widening). Deterministic end
+    * to end: the served edges are v21's oracle-checked output. */
+  def graphSearchRefined(spark: SparkSession, d: String, queryVec: Array[Float],
+                         k: Int = 10, beam: Int = 8, iters: Int = 2,
+                         maxEntries: Int = 64, graphK: Int = 5,
+                         rounds: Int = 3, probeRadius: Int = 2): DataFrame =
+    graphSearchFrom(spark, d, scoredProbePool(spark, d, queryVec, probeRadius),
+      queryVec, k, beam, iters, maxEntries, graphK,
+      graphOverride = Some(materializedRefinedGraph(spark, d, graphK, graphK, rounds)))
+
+  // v21's final top-k edge set, checkpointed once per (d, params) —
+  // the serve-time edge table for the refined search path
+  private val refinedTopCache = new graft.SessionCache[(String, Int, Int, Int), DataFrame](
+    8, org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+  graft.Tables.onInvalidate { p =>
+    refinedTopCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+  }
+  def materializedRefinedGraph(spark: SparkSession, d: String, k: Int = 5,
+                               graphK: Int = 5, rounds: Int = 3): DataFrame =
+    refinedTopCache.getOrElseUpdate(spark, (d, k, graphK, rounds)) {
+      nnDescentGraph(spark, d, k, graphK, rounds)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+    }
 
   /** Beam search over the v18 graph from an already-probed, already-
     * scored seed pool (either [[graphSearch]]'s in-memory banding or
@@ -499,12 +537,13 @@ object SrpBanded {
     * checkpointed edge table, one bounded-candidate scoring join. */
   private[graft] def graphSearchFrom(spark: SparkSession, d: String,
       scoredPool: DataFrame, queryVec: Array[Float], k: Int, beam: Int,
-      iters: Int, maxEntries: Int, graphK: Int): DataFrame = {
+      iters: Int, maxEntries: Int, graphK: Int,
+      graphOverride: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
-    val graph = materializedGraph(spark, d, graphK)
+    val graph = graphOverride.getOrElse(materializedGraph(spark, d, graphK))
     val q = typedLit(queryVec)
     // seed cut: keep the best maxEntries of the scored pool — the one
     // collect whose input is corpus-sized is still cut distributed
@@ -590,6 +629,98 @@ object SrpBanded {
        |  SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
        |    FROM gscored) WHERE rk <= $graphK),
+       |qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
+       |qscore AS (
+       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
+       |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
+       |probe(band, bk) AS (VALUES $probeValues),
+       |pool AS (
+       |  SELECT DISTINCT b.vec_id FROM bands b
+       |  JOIN probe p ON b.band = p.band AND b.bk = p.bk),
+       |f0s AS (
+       |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
+       |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
+       |f0 AS (SELECT vec_id FROM f0s),
+       |$hops
+       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+       |  FROM v$iters)
+       |WHERE rk <= $k ORDER BY rk""".stripMargin
+  }
+
+  /** DuckDB twin of [[graphSearchRefined]]: [[nnDescentGraphSql]]'s
+    * training + refinement CTEs produce the final refined edge set,
+    * which then plays the `graph` role in [[graphSearchSql]]'s probe/
+    * beam stages — unchanged seeding, unchanged hop arithmetic. */
+  def graphSearchRefinedSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
+                            k: Int = 10, beam: Int = 8, iters: Int = 2,
+                            maxEntries: Int = 64, graphK: Int = 5,
+                            rounds: Int = 3): String = {
+    def keySql(b: Int): String =
+      (0 until RowsPerBand).map { kk =>
+        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
+      }.mkString(" + ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
+    }.mkString("\nUNION ALL\n")
+    // the refinement rounds run at the work degree v21 uses (2·graphK)
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"g${r - 1}"
+      s"""und$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM $prev UNION ALL SELECT dst AS src, src AS dst FROM $prev)),
+         |cand$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
+         |    UNION ALL SELECT src, dst FROM und$r)),
+         |rs$r AS MATERIALIZED (
+         |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+         |  FROM cand$r c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+         |g$r AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+         |    FROM rs$r) WHERE rk <= ${2 * graphK})""".stripMargin
+    }.mkString(",\n")
+    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
+    val hops = (1 to iters).map { i =>
+      val prevF = if (i == 1) "f0" else s"f${i - 1}"
+      val prevV = if (i == 1) "f0s" else s"v${i - 1}"
+      s"""c$i AS (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_id FROM $prevF
+         |    UNION ALL
+         |    SELECT g.dst AS vec_id FROM $prevF f JOIN graph g ON g.src = f.vec_id)),
+         |c${i}s AS (SELECT c.vec_id, s.sim FROM c$i c JOIN qscore s USING (vec_id)),
+         |v$i AS (SELECT DISTINCT vec_id, sim FROM (
+         |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
+         |f$i AS (SELECT vec_id FROM c${i}s ORDER BY sim DESC, vec_id LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |bands AS MATERIALIZED (
+       |$bandSelects),
+       |cand0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |gscored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |g0 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM gscored) WHERE rk <= $graphK),
+       |$roundCtes,
+       |final_scored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM g$rounds c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |graph AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM final_scored) WHERE rk <= $graphK),
        |qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
        |qscore AS (
        |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{IvfIndex, PqIndex}
+import graft.operators.{IvfIndex, IvfPqResidual, PqIndex}
 
 /** Combined IVF + PQ persisted index — the full FAISS-style "IVFPQ"
   * layout (public design: inverted lists from a coarse quantizer,
@@ -68,6 +68,81 @@ object IvfPqStore {
     rows.foreach { case (j, c, i, w) => books(j)(c)(i) = w }
     (ivf, PqIndex.Model(books))
   }
+
+  // -------------------------------------------------------------
+  // Residual layout (v22 persisted): same directory structure, but
+  // the stored codes product-quantize x − c(list(x)) — see
+  // [[graft.operators.IvfPqResidual]]. The floored residual anchors
+  // derive from the stored centroids (floor), so no extra artifact;
+  // raw and residual stores differ only in what the codes MEAN, and
+  // the search path that must match it.
+  // -------------------------------------------------------------
+
+  def writeResidual(spark: SparkSession, emb: DataFrame, vecCol: String,
+                    idCol: String, model: IvfPqResidual.Model, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    IvfPqResidual.residualFrame(emb, vecCol, idCol, model.ivf, model.rc)
+      .select(col("id"),
+        GraftBridge.column(graft.operators.PqEncode(
+          GraftBridge.expression(col("q")), model.pq.codebooks)).as("codes"),
+        col("list_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("list_id")
+      .parquet(s"$dir/lists")
+    model.ivf.centroids.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (w, j) => (i, j, w) } }
+      .toSeq.toDF("list_id", "dim", "w")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    model.pq.codebooks.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.flatMap { case (cen, c) =>
+        cen.zipWithIndex.map { case (w, i) => (j, c, i, w) } } }
+      .toSeq.toDF("subspace", "code", "dim", "w")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    graft.Tables.invalidate(dir)
+  }
+
+  /** probe of a residual store: identical pruning shape to [[search]],
+    * but each probed list's codes score against that list's own
+    * residual distance table. Result parity with the in-memory
+    * [[IvfPqResidual.searchSummary]] is spec-asserted. */
+  def searchResidual(spark: SparkSession, dir: String, source: DataFrame,
+                     vecCol: String, idCol: String,
+                     query: Array[Float], topK: Int, nprobe: Int,
+                     rerank: Int = 4): DataFrame = {
+    val (ivf, pq) = readModels(spark, dir)
+    val rc = ivf.centroids.map(_.map(x => math.floor(x).toLong))
+    val model = IvfPqResidual.Model(ivf, rc, pq)
+    val probed = IvfIndex.rankLists(ivf, query, nprobe)
+    val tables = IvfPqResidual.residualTables(model, query)
+    val candidates = spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(probed: _*)) // partition-pruned
+      .select(col("id"),
+        IvfPqResidual.adcByListCol(col("codes"), col("list_id"), tables).as("adc"))
+      .orderBy(col("adc").asc_nulls_last, col("id").asc)
+      .limit(topK * rerank)
+    source
+      .join(candidates, source(idCol) === candidates("id"), "left_semi")
+      .select(col(idCol),
+        round(graft.functions.vectors.l2_dist(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").asc_nulls_last, col(idCol).asc)
+      .limit(topK)
+  }
+
+  // one residual store per corpus dir, built lazily for the queries()
+  // entry — a real deployment writes it at ingest time
+  private val residualStoreCache = new graft.SessionCache[String, String](
+    4, (_: String) => ())
+  graft.Tables.onInvalidate { p =>
+    residualStoreCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
+  def residualStoreFor(spark: SparkSession, d: String): String =
+    residualStoreCache.getOrElseUpdate(spark, d) {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toString
+      writeResidual(spark, graft.Tables.embeddings(spark, d), "embedding",
+        "vec_id", IvfPqResidual.fitCached(spark, d), dir)
+      dir
+    }
 
   /** probe: partition-pruned compressed scan + exact rerank against
     * the source embeddings table */

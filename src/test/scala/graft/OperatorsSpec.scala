@@ -1211,6 +1211,46 @@ class OperatorsSpec extends AnyFunSuite {
       s"residual codes should reconstruct better: $residErr >= $rawErr")
   }
 
+  test("v25 refined-graph search: deterministic, recall not below the raw-graph path") {
+    val q = graft.functions.FakeEmbedder.embed("fast vector search over spark tables")
+    val a = SrpBanded.graphSearchRefined(spark, sf, q).collect().map(_.toSeq).toSeq
+    val b = SrpBanded.graphSearchRefined(spark, sf, q).collect().map(_.toSeq).toSeq
+    assert(a == b, "refined-graph search not deterministic")
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val exact = emb.toSeq.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    def recallOf(rows: Seq[Seq[Any]]): Double =
+      (rows.map(_.head.asInstanceOf[Long]).toSet & exact).size / 10.0
+    val raw = SrpBanded.graphSearch(spark, sf, q).collect().map(_.toSeq).toSeq
+    val (rRaw, rRef) = (recallOf(raw), recallOf(a))
+    info(s"serve recall vs exact top-10: raw graph $rRaw, refined graph $rRef")
+    assert(rRef >= rRaw, s"refined graph regressed serve recall: $rRef < $rRaw")
+    assert(rRef >= 0.5, s"refined-graph serve recall too low: $rRef")
+  }
+
+  test("v24 residual store probe: identical to in-memory v22, scan is partition-pruned") {
+    val qText = "fast vector search over spark tables"
+    val q = graft.functions.FakeEmbedder.embed(qText)
+    val dir = graft.sources.IvfPqStore.residualStoreFor(spark, sf)
+    val stored = graft.sources.IvfPqStore.searchResidual(spark, dir,
+      Tables.embeddings(spark, sf), "embedding", "vec_id", q, topK = 10, nprobe = 4)
+    val inMem = IvfPqResidual.searchSummary(spark, sf, qText)
+    assert(stored.collect().map(_.toSeq).toSeq == inMem.collect().map(_.toSeq).toSeq,
+      "stored residual probe diverged from the in-memory path")
+    // the code scan reads only the probed list partitions
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"residual probe not partition-pruned:\n$plan")
+  }
+
   test("v23 stored knn-graph build: identical to v18, banded scan prunes the embedding column") {
     val stored = graft.sources.SrpStore.knnGraphStored(spark, sf)
     val live = SrpBanded.knnGraph(spark, sf)
