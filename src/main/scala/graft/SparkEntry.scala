@@ -173,6 +173,10 @@ object SparkEntry {
     // recall at identical serve cost (graph quality paid at build)
     "v25_graph_search_refined" -> ((s, d) =>
       SrpBanded.graphSearchRefined(s, d, FakeEmbedder.embed(SearchText))),
+    // batched graph-ANN: the whole query table (vec_id % 50) served in
+    // one set-based plan — the graph analogue of v14's IVF join
+    "v26_graph_search_batch" -> ((s, d) =>
+      SrpBanded.graphSearchBatch(s, d, JoinQueryFilter)),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -366,5 +370,6 @@ object SparkEntry {
     "v24_ivfpq_residual_stored" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v25_graph_search_refined" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
+    "v26_graph_search_batch" -> SrpBanded.graphSearchBatchSql(JoinQueryFilter),
   )
 }

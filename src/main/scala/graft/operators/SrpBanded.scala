@@ -413,18 +413,24 @@ object SrpBanded {
     * when exact-key collisions are rare (a low-similarity query on a
     * random corpus collides exactly in a band with prob ~2^-RowsPerBand).
     * Deterministic, sorted — interpolated verbatim into the oracle SQL. */
+  /** XOR masks within Hamming distance `radius` of 0 over a band key —
+    * the multi-probe expansion set, shared by the per-query driver
+    * path ([[queryProbeKeys]]) and the batched set-based path
+    * ([[graphSearchBatch]] explodes them as a literal column). */
+  private[graft] def probeFlips(radius: Int): Seq[Long] = radius match {
+    case 0 => Seq(0L)
+    case 1 => 0L +: (0 until RowsPerBand).map(i => 1L << i)
+    case _ =>
+      val one = (0 until RowsPerBand).map(i => 1L << i)
+      val two = for {
+        i <- 0 until RowsPerBand; j <- (i + 1) until RowsPerBand
+      } yield (1L << i) | (1L << j)
+      0L +: (one ++ two)
+  }
+
   def queryProbeKeys(queryVec: Array[Float], radius: Int = 2): Seq[(Int, Long)] = {
     val exact = queryBandKeys(queryVec)
-    val flips: Seq[Long] = radius match {
-      case 0 => Seq(0L)
-      case 1 => 0L +: (0 until RowsPerBand).map(i => 1L << i)
-      case _ =>
-        val one = (0 until RowsPerBand).map(i => 1L << i)
-        val two = for {
-          i <- 0 until RowsPerBand; j <- (i + 1) until RowsPerBand
-        } yield (1L << i) | (1L << j)
-        0L +: (one ++ two)
-    }
+    val flips = probeFlips(radius)
     (for { (b, key) <- exact; f <- flips } yield (b, key ^ f)).distinct.sorted
   }
 
@@ -507,6 +513,153 @@ object SrpBanded {
     graphSearchFrom(spark, d, scoredProbePool(spark, d, queryVec, probeRadius),
       queryVec, k, beam, iters, maxEntries, graphK,
       graphOverride = Some(materializedRefinedGraph(spark, d, graphK, graphK, rounds)))
+
+  /** v26: BATCHED graph-ANN — the whole query table served in one
+    * set-based plan, the graph analogue of [[IvfIndex.similarityJoin]]
+    * (and the shape that matters at scale: per-query orchestration
+    * amortizes to nothing when a training pipeline needs neighbors
+    * for millions of queries). Multi-probe expansion is an explode
+    * of the literal flip masks against each query's own band keys;
+    * seeding and every hop are per-query window cuts over equi-joins
+    * — the same bounded intermediate sizes as the single-query path,
+    * times the number of queries, spread across the cluster. Each
+    * stage is checkpointed so hop h+1 does not replay hops 1..h
+    * (the per-query path solved the same re-execution driver-side).
+    * Deterministic end to end → oracle-checked like everything else. */
+  def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
+                       k: Int = 5, beam: Int = 8, iters: Int = 2,
+                       maxEntries: Int = 64, graphK: Int = 5,
+                       probeRadius: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding"))
+    val graph = materializedGraph(spark, d, graphK)
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    // (query_id, vec_id) pairs → exact cosine, corpus-then-query
+    // argument order (the convention every oracle shares)
+    def scorePairs(pairs: DataFrame): DataFrame = pairs
+      .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
+    // multi-probe (query, band, key) set: each query's own band keys
+    // XOR every flip mask within the Hamming radius
+    val probes = bandedOf(queries
+        .select(col("query_id").as("vec_id"), col("q_vec").as("embedding")))
+      .withColumn("f", explode(typedLit(probeFlips(probeRadius))))
+      .select(col("vec_id").as("query_id"), col("band"),
+        col("bk").bitwiseXOR(col("f")).as("bk"))
+      .distinct()
+    val banded = bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
+    val pool = probes.join(banded, Seq("band", "bk"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    // seed: per-query top-maxEntries of the scored pool; checkpointed —
+    // the banding join must not replay once per downstream reference
+    val seed = scorePairs(pool)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= maxEntries)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .localCheckpoint(true)
+    var visited = seed
+    var frontier = seed.select(col("query_id"), col("vec_id"))
+    (1 to iters).foreach { _ =>
+      val neigh = frontier.join(graph, frontier("vec_id") === graph("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+      val cand = scorePairs(frontier.union(neigh).distinct())
+        .localCheckpoint(true)
+      visited = visited.union(cand).distinct()
+      frontier = cand
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("vec_id"))
+    }
+    visited
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** DuckDB twin of [[graphSearchBatch]]: the shared banding/graph
+    * CTEs, the flip masks as a literal VALUES list XOR'd against each
+    * query's band rows, and the same per-query window cuts. `allscore`
+    * scores every (query, corpus) pair once — the oracle-side luxury
+    * the Spark path builds incrementally. */
+  def graphSearchBatchSql(queryMod: Int, k: Int = 5, beam: Int = 8,
+                          iters: Int = 2, maxEntries: Int = 64,
+                          graphK: Int = 5, probeRadius: Int = 2): String = {
+    def keySql(b: Int): String =
+      (0 until RowsPerBand).map { kk =>
+        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
+      }.mkString(" + ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
+    }.mkString("\nUNION ALL\n")
+    val flipValues = probeFlips(probeRadius).map(f => s"($f)").mkString(", ")
+    val hops = (1 to iters).map { i =>
+      val prevF = if (i == 1) "f0" else s"f${i - 1}"
+      val prevV = if (i == 1) "f0s" else s"v${i - 1}"
+      s"""c$i AS (
+         |  SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM $prevF
+         |    UNION ALL
+         |    SELECT f.query_id, g.dst AS vec_id FROM $prevF f JOIN graph g ON g.src = f.vec_id)),
+         |c${i}s AS (SELECT c.query_id, c.vec_id, s.sim FROM c$i c
+         |  JOIN allscore s ON s.query_id = c.query_id AND s.vec_id = c.vec_id),
+         |v$i AS (SELECT DISTINCT query_id, vec_id, sim FROM (
+         |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
+         |f$i AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM c${i}s) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |bands AS MATERIALIZED (
+       |$bandSelects),
+       |cand0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |gscored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |graph AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM gscored) WHERE rk <= $graphK),
+       |flips(f) AS (VALUES $flipValues),
+       |probes AS MATERIALIZED (
+       |  SELECT DISTINCT b.vec_id AS query_id, b.band, xor(b.bk, f.f) AS bk
+       |  FROM bands b CROSS JOIN flips f WHERE b.vec_id % $queryMod = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, b.vec_id
+       |  FROM probes p JOIN bands b ON b.band = p.band AND b.bk = p.bk),
+       |allscore AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id, list_cosine_similarity(c.v, q.v) AS sim
+       |  FROM e c CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id % $queryMod = 0) q),
+       |f0s AS MATERIALIZED (
+       |  SELECT query_id, vec_id, sim FROM (
+       |    SELECT s.query_id, s.vec_id, s.sim,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.vec_id) AS rn
+       |    FROM pool p JOIN allscore s ON s.query_id = p.query_id AND s.vec_id = p.vec_id)
+       |  WHERE rn <= $maxEntries),
+       |f0 AS (SELECT query_id, vec_id FROM f0s),
+       |$hops
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM v$iters)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
 
   // v21's final top-k edge set, checkpointed once per (d, params) —
   // the serve-time edge table for the refined search path

@@ -1236,6 +1236,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rRef >= 0.5, s"refined-graph serve recall too low: $rRef")
   }
 
+  test("v26 batched graph search: every query retrieves itself at rank 1, per-query recall holds") {
+    val res = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50).collect()
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      val top = rows.minBy(_.getAs[Int]("rk"))
+      // a query vector IS a corpus vector: it must find itself first
+      assert(top.getAs[Long]("neighbor_id") == qid && top.getAs[Double]("sim") == 1.0,
+        s"query $qid rank-1 is ${top.getAs[Long]("neighbor_id")}")
+    }
+    // per-query recall vs exact top-5 (self included), averaged
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val recalls = byQuery.toSeq.map { case (qid, rows) =>
+      val exact = emb.toSeq.map { case (id, v) => (id, cos(emb(qid), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      (rows.map(_.getAs[Long]("neighbor_id")).toSet & exact).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"batched graph search mean recall@5 over ${recalls.size} queries: $mean")
+    assert(mean >= 0.5, s"batched serve recall too low: $mean")
+  }
+
   test("v24 residual store probe: identical to in-memory v22, scan is partition-pruned") {
     val qText = "fast vector search over spark tables"
     val q = graft.functions.FakeEmbedder.embed(qText)
