@@ -177,6 +177,21 @@ object SparkEntry {
     // one set-based plan — the graph analogue of v14's IVF join
     "v26_graph_search_batch" -> ((s, d) =>
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter)),
+    // v26 with the corpus banding read from the persisted SrpStore
+    // banding/ artifact instead of re-hashing (same oracle as v26)
+    "v27_graph_search_batch_stored" -> ((s, d) => {
+      val dir = graft.sources.SrpStore.storeFor(s, d)
+      SrpBanded.graphSearchBatch(s, d, JoinQueryFilter,
+        bandedSource = Some(s.read.parquet(s"$dir/banding")))
+    }),
+    // fully store-backed serve: seeds from pruned SrpStore buckets,
+    // hops over the persisted refined edge table — zero build at
+    // query time (same oracle as v25)
+    "v28_graph_search_cold" -> ((s, d) =>
+      graft.sources.SrpStore.graphSearchCold(s, d,
+        graft.sources.SrpStore.storeFor(s, d),
+        graft.sources.EdgeStore.refinedStoreFor(s, d),
+        FakeEmbedder.embed(SearchText))),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -371,5 +386,10 @@ object SparkEntry {
     "v25_graph_search_refined" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     "v26_graph_search_batch" -> SrpBanded.graphSearchBatchSql(JoinQueryFilter),
+    // same oracle as v26: stored banding must yield the same batch
+    "v27_graph_search_batch_stored" -> SrpBanded.graphSearchBatchSql(JoinQueryFilter),
+    // same oracle as v25: stored seeds + stored edges, same results
+    "v28_graph_search_cold" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
   )
 }

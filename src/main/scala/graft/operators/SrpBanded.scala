@@ -529,7 +529,8 @@ object SrpBanded {
   def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
                        k: Int = 5, beam: Int = 8, iters: Int = 2,
                        maxEntries: Int = 64, graphK: Int = 5,
-                       probeRadius: Int = 2): DataFrame = {
+                       probeRadius: Int = 2,
+                       bandedSource: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
@@ -555,7 +556,10 @@ object SrpBanded {
       .select(col("vec_id").as("query_id"), col("band"),
         col("bk").bitwiseXOR(col("f")).as("bk"))
       .distinct()
-    val banded = bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
+    // corpus banding: recomputed in-memory, or (v27) the persisted
+    // SrpStore `banding/` artifact — per-row hashing paid at ingest
+    val banded = bandedSource.getOrElse(
+      bandedOf(emb).select(col("vec_id"), col("band"), col("bk")))
     val pool = probes.join(banded, Seq("band", "bk"))
       .select(col("query_id"), col("vec_id")).distinct()
     // seed: per-query top-maxEntries of the scored pool; checkpointed —

@@ -78,9 +78,18 @@ object SrpStore {
     * against the partition listing, not the data. */
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
-    val probe = SrpBanded.queryProbeKeys(queryVec, probeRadius)
-      .map { case (b, bk) => col("band") === b && col("bk") === bk }
-      .reduce(_ || _)
+    // balanced OR tree: a left-deep reduce of ~300 terms builds a
+    // depth-300 Column tree and the recursive plan conversion can
+    // blow the thread stack; balancing keeps it at depth ~9. Still a
+    // literal predicate on partition columns → static pruning.
+    def balancedOr(ps: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (ps.length == 1) ps.head
+      else {
+        val (l, r) = ps.splitAt(ps.length / 2)
+        balancedOr(l) || balancedOr(r)
+      }
+    val probe = balancedOr(SrpBanded.queryProbeKeys(queryVec, probeRadius)
+      .map { case (b, bk) => col("band") === b && col("bk") === bk })
     // score BEFORE the per-id dedup: each band copy of a vector
     // yields the same IEEE sim, so the dedup shuffle carries
     // (vec_id, sim) — 16 bytes — instead of the embedding
@@ -102,6 +111,24 @@ object SrpStore {
     SrpBanded.graphSearchFrom(spark, d,
       scoredPool(spark, dir, queryVec, probeRadius),
       queryVec, k, beam, iters, maxEntries, graphK)
+
+  /** v28: FULLY store-backed serving — seeds read from this store's
+    * pruned bucket partitions AND hops over a persisted
+    * [[EdgeStore]] edge table (the refined v21 graph). Nothing is
+    * trained, hashed or graph-built at query time: a fresh serving
+    * process answers its first query from three on-disk artifacts
+    * (buckets, banding, edges). Results are identical to the
+    * in-memory refined path ([[SrpBanded.graphSearchRefined]] — same
+    * pool, same edges, same IEEE floats). */
+  def graphSearchCold(spark: SparkSession, d: String, dir: String,
+                      edgeDir: String, queryVec: Array[Float],
+                      k: Int = 10, beam: Int = 8, iters: Int = 2,
+                      maxEntries: Int = 64, graphK: Int = 5,
+                      probeRadius: Int = 2): DataFrame =
+    SrpBanded.graphSearchFrom(spark, d,
+      scoredPool(spark, dir, queryVec, probeRadius),
+      queryVec, k, beam, iters, maxEntries, graphK,
+      graphOverride = Some(EdgeStore.read(spark, edgeDir)))
 
   /** v23: the v18 graph BUILD served from the persisted banding. The
     * expensive per-row hashing (quantize + Bits hyperplane dots) was

@@ -1267,6 +1267,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"batched serve recall too low: $mean")
   }
 
+  test("v27/v28 store-backed serving: batch over stored banding and cold-start serve match in-memory") {
+    val q = graft.functions.FakeEmbedder.embed("fast vector search over spark tables")
+    val dir = graft.sources.SrpStore.storeFor(spark, sf)
+    // v27: batched search over the persisted banding == in-memory batch
+    val stored = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50,
+      bandedSource = Some(spark.read.parquet(s"$dir/banding")))
+    val inMem = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50)
+    assert(stored.collect().map(_.toSeq).toSeq == inMem.collect().map(_.toSeq).toSeq,
+      "batch over stored banding diverged from in-memory batch")
+    // v28: seeds from pruned buckets + persisted refined edges == the
+    // in-memory refined path
+    val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
+    val cold = graft.sources.SrpStore.graphSearchCold(spark, sf, dir, edgeDir, q)
+    val refined = SrpBanded.graphSearchRefined(spark, sf, q)
+    assert(cold.collect().map(_.toSeq).toSeq == refined.collect().map(_.toSeq).toSeq,
+      "cold-start serve diverged from the in-memory refined path")
+    // the persisted edge table really is what the hops read: 2-col scan
+    val scans = graft.sources.EdgeStore.read(spark, edgeDir)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.exists(f => f.requiredSchema.fieldNames.toSet == Set("src", "dst")),
+      "edge store scan should read exactly (src, dst)")
+  }
+
   test("v24 residual store probe: identical to in-memory v22, scan is partition-pruned") {
     val qText = "fast vector search over spark tables"
     val q = graft.functions.FakeEmbedder.embed(qText)
