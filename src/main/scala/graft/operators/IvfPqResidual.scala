@@ -110,6 +110,31 @@ object IvfPqResidual {
     }
   }
 
+  /** Residual-ADC probe over any frame with a fitted model — encode,
+    * prune to the probed lists, per-list ADC, exact rerank. (The
+    * corpus-table entry point with encode memoization is
+    * [[searchSummary]]; the persisted form is
+    * [[graft.sources.IvfPqStore.searchResidual]].) */
+  def search(emb: DataFrame, vecCol: String, idCol: String, model: Model,
+             query: Array[Float], topK: Int, nprobe: Int,
+             rerank: Int = 4): DataFrame = {
+    val probed = IvfIndex.rankLists(model.ivf, query, nprobe)
+    val tables = residualTables(model, query)
+    val candidates = residualFrame(emb, vecCol, idCol, model.ivf, model.rc)
+      .select(col("id"), col("vec"), col("list_id"),
+        GraftBridge.column(PqEncode(GraftBridge.expression(col("q")), model.pq.codebooks)).as("codes"))
+      .filter(col("list_id").isin(probed: _*))
+      .select(col("id"), col("vec"),
+        adcByListCol(col("codes"), col("list_id"), tables).as("adc"))
+      .orderBy(col("adc").asc_nulls_last, col("id").asc)
+      .limit(topK * rerank)
+    candidates
+      .select(col("id").as(idCol),
+        round(vectors.l2_dist(col("vec"), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").asc_nulls_last, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Residual-ADC probe: rank coarse lists, scan only the probed
     * lists' codes with that list's residual distance table, exact
     * rerank of `topK·rerank` survivors. */

@@ -135,6 +135,48 @@ class Dim768ParitySpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("768-dim residual IVF-PQ: full rerank equals exact l2, residual codes beat raw PQ reconstruction") {
+    corpusDf.count() // force the fixture write
+    val res = graft.operators.IvfPqResidual.fit(spark, tmp,
+      nlists = 8, ivfIters = 3, m = 8, k = 16, pqIters = 2)
+    assert(res.rc.forall(_.length == D) && res.pq.dsub == D / 8)
+    val exactL2 = corpus.toSeq.map { case (id, v) => (id, l2(v, query)) }
+      .sortBy { case (id, s) => (s, id) }.take(10).map(_._1)
+    // exhaustive probe + full rerank must reduce to exact l2 order
+    val full = graft.operators.IvfPqResidual.search(corpusDf, "embedding", "vec_id",
+        res, query, 10, nprobe = 8, rerank = corpus.size / 10 + 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exactL2, "full-probe full-rerank residual IVF-PQ diverged from exact l2")
+    val approx = graft.operators.IvfPqResidual.search(corpusDf, "embedding", "vec_id",
+        res, query, 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exactL2.count(approx) / 10.0
+    info(s"residual IVF-PQ nprobe=3/8 rerank=4 recall@10 at dim=768: $recall")
+    assert(recall >= 0.5)
+    // the residual-encoding claim holds at 768 too
+    val raw = PqIndex.fit(corpusDf, "embedding", "vec_id", m = 8, k = 16, iters = 2)
+    val dsub = raw.dsub
+    def subErr(v: Array[Long], off: Int, cen: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < cen.length) { val d = v(off + i).toDouble - cen(i); s += d * d; i += 1 }
+      s
+    }
+    def encodeErr(v: Array[Long], books: Array[Array[Array[Double]]]): Double =
+      books.indices.map(j => books(j).map(cen => subErr(v, j * dsub, cen)).min).sum
+    def nearestList(q: Array[Long]): Int =
+      res.ivf.centroids.zipWithIndex.minBy { case (c, i) =>
+        (c.indices.map(x => { val d = q(x).toDouble - c(x); d * d }).sum, i)
+      }._2
+    val (rawErr, residErr) = corpus.values.foldLeft((0.0, 0.0)) { case ((er, es), v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val rcl = res.rc(nearestList(q))
+      val r = q.indices.map(i => q(i) - rcl(i)).toArray
+      (er + encodeErr(q, raw.codebooks), es + encodeErr(r, res.pq.codebooks))
+    }
+    info(s"768-dim PQ reconstruction error: raw ${rawErr.toLong}, residual ${residErr.toLong}")
+    assert(residErr < rawErr)
+  }
+
   test("768-dim SRP banding: every planted twin pair surfaces") {
     corpusDf.count() // force the fixture write
     val pairs = SrpBanded.srpBandedNearDup(spark, tmp, tau = 0.9, dim = D)
