@@ -179,11 +179,10 @@ object SparkEntry {
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter)),
     // v26 with the corpus banding read from the persisted SrpStore
     // banding/ artifact instead of re-hashing (same oracle as v26)
-    "v27_graph_search_batch_stored" -> ((s, d) => {
-      val dir = graft.sources.SrpStore.storeFor(s, d)
+    "v27_graph_search_batch_stored" -> ((s, d) =>
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter,
-        bandedSource = Some(s.read.parquet(s"$dir/banding")))
-    }),
+        bandedSource = Some(graft.sources.SrpStore.bandingFrame(s,
+          graft.sources.SrpStore.storeFor(s, d))))),
     // fully store-backed serve: seeds from pruned SrpStore buckets,
     // hops over the persisted refined edge table — zero build at
     // query time (same oracle as v25)

@@ -127,11 +127,19 @@ object SrpBanded {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** DuckDB twin: the SAME hyperplanes interpolated as list literals;
+  // ---------------------------------------------------------------
+  // Shared oracle CTE builders. Every SRP-family DuckDB twin starts
+  // from the same banding and (for the graph ops) the same band-
+  // collision graph — ONE text source each, so a quantization or
+  // graph-build tweak cannot silently diverge between oracles.
+  // ---------------------------------------------------------------
+
+  /** `qt` (int64-quantized, Dim-filtered corpus) + `bands` (the 8
+    * band keys per vector, pinned hyperplanes as list literals).
     * list_dot_product over int64-quantized lists stays exact (values
-    * ≪ 2^53, integer-valued doubles), so the band keys agree bit-for-
-    * bit with the Spark side. */
-  def srpBandedNearDupSql(tau: Double = 0.35): String = {
+    * ≪ 2^53, integer-valued doubles), so the keys agree bit-for-bit
+    * with the codegen'd kernel. */
+  private def srpBandsCtes: String = {
     def keySql(b: Int): String =
       (0 until RowsPerBand).map { k =>
         val planes = signs(b * RowsPerBand + k).mkString("[", ",", "]")
@@ -140,12 +148,97 @@ object SrpBanded {
     val bandSelects = (0 until Bands).map { b =>
       s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
     }.mkString("\nUNION ALL\n")
-    s"""WITH qt AS (
+    s"""qt AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
-       |bands AS (
-       |$bandSelects),
+       |bands AS MATERIALIZED (
+       |$bandSelects)""".stripMargin
+  }
+
+  /** `e` (double vectors), `cand0` (band-collision pairs), `gscored`
+    * (exact cosine), `granked` (per-src rank), `graph` (top-graphK
+    * edges) — the v18 build every graph oracle shares. */
+  private def rawGraphCtes(graphK: Int): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cand0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |gscored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |granked AS MATERIALIZED (
+       |  SELECT src, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
+       |  FROM gscored),
+       |graph AS MATERIALIZED (SELECT src, dst FROM granked WHERE rk <= $graphK)""".stripMargin
+
+  /** NN-Descent refinement rounds over `$start`: each round expands
+    * the undirected graph to neighbors-of-neighbors, rescores, keeps
+    * the top `workK` per source (`g1 … g$rounds`). */
+  private def refineCtes(rounds: Int, workK: Int, start: String): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) start else s"g${r - 1}"
+      s"""und$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM $prev UNION ALL SELECT dst AS src, src AS dst FROM $prev)),
+         |cand$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
+         |    UNION ALL SELECT src, dst FROM und$r)),
+         |rs$r AS MATERIALIZED (
+         |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+         |  FROM cand$r c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+         |g$r AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+         |    FROM rs$r) WHERE rk <= $workK)""".stripMargin
+    }.mkString(",\n")
+
+  /** The single-query probe + beam stages over an edge CTE
+    * `$graphCte`: `qscore`/`probe`/`pool`/`f0s`/`f0`, the unrolled
+    * hops, and the final ranked SELECT. Returned WITHOUT a leading
+    * comma — append after the graph CTEs. */
+  private def searchTailSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
+                            k: Int, beam: Int, iters: Int, maxEntries: Int,
+                            graphCte: String): String = {
+    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
+    val hops = (1 to iters).map { i =>
+      val prevF = if (i == 1) "f0" else s"f${i - 1}"
+      val prevV = if (i == 1) "f0s" else s"v${i - 1}"
+      s"""c$i AS (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_id FROM $prevF
+         |    UNION ALL
+         |    SELECT g.dst AS vec_id FROM $prevF f JOIN $graphCte g ON g.src = f.vec_id)),
+         |c${i}s AS (SELECT c.vec_id, s.sim FROM c$i c JOIN qscore s USING (vec_id)),
+         |v$i AS (SELECT DISTINCT vec_id, sim FROM (
+         |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
+         |f$i AS (SELECT vec_id FROM c${i}s ORDER BY sim DESC, vec_id LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
+       |qscore AS (
+       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
+       |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
+       |probe(band, bk) AS (VALUES $probeValues),
+       |pool AS (
+       |  SELECT DISTINCT b.vec_id FROM bands b
+       |  JOIN probe p ON b.band = p.band AND b.bk = p.bk),
+       |f0s AS (
+       |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
+       |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
+       |f0 AS (SELECT vec_id FROM f0s),
+       |$hops
+       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+       |  FROM v$iters)
+       |WHERE rk <= $k ORDER BY rk""".stripMargin
+  }
+
+  /** DuckDB twin of [[srpBandedNearDup]]: banded collision pairs,
+    * exact-cosine verified at `tau`. */
+  def srpBandedNearDupSql(tau: Double = 0.35): String =
+    s"""WITH $srpBandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
@@ -154,7 +247,6 @@ object SrpBanded {
        |FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id
        |WHERE list_cosine_similarity(a.v, b.v) >= $tau
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** v18: approximate k-NN GRAPH construction — every vector's k
     * nearest neighbors among its SRP band collisions (the candidate
@@ -212,35 +304,11 @@ object SrpBanded {
     * graph. Ranking floats are the identical IEEE cosine values in
     * both engines (verified by d9's threshold compare), ties broken
     * on dst. */
-  def knnGraphSql(k: Int = 5): String = {
-    def keySql(b: Int): String =
-      (0 until RowsPerBand).map { kk =>
-        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
-      }.mkString(" + ")
-    val bandSelects = (0 until Bands).map { b =>
-      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH qt AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
-       |bands AS (
-       |$bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |scored AS (
-       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-       |  FROM cand c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |ranked AS (
-       |  SELECT src, dst, sim,
-       |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
-       |  FROM scored)
+  def knnGraphSql(k: Int = 5): String =
+    s"""WITH $srpBandsCtes,
+       |${rawGraphCtes(k)}
        |SELECT src, dst, rk, round(sim, 6) AS sim
-       |FROM ranked WHERE rk <= $k ORDER BY src, rk""".stripMargin
-  }
+       |FROM granked WHERE rk <= $k ORDER BY src, rk""".stripMargin
 
   /** v21: one NN-Descent refinement round over the v18 graph (Dong,
     * Moses & Li, "Efficient k-nearest neighbor graph construction for
@@ -310,50 +378,10 @@ object SrpBanded {
 
   /** DuckDB twin: [[knnGraphSql]]'s graph CTEs + the same undirected
     * two-hop candidate expansion and re-rank, unrolled per round. */
-  def nnDescentGraphSql(k: Int = 5, graphK: Int = 5, rounds: Int = 3): String = {
-    def keySql(b: Int): String =
-      (0 until RowsPerBand).map { kk =>
-        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
-      }.mkString(" + ")
-    val bandSelects = (0 until Bands).map { b =>
-      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
-    }.mkString("\nUNION ALL\n")
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = s"g${r - 1}"
-      s"""und$r AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM $prev UNION ALL SELECT dst AS src, src AS dst FROM $prev)),
-         |cand$r AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
-         |    UNION ALL SELECT src, dst FROM und$r)),
-         |rs$r AS MATERIALIZED (
-         |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-         |  FROM cand$r c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-         |g$r AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-         |    FROM rs$r) WHERE rk <= ${2 * k})""".stripMargin
-    }.mkString(",\n")
-    s"""WITH qt AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
-       |bands AS MATERIALIZED (
-       |$bandSelects),
-       |cand0 AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |gscored AS MATERIALIZED (
-       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |g0 AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-       |    FROM gscored) WHERE rk <= $graphK),
-       |$roundCtes,
+  def nnDescentGraphSql(k: Int = 5, graphK: Int = 5, rounds: Int = 3): String =
+    s"""WITH $srpBandsCtes,
+       |${rawGraphCtes(graphK)},
+       |${refineCtes(rounds, 2 * k, start = "graph")},
        |final_scored AS MATERIALIZED (
        |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
        |  FROM g$rounds c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id)
@@ -361,7 +389,6 @@ object SrpBanded {
        |  SELECT src, dst, sim,
        |    CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INTEGER) AS rk
        |  FROM final_scored) WHERE rk <= $k ORDER BY src, rk""".stripMargin
-  }
 
   // v21's refined edge lists, cached with the same lifecycle as the
   // v18 graph below
@@ -405,14 +432,6 @@ object SrpBanded {
     }
   }
 
-  /** Multi-probe key set (Lv et al., VLDB'07 — public): for each band,
-    * the query's exact key plus every key within Hamming distance
-    * `radius` of it. A near-neighbor whose SRP bits disagree with the
-    * query's in ≤ radius positions of SOME band still lands in a
-    * probed bucket, so the seed pool covers the true neighborhood even
-    * when exact-key collisions are rare (a low-similarity query on a
-    * random corpus collides exactly in a band with prob ~2^-RowsPerBand).
-    * Deterministic, sorted — interpolated verbatim into the oracle SQL. */
   /** XOR masks within Hamming distance `radius` of 0 over a band key —
     * the multi-probe expansion set, shared by the per-query driver
     * path ([[queryProbeKeys]]) and the batched set-based path
@@ -428,6 +447,14 @@ object SrpBanded {
       0L +: (one ++ two)
   }
 
+  /** Multi-probe key set (Lv et al., VLDB'07 — public): for each band,
+    * the query's exact key plus every key within Hamming distance
+    * `radius` of it. A near-neighbor whose SRP bits disagree with the
+    * query's in ≤ radius positions of SOME band still lands in a
+    * probed bucket, so the seed pool covers the true neighborhood even
+    * when exact-key collisions are rare (a low-similarity query on a
+    * random corpus collides exactly in a band with prob ~2^-RowsPerBand).
+    * Deterministic, sorted — interpolated verbatim into the oracle SQL. */
   def queryProbeKeys(queryVec: Array[Float], radius: Int = 2): Seq[(Int, Long)] = {
     val exact = queryBandKeys(queryVec)
     val flips = probeFlips(radius)
@@ -563,12 +590,17 @@ object SrpBanded {
     val pool = probes.join(banded, Seq("band", "bk"))
       .select(col("query_id"), col("vec_id")).distinct()
     // seed: per-query top-maxEntries of the scored pool; checkpointed —
-    // the banding join must not replay once per downstream reference
+    // the banding join must not replay once per downstream reference.
+    // Intermediates are tracked and unpersisted once the final result
+    // is checkpointed, so repeated batch calls pin only their k·|Q|
+    // output rows, not the per-hop candidate sets.
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val seed = scorePairs(pool)
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= maxEntries)
       .select(col("query_id"), col("vec_id"), col("sim"))
       .localCheckpoint(true)
+    intermediates += seed
     var visited = seed
     var frontier = seed.select(col("query_id"), col("vec_id"))
     (1 to iters).foreach { _ =>
@@ -576,18 +608,22 @@ object SrpBanded {
         .select(col("query_id"), col("dst").as("vec_id"))
       val cand = scorePairs(frontier.union(neigh).distinct())
         .localCheckpoint(true)
+      intermediates += cand
       visited = visited.union(cand).distinct()
       frontier = cand
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= beam)
         .select(col("query_id"), col("vec_id"))
     }
-    visited
+    val out = visited
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rk"))
+      .localCheckpoint(true)
+    intermediates.foreach(org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+    out
   }
 
   /** DuckDB twin of [[graphSearchBatch]]: the shared banding/graph
@@ -598,14 +634,6 @@ object SrpBanded {
   def graphSearchBatchSql(queryMod: Int, k: Int = 5, beam: Int = 8,
                           iters: Int = 2, maxEntries: Int = 64,
                           graphK: Int = 5, probeRadius: Int = 2): String = {
-    def keySql(b: Int): String =
-      (0 until RowsPerBand).map { kk =>
-        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
-      }.mkString(" + ")
-    val bandSelects = (0 until Bands).map { b =>
-      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
-    }.mkString("\nUNION ALL\n")
     val flipValues = probeFlips(probeRadius).map(f => s"($f)").mkString(", ")
     val hops = (1 to iters).map { i =>
       val prevF = if (i == 1) "f0" else s"f${i - 1}"
@@ -623,23 +651,8 @@ object SrpBanded {
          |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
          |  FROM c${i}s) WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qt AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
-       |bands AS MATERIALIZED (
-       |$bandSelects),
-       |cand0 AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |gscored AS MATERIALIZED (
-       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |graph AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-       |    FROM gscored) WHERE rk <= $graphK),
+    s"""WITH $srpBandsCtes,
+       |${rawGraphCtes(graphK)},
        |flips(f) AS (VALUES $flipValues),
        |probes AS MATERIALIZED (
        |  SELECT DISTINCT b.vec_id AS query_id, b.band, xor(b.bk, f.f) AS bk
@@ -649,7 +662,10 @@ object SrpBanded {
        |  FROM probes p JOIN bands b ON b.band = p.band AND b.bk = p.bk),
        |allscore AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, c.vec_id, list_cosine_similarity(c.v, q.v) AS sim
-       |  FROM e c CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id % $queryMod = 0) q),
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id IN (SELECT vec_id FROM qt)) c
+       |  CROSS JOIN (SELECT vec_id, v FROM e
+       |              WHERE vec_id % $queryMod = 0
+       |                AND vec_id IN (SELECT vec_id FROM qt)) q),
        |f0s AS MATERIALIZED (
        |  SELECT query_id, vec_id, sim FROM (
        |    SELECT s.query_id, s.vec_id, s.sim,
@@ -709,10 +725,18 @@ object SrpBanded {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
     val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
     seed.foreach { case (id, s) => visited.update(id, s) }
-    // IEEE comparison (not Ordering[Double]): 0.0 and -0.0 must tie
-    // and fall through to the id tiebreak, exactly like SQL DESC
+    // total order matching both engines' DESC sorts: NaN greatest
+    // (a NaN-component embedding ranks first under sim DESC in Spark
+    // AND DuckDB — the pre-driver-side implementation's behavior),
+    // -0.0 ties 0.0 and falls through to the id tiebreak
     val simDescIdAsc: ((Long, Double), (Long, Double)) => Boolean = {
-      case ((ida, sa), (idb, sb)) => if (sa != sb) sa > sb else ida < idb
+      case ((ida, sa), (idb, sb)) =>
+        val c =
+          if (sa.isNaN && sb.isNaN) 0
+          else if (sa.isNaN) 1
+          else if (sb.isNaN) -1
+          else if (sa > sb) 1 else if (sa < sb) -1 else 0
+        if (c != 0) c > 0 else ida < idb
     }
     var frontier: Seq[Long] = seed.map(_._1).toSeq
     (1 to iters).foreach { _ =>
@@ -746,64 +770,10 @@ object SrpBanded {
     * graph-neighbors rescored, frontier = top-beam. */
   def graphSearchSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
                      k: Int = 10, beam: Int = 8, iters: Int = 2,
-                     maxEntries: Int = 64, graphK: Int = 5): String = {
-    def keySql(b: Int): String =
-      (0 until RowsPerBand).map { kk =>
-        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
-      }.mkString(" + ")
-    val bandSelects = (0 until Bands).map { b =>
-      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
-    }.mkString("\nUNION ALL\n")
-    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
-    val hops = (1 to iters).map { i =>
-      val prevF = if (i == 1) "f0" else s"f${i - 1}"
-      val prevV = if (i == 1) "f0s" else s"v${i - 1}"
-      s"""c$i AS (
-         |  SELECT DISTINCT vec_id FROM (
-         |    SELECT vec_id FROM $prevF
-         |    UNION ALL
-         |    SELECT g.dst AS vec_id FROM $prevF f JOIN graph g ON g.src = f.vec_id)),
-         |c${i}s AS (SELECT c.vec_id, s.sim FROM c$i c JOIN qscore s USING (vec_id)),
-         |v$i AS (SELECT DISTINCT vec_id, sim FROM (
-         |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
-         |f$i AS (SELECT vec_id FROM c${i}s ORDER BY sim DESC, vec_id LIMIT $beam)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH qt AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
-       |bands AS (
-       |$bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |gscored AS (
-       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-       |  FROM cand c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |graph AS (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-       |    FROM gscored) WHERE rk <= $graphK),
-       |qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
-       |qscore AS (
-       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
-       |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
-       |probe(band, bk) AS (VALUES $probeValues),
-       |pool AS (
-       |  SELECT DISTINCT b.vec_id FROM bands b
-       |  JOIN probe p ON b.band = p.band AND b.bk = p.bk),
-       |f0s AS (
-       |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
-       |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
-       |f0 AS (SELECT vec_id FROM f0s),
-       |$hops
-       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
-       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
-       |  FROM v$iters)
-       |WHERE rk <= $k ORDER BY rk""".stripMargin
-  }
+                     maxEntries: Int = 64, graphK: Int = 5): String =
+    s"""WITH $srpBandsCtes,
+       |${rawGraphCtes(graphK)},
+       |${searchTailSql(queryVecSql, probeKeys, k, beam, iters, maxEntries, "graph")}""".stripMargin
 
   /** DuckDB twin of [[graphSearchRefined]]: [[nnDescentGraphSql]]'s
     * training + refinement CTEs produce the final refined edge set,
@@ -812,88 +782,18 @@ object SrpBanded {
   def graphSearchRefinedSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
                             k: Int = 10, beam: Int = 8, iters: Int = 2,
                             maxEntries: Int = 64, graphK: Int = 5,
-                            rounds: Int = 3): String = {
-    def keySql(b: Int): String =
-      (0 until RowsPerBand).map { kk =>
-        val planes = signs(b * RowsPerBand + kk).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(q, $planes) >= 0 THEN 1 ELSE 0 END) * ${1 << kk}"
-      }.mkString(" + ")
-    val bandSelects = (0 until Bands).map { b =>
-      s"SELECT vec_id, $b AS band, ${keySql(b)} AS bk FROM qt"
-    }.mkString("\nUNION ALL\n")
-    // the refinement rounds run at the work degree v21 uses (2·graphK)
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = s"g${r - 1}"
-      s"""und$r AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM $prev UNION ALL SELECT dst AS src, src AS dst FROM $prev)),
-         |cand$r AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
-         |    UNION ALL SELECT src, dst FROM und$r)),
-         |rs$r AS MATERIALIZED (
-         |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-         |  FROM cand$r c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-         |g$r AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-         |    FROM rs$r) WHERE rk <= ${2 * graphK})""".stripMargin
-    }.mkString(",\n")
-    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
-    val hops = (1 to iters).map { i =>
-      val prevF = if (i == 1) "f0" else s"f${i - 1}"
-      val prevV = if (i == 1) "f0s" else s"v${i - 1}"
-      s"""c$i AS (
-         |  SELECT DISTINCT vec_id FROM (
-         |    SELECT vec_id FROM $prevF
-         |    UNION ALL
-         |    SELECT g.dst AS vec_id FROM $prevF f JOIN graph g ON g.src = f.vec_id)),
-         |c${i}s AS (SELECT c.vec_id, s.sim FROM c$i c JOIN qscore s USING (vec_id)),
-         |v$i AS (SELECT DISTINCT vec_id, sim FROM (
-         |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
-         |f$i AS (SELECT vec_id FROM c${i}s ORDER BY sim DESC, vec_id LIMIT $beam)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH qt AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
-       |bands AS MATERIALIZED (
-       |$bandSelects),
-       |cand0 AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |gscored AS MATERIALIZED (
-       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-       |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |g0 AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-       |    FROM gscored) WHERE rk <= $graphK),
-       |$roundCtes,
+                            rounds: Int = 3): String =
+    // refinement rounds run at the work degree v21 uses (2·graphK);
+    // the served edge set is the refined graph cut back to graphK
+    s"""WITH $srpBandsCtes,
+       |${rawGraphCtes(graphK)},
+       |${refineCtes(rounds, 2 * graphK, start = "graph")},
        |final_scored AS MATERIALIZED (
        |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
        |  FROM g$rounds c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |graph AS MATERIALIZED (
+       |refined_graph AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
        |    FROM final_scored) WHERE rk <= $graphK),
-       |qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
-       |qscore AS (
-       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
-       |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
-       |probe(band, bk) AS (VALUES $probeValues),
-       |pool AS (
-       |  SELECT DISTINCT b.vec_id FROM bands b
-       |  JOIN probe p ON b.band = p.band AND b.bk = p.bk),
-       |f0s AS (
-       |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
-       |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
-       |f0 AS (SELECT vec_id FROM f0s),
-       |$hops
-       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
-       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
-       |  FROM v$iters)
-       |WHERE rk <= $k ORDER BY rk""".stripMargin
-  }
+       |${searchTailSql(queryVecSql, probeKeys, k, beam, iters, maxEntries, "refined_graph")}""".stripMargin
 }

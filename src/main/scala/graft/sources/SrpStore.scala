@@ -72,6 +72,14 @@ object SrpStore {
   private def bandedFrame(spark: SparkSession, dir: String): DataFrame =
     frameCache.getOrElseUpdate(spark, dir)(spark.read.parquet(s"$dir/banded"))
 
+  /** Memoized handle on the compact `banding/` artifact — bulk
+    * consumers (v23 graph build, v27 batched serve) re-read it per
+    * call; caching the DataFrame keeps the file listing + footer
+    * reads a one-time cost per session, like [[bandedFrame]]. */
+  def bandingFrame(spark: SparkSession, dir: String): DataFrame =
+    frameCache.getOrElseUpdate(spark, s"$dir/banding")(
+      spark.read.parquet(s"$dir/banding"))
+
   /** Pruned multi-probe read: distinct (vec_id, embedding) across the
     * probed buckets, exact-scored against the query. The OR-of-
     * equalities predicate is static partition pruning — evaluated
@@ -138,11 +146,9 @@ object SrpStore {
     * 2048 probe-sized bucket dirs) and self-joins inside each bucket.
     * Identical output to [[SrpBanded.knnGraph]] — same candidates,
     * same IEEE scores. */
-  def knnGraphStored(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val dir = storeFor(spark, d)
+  def knnGraphStored(spark: SparkSession, d: String, k: Int = 5): DataFrame =
     SrpBanded.knnGraphFromBanded(spark, d,
-      spark.read.parquet(s"$dir/banding"), k)
-  }
+      bandingFrame(spark, storeFor(spark, d)), k)
 
   // one store per corpus dir, built lazily for the queries() entry —
   // a real deployment writes it once at ingest time (like IvfStore)
