@@ -84,20 +84,22 @@ object SrpStore {
     * probed buckets, exact-scored against the query. The OR-of-
     * equalities predicate is static partition pruning — evaluated
     * against the partition listing, not the data. */
+  // balanced OR tree: a left-deep reduce of ~300 terms builds a
+  // depth-300 Column tree and the recursive plan conversion can blow
+  // the thread stack; balancing keeps it at depth ~9. Still a
+  // literal predicate on partition columns → static pruning.
+  private def balancedOr(ps: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    if (ps.length == 1) ps.head
+    else {
+      val (l, r) = ps.splitAt(ps.length / 2)
+      balancedOr(l) || balancedOr(r)
+    }
+  private def bucketPred(keys: Seq[(Int, Long)]): org.apache.spark.sql.Column =
+    balancedOr(keys.map { case (b, bk) => col("band") === b && col("bk") === bk })
+
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
-    // balanced OR tree: a left-deep reduce of ~300 terms builds a
-    // depth-300 Column tree and the recursive plan conversion can
-    // blow the thread stack; balancing keeps it at depth ~9. Still a
-    // literal predicate on partition columns → static pruning.
-    def balancedOr(ps: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-      if (ps.length == 1) ps.head
-      else {
-        val (l, r) = ps.splitAt(ps.length / 2)
-        balancedOr(l) || balancedOr(r)
-      }
-    val probe = balancedOr(SrpBanded.queryProbeKeys(queryVec, probeRadius)
-      .map { case (b, bk) => col("band") === b && col("bk") === bk })
+    val probe = bucketPred(SrpBanded.queryProbeKeys(queryVec, probeRadius))
     // score BEFORE the per-id dedup: each band copy of a vector
     // yields the same IEEE sim, so the dedup shuffle carries
     // (vec_id, sim) — 16 bytes — instead of the embedding
@@ -137,6 +139,74 @@ object SrpStore {
       scoredPool(spark, dir, queryVec, probeRadius),
       queryVec, k, beam, iters, maxEntries, graphK,
       graphOverride = Some(EdgeStore.read(spark, edgeDir)))
+
+  /** Incremental maintenance — the SRP analogue of
+    * [[IvfStore.upsert]]: new/updated vectors are banded against the
+    * PINNED hyperplanes (no retraining — the planes are data-
+    * independent, so unlike IVF there is no drift to re-balance) and
+    * only the touched (band, bk) bucket partitions are rewritten via
+    * dynamic partition overwrite: buckets gaining rows plus buckets
+    * holding a stale copy of an updated id (an updated embedding can
+    * move buckets). The compact `banding/` artifact is rewritten in
+    * full — it is the 12 B/row bulk form; at any scale that rewrite
+    * is one column-pruned scan, not Bands·2^RowsPerBand file opens.
+    * Returns the touched (band, bk) pairs. */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame): Seq[(Int, Long)] = {
+    val upd = updates
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    val newBanded = SrpBanded.bandedOf(upd)
+      .select(col("vec_id"), col("embedding"), col("band"), col("bk"))
+    // partition-column types are inferred on read (bk fits int at
+    // this key width); normalize to the written long/int shape
+    val store = bandedFrame(spark, dir)
+      .withColumn("band", col("band").cast("int"))
+      .withColumn("bk", col("bk").cast("long"))
+    val updIds = upd.select(col("vec_id")).distinct()
+    val oldKeys = store.join(broadcast(updIds), Seq("vec_id"))
+      .select(col("band"), col("bk")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val newKeys = newBanded.select(col("band"), col("bk")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val touched = (oldKeys ++ newKeys).distinct.sorted.toSeq
+    if (touched.nonEmpty) {
+      // survivors: touched-bucket rows minus stale copies of updated
+      // ids; lineage broken before overwriting the files it reads
+      val survivors = store.filter(bucketPred(touched))
+        .join(broadcast(updIds), Seq("vec_id"), "left_anti")
+      val merged = survivors.unionByName(newBanded)
+        .repartition(col("band"), col("bk"))
+        .localCheckpoint(true)
+      try {
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("band", "bk")
+          .parquet(s"$dir/banded")
+        // a bucket emptied by a move appears in no output row and
+        // dynamic overwrite would leave its stale file — delete it
+        val present = merged.select(col("band"), col("bk")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        val emptied = touched.filterNot(present)
+        if (emptied.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          emptied.foreach { case (b, bk) =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/banded/band=$b/bk=$bk")
+            val fs = p.getFileSystem(conf)
+            fs.delete(p, true): Unit
+          }
+        }
+        val banding = bandingFrame(spark, dir)
+          .join(broadcast(updIds), Seq("vec_id"), "left_anti")
+          .unionByName(newBanded.select(col("vec_id"), col("band"), col("bk")))
+          .localCheckpoint(true)
+        try banding.write.mode(SaveMode.Overwrite).parquet(s"$dir/banding")
+        finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(banding)
+      } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      graft.Tables.invalidate(dir)
+    }
+    touched
+  }
 
   /** v23: the v18 graph BUILD served from the persisted banding. The
     * expensive per-row hashing (quantize + Bits hyperplane dots) was

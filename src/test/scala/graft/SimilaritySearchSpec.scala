@@ -379,6 +379,69 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"scan read $read partitions (store has $total, probe set ${probed.size})")
   }
 
+  test("SRP store upsert: new vector searchable, moved id leaves no stale copy, only touched buckets rewritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srp_upsert").toString
+    graft.sources.SrpStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+
+    def bucketFiles(): Map[String, Set[String]] = {
+      val out = scala.collection.mutable.Map.empty[String, Set[String]]
+      new java.io.File(s"$dir/banded").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("band="))
+        .foreach { bandDir =>
+          bandDir.listFiles().filter(_.isDirectory).foreach { bkDir =>
+            out(s"${bandDir.getName}/${bkDir.getName}") =
+              bkDir.listFiles().map(f => s"${f.getName}:${f.length()}").toSet
+          }
+        }
+      out.toMap
+    }
+    val before = bucketFiles()
+
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].first()
+    // move id 7 to different buckets: give it a donor's embedding
+    // whose band keys differ from id 7's in at least one band
+    val keys7 = graft.operators.SrpBanded.queryBandKeys(
+      emb.filter(col("vec_id") === 7L).select(col("embedding")).as[Array[Float]].first()).toSet
+    val donor = emb.filter(col("vec_id") =!= 7L).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+      .find { case (_, v) => graft.operators.SrpBanded.queryBandKeys(v).toSet != keys7 }
+      .get
+    val updates = Seq((maxId + 1, v0), (7L, donor._2)).toDF("vec_id", "embedding")
+    val touched = graft.sources.SrpStore.upsert(spark, dir, updates)
+
+    // new id searchable through the store (its seed sim is 1.0)
+    val hits = graft.sources.SrpStore.graphSearch(spark, sf, dir, v0)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(maxId + 1), s"upserted id ${maxId + 1} not in $hits")
+
+    // moved id: exactly Bands rows, in the donor's buckets, none stale
+    val after = spark.read.parquet(s"$dir/banded")
+    val rows7 = after.filter(col("vec_id") === 7L)
+      .select(col("band").cast("int"), col("bk").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows7 == graft.operators.SrpBanded.queryBandKeys(donor._2).toSet,
+      "moved id's buckets are not its new banding")
+
+    // rewrite minimality: untouched buckets byte-identical
+    val afterFiles = bucketFiles()
+    val touchedDirs = touched.map { case (b, bk) => s"band=$b/bk=$bk" }.toSet
+    before.foreach { case (bucket, files) =>
+      if (!touchedDirs.contains(bucket))
+        assert(afterFiles(bucket) == files, s"$bucket untouched but rewritten")
+    }
+    // row accounting in both artifacts: one new id, Bands rows each
+    assert(after.count() == (emb.count() + 1) * graft.operators.SrpBanded.Bands)
+    assert(spark.read.parquet(s"$dir/banding").count() == after.count())
+    assert(after.groupBy(col("vec_id"), col("band")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming SRP probe: equals batch stored graph search, seed scan partition-pruned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("srp_stream").toString
