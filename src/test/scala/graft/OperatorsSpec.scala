@@ -276,6 +276,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"no partition pruning in streaming probe plan:\n$plan")
   }
 
+  test("SRP upsert then streaming probe: freshly upserted vector is served") {
+    import spark.implicits._
+    // same refresh contract as the IVF path, on the LSH side: the
+    // store is maintained incrementally and the streaming graph-ANN
+    // serve sees the new vector without a rebuild (it surfaces via
+    // the pruned seed read; graph edges are refreshed offline)
+    val store = java.nio.file.Files.createTempDirectory("srp_up_stream").toString
+    graft.sources.SrpStore.write(spark, sf, store)
+    val qText = "fast vector search over spark tables"
+    val qVec = graft.functions.FakeEmbedder.embed(qText)
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val updates = Seq((maxId + 1, qVec)).toDF("vec_id", "embedding")
+    graft.sources.SrpStore.upsert(spark, store, updates)
+    val tmp = java.nio.file.Files.createTempDirectory("srpup_q").toString
+    Seq(s"""{"query_id": 9, "query_text": "$qText"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = graft.streaming.SrpProbeStream
+      .runOnce(spark, tmp, sf, store, k = 3).collect()
+    val top = out.minBy(_.getInt(2)) // rank 1
+    assert(top.getLong(1) == maxId + 1,
+      s"streaming probe top hit ${top.getLong(1)} != upserted ${maxId + 1}")
+    assert(top.getDouble(3) == 1.0)
+  }
+
   test("IVF upsert then streaming probe: freshly upserted vector is served") {
     import spark.implicits._
     // the reference's refresh flow end-to-end: data changes (sql/04),
