@@ -51,8 +51,13 @@ object IvfPqResidual {
   /** corpus with (id, list_id, residual q) — the training/encode input */
   private[graft] def residualFrame(emb: DataFrame, vecCol: String, idCol: String,
                                    ivf: IvfIndex.Model, rc: Array[Array[Long]]): DataFrame = {
+    // same guard as the oracle's qt CTE: a NULL or wrong-width row
+    // must not reach training/encoding, or Spark and DuckDB would
+    // silently train on different corpora
+    val dim = rc(0).length
+    val clean = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
     val qv = IvfIndex.quantize(col(vecCol))
-    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    clean.select(col(idCol).as("id"), col(vecCol).as("vec"),
         qv.as("qv"), vectors.closest_centroid(qv, ivf.centroids).as("list_id"))
       .select(col("id"), col("vec"), col("list_id"),
         residualCol(col("qv"), col("list_id"), rc).as("q"))
@@ -91,6 +96,8 @@ object IvfPqResidual {
     * ‖(qq − rc(list))_j − codebook(j)(code)‖², the residual-domain
     * distance, accumulated dsub-ascending like the kernels. */
   def residualTables(model: Model, query: Array[Float]): Array[Array[Array[Double]]] = {
+    require(query.length == model.rc(0).length,
+      s"query dim ${query.length} != model dim ${model.rc(0).length}")
     val qq = IvfIndex.quantizeQuery(query)
     val dsub = model.pq.dsub
     model.rc.map { rcl =>

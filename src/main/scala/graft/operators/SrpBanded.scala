@@ -436,15 +436,13 @@ object SrpBanded {
     * the multi-probe expansion set, shared by the per-query driver
     * path ([[queryProbeKeys]]) and the batched set-based path
     * ([[graphSearchBatch]] explodes them as a literal column). */
-  private[graft] def probeFlips(radius: Int): Seq[Long] = radius match {
-    case 0 => Seq(0L)
-    case 1 => 0L +: (0 until RowsPerBand).map(i => 1L << i)
-    case _ =>
-      val one = (0 until RowsPerBand).map(i => 1L << i)
-      val two = for {
-        i <- 0 until RowsPerBand; j <- (i + 1) until RowsPerBand
-      } yield (1L << i) | (1L << j)
-      0L +: (one ++ two)
+  private[graft] def probeFlips(radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= RowsPerBand,
+      s"probeRadius must be in [0, $RowsPerBand], got $radius")
+    (0 to radius).flatMap(r =>
+      (0 until RowsPerBand).combinations(r)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i)))
+        .toSeq)
   }
 
   /** Multi-probe key set (Lv et al., VLDB'07 — public): for each band,
@@ -553,28 +551,44 @@ object SrpBanded {
     * stage is checkpointed so hop h+1 does not replay hops 1..h
     * (the per-query path solved the same re-execution driver-side).
     * Deterministic end to end → oracle-checked like everything else. */
-  def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
-                       k: Int = 5, beam: Int = 8, iters: Int = 2,
-                       maxEntries: Int = 64, graphK: Int = 5,
-                       probeRadius: Int = 2,
-                       bandedSource: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
+  /** The Dim-filtered corpus + the `vec_id % queryMod` query slice —
+    * the two frames every batch stage joins against. */
+  private def batchInputs(spark: SparkSession, d: String,
+                          queryMod: Int): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
-    val graph = materializedGraph(spark, d, graphK)
     val queries = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    // (query_id, vec_id) pairs → exact cosine, corpus-then-query
-    // argument order (the convention every oracle shares)
-    def scorePairs(pairs: DataFrame): DataFrame = pairs
-      .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
+    (emb, queries)
+  }
+
+  /** (query_id, vec_id) pairs → exact cosine, corpus-then-query
+    * argument order (the convention every oracle shares). The query
+    * side joins via SHUFFLE_HASH on query_id, NOT broadcast: the
+    * batched path exists for query sets too large to hold on the
+    * driver (millions of rows × a full embedding each), so the plan
+    * must never materialize the query table in a BroadcastExchange —
+    * the same reason v16 block-replicates instead of broadcasting
+    * ([[SimilaritySearch.similarityJoinLarge]]). Per-partition build
+    * state is |Q|/shuffle_partitions rows, which scales out with the
+    * cluster; the pairs side streams without a sort. Spec-asserted:
+    * no BroadcastExchange carries q_vec. */
+  private def batchScorePairs(emb: DataFrame, queries: DataFrame)
+                             (pairs: DataFrame): DataFrame = pairs
+    .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+    .join(queries.hint("shuffle_hash"), Seq("query_id"))
+    .select(col("query_id"), col("vec_id"),
+      vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
+
+  /** The seed-stage scored pool (multi-probe buckets × corpus banding,
+    * exact-scored), LAZY — factored out so a plan spec can assert the
+    * no-query-broadcast contract without executing the batch. */
+  private[graft] def batchSeedScored(spark: SparkSession, d: String, queryMod: Int,
+                                     probeRadius: Int = 2,
+                                     bandedSource: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val (emb, queries) = batchInputs(spark, d, queryMod)
     // multi-probe (query, band, key) set: each query's own band keys
     // XOR every flip mask within the Hamming radius
     val probes = bandedOf(queries
@@ -589,13 +603,27 @@ object SrpBanded {
       bandedOf(emb).select(col("vec_id"), col("band"), col("bk")))
     val pool = probes.join(banded, Seq("band", "bk"))
       .select(col("query_id"), col("vec_id")).distinct()
+    batchScorePairs(emb, queries)(pool)
+  }
+
+  def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
+                       k: Int = 5, beam: Int = 8, iters: Int = 2,
+                       maxEntries: Int = 64, graphK: Int = 5,
+                       probeRadius: Int = 2,
+                       bandedSource: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (emb, queries) = batchInputs(spark, d, queryMod)
+    val graph = materializedGraph(spark, d, graphK)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val scorePairs: DataFrame => DataFrame = batchScorePairs(emb, queries)
     // seed: per-query top-maxEntries of the scored pool; checkpointed —
     // the banding join must not replay once per downstream reference.
     // Intermediates are tracked and unpersisted once the final result
     // is checkpointed, so repeated batch calls pin only their k·|Q|
     // output rows, not the per-hop candidate sets.
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val seed = scorePairs(pool)
+    val seed = batchSeedScored(spark, d, queryMod, probeRadius, bandedSource)
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= maxEntries)
       .select(col("query_id"), col("vec_id"), col("sim"))

@@ -1261,6 +1261,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rRef >= 0.5, s"refined-graph serve recall too low: $rRef")
   }
 
+  test("v26 batch plan: query embeddings ride a shuffle join, never a BroadcastExchange") {
+    // the batched path exists for query sets too large for the driver;
+    // its contract is that NO stage materializes the query table (with
+    // its embeddings) in a broadcast. The seed stage is lazy-exposed
+    // for exactly this check, and every hop scores through the same
+    // batchScorePairs join.
+    val scored = SrpBanded.batchSeedScored(spark, sf, queryMod = 50)
+    val bxs = scored.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    val offending = bxs.filter(_.output.exists(_.name == "q_vec"))
+    assert(offending.isEmpty,
+      s"query embeddings materialized in a BroadcastExchange:\n${offending.mkString("\n")}")
+    val planStr = scored.queryExecution.sparkPlan.toString
+    assert(planStr.contains("ShuffledHashJoin"),
+      s"expected a shuffle-hash join for the query side:\n${planStr.take(4000)}")
+  }
+
   test("v26 batched graph search: every query retrieves itself at rank 1, per-query recall holds") {
     val res = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50).collect()
     val byQuery = res.groupBy(_.getAs[Long]("query_id"))
