@@ -179,9 +179,15 @@ object SrpBanded {
   private def refineCtes(rounds: Int, workK: Int, start: String): String =
     (1 to rounds).map { r =>
       val prev = if (r == 1) start else s"g${r - 1}"
+      // reverse edges sampled to workK per node by the same integer
+      // hash rank the Spark path uses (Dong §2.3 ρ-sampling)
       s"""und$r AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM $prev UNION ALL SELECT dst AS src, src AS dst FROM $prev)),
+         |    SELECT src, dst FROM $prev
+         |    UNION ALL
+         |    SELECT src, dst FROM (SELECT dst AS src, src AS dst FROM $prev)
+         |    QUALIFY row_number() OVER (
+         |      PARTITION BY src ORDER BY (src * 1000003 + dst) % 1000000007, dst) <= $workK)),
          |cand$r AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
@@ -348,8 +354,23 @@ object SrpBanded {
     val g = refinedCache.getOrElseUpdate(spark, (d, k, graphK, rounds)) {
       var cur = materializedGraph(spark, d, graphK)
       (1 to rounds).foreach { r =>
-        val und = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+        // reverse-degree cap (Dong et al. WWW'11 §2.3's ρ-sampling,
+        // here at ρ·K = workK): forward degree is bounded by the
+        // top-workK cut, but a hub vector collected as a neighbor by
+        // thousands of sources would re-enter with unbounded degree
+        // through the reverse direction, making the hop2 self-join
+        // quadratic in its in-degree on skewed corpora. Keep only
+        // workK reverse neighbors per node, ranked by a deterministic
+        // integer hash (replayed verbatim in the DuckDB twin) so the
+        // sample is pseudo-random yet engine-exact.
+        val wrev = Window.partitionBy(col("src")).orderBy(
+          pmod(col("src") * lit(1000003L) + col("dst"), lit(1000000007L)),
+          col("dst"))
+        val revSampled = cur.select(col("dst").as("src"), col("src").as("dst"))
+          .withColumn("rrk", row_number().over(wrev))
+          .filter(col("rrk") <= workK)
+          .select(col("src"), col("dst"))
+        val und = cur.union(revSampled).distinct()
         val hop2 = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
           .select(col("x.src").as("src"), col("y.dst").as("dst"))
           .filter(col("src") =!= col("dst"))
