@@ -1145,6 +1145,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"graph-search recall $recall vs exact top-10")
   }
 
+  test("v19 probe-radius sensitivity: recall monotone in radius, radius-2 >= 0.9") {
+    import spark.implicits._
+    // regression tripwire for the banding/seeding regime: v19's round-4
+    // recall collapse came from exact-key-only seeding at moderate
+    // similarity. Probes sit at cos ~ 0.7 — P(SRP bit flip) ~ 0.25, so
+    // an exact-band collision is rare (~10% per band) and recall must
+    // be BOUGHT with probe radius. The corpus and probes are pinned by
+    // seed, so the measured curve is a fixed number per code version.
+    val rng = new scala.util.Random(23L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // corpus ids avoid 0 mod 1000; probe rows sit AT 0 mod 1000 so the
+    // batched path (one distributed job per radius — the per-query
+    // driver path pays ~1.5 s of plan/codegen per search, 24× over
+    // budget) serves the whole sweep. Each probe's planted target is
+    // the base vector it was perturbed from.
+    val base = (0 until 150).map(i => ((i + 1).toLong, unit()))
+    val probes = (0 until 12).map { i =>
+      ((i + 1) * 1000L,
+        base(i)._2.map(x => x + (rng.nextGaussian() * 0.13).toFloat))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("v19radius").toString
+    (base ++ probes).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def recallAt(radius: Int): Double = {
+      val byQuery = SrpBanded.graphSearchBatch(spark, tmp, queryMod = 1000,
+          k = 10, iters = 1, probeRadius = radius)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+      probes.indices.count { i =>
+        byQuery.getOrElse((i + 1) * 1000L, Set.empty[Long]).contains(base(i)._1)
+      }.toDouble / probes.size
+    }
+    val r = (0 to 2).map(recallAt)
+    info(s"probe-radius recall sweep (cos~0.7 probes): r0=${r(0)} r1=${r(1)} r2=${r(2)}")
+    assert(r(0) <= r(1) && r(1) <= r(2),
+      s"recall not monotone in probe radius: ${r.mkString(", ")}")
+    assert(r(2) >= 0.9, s"radius-2 recall below 0.9: ${r(2)}")
+  }
+
   test("v21 NN-Descent refinement: graph recall vs exact knn graph improves substantially") {
     val emb = Tables.embeddings(spark, sf)
       .filter(col("embedding").isNotNull)
