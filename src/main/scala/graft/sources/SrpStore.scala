@@ -25,8 +25,50 @@ import graft.functions.vectors
   * scores what it reads. The `banding/` copy serves BULK consumers
   * (graph builds): same assignment, packed into few large files
   * instead of 2048 probe-sized buckets.
+  *
+  * `banding/` is merge-on-read (the same write/read split
+  * [[Ingest.streamingMergeIngest]] uses): `data/__ver=N/` version
+  * partitions plus `_commits/vN` marker files. A version is readable
+  * iff its marker exists; [[bandingFrame]] resolves latest-version-
+  * per-vec_id across committed versions. [[upsert]] therefore APPENDS
+  * an O(update) delta instead of rewriting the O(corpus) artifact,
+  * and — because the marker is created only after every data write
+  * succeeded — a crash mid-upsert can never destroy or tear the
+  * durable pre-upsert banding: readers simply keep resolving the old
+  * committed state, and re-running the upsert is safe (its leftover
+  * uncommitted `__ver` partition is deleted before re-writing).
+  * [[compactBanding]] folds the version chain back to one full copy
+  * (itself committed as a new version — never in place) once it grows
+  * past [[CompactAfter]].
   */
 object SrpStore {
+
+  /** compaction threshold: one full-copy rewrite amortized over this
+    * many O(update) delta commits */
+  val CompactAfter = 8
+
+  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** committed banding versions, ascending (marker files in
+    * `banding/_commits/`) */
+  private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/banding/_commits")
+    val f = hadoopFs(spark, dir)
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
+  }
+
+  /** atomically publish version `v`: an empty marker file created
+    * AFTER all of the upsert's data writes succeeded */
+  private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
+    val f = hadoopFs(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/banding/_commits")
+    f.mkdirs(cd)
+    f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
+  }
 
   def write(spark: SparkSession, d: String, dir: String): Unit = {
     val emb = Tables.embeddings(spark, d)
@@ -47,15 +89,21 @@ object SrpStore {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("band", "bk")
       .parquet(s"$dir/banded")
-    // compact unpartitioned copy of the key assignment for BULK
-    // consumers (graph builds, analytics): (vec_id, band, bk) is
-    // 12 B/row, and a full-graph rebuild reading 2048 bucket dirs of
-    // point-probe-sized files would pay the small-file tax ~2000×
-    // (measured 10.8 s → 1.0 s at sf0.1). Point probes keep using
-    // the partitioned layout; bulk scans use this one.
+    // compact copy of the key assignment for BULK consumers (graph
+    // builds, analytics): (vec_id, band, bk) is 12 B/row, and a
+    // full-graph rebuild reading 2048 bucket dirs of point-probe-
+    // sized files would pay the small-file tax ~2000× (measured
+    // 10.8 s → 1.0 s at sf0.1). Point probes keep using the
+    // partitioned layout; bulk scans use this one. Written as
+    // version 0 of the merge-on-read chain (see the object doc).
+    val f = hadoopFs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/banding"), true): Unit
     banded.select(col("vec_id"), col("band"), col("bk"))
+      .withColumn("__ver", lit(0))
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/banding")
+      .partitionBy("__ver")
+      .parquet(s"$dir/banding/data")
+    commitVer(spark, dir, 0)
     banded.unpersist()
     graft.Tables.invalidate(dir)
   }
@@ -75,10 +123,28 @@ object SrpStore {
   /** Memoized handle on the compact `banding/` artifact — bulk
     * consumers (v23 graph build, v27 batched serve) re-read it per
     * call; caching the DataFrame keeps the file listing + footer
-    * reads a one-time cost per session, like [[bandedFrame]]. */
+    * reads a one-time cost per session, like [[bandedFrame]].
+    *
+    * Merge-on-read view: committed versions only (uncommitted delta
+    * partitions are pruned in the file index, never scanned), latest
+    * version per vec_id wins. The overwhelmingly common single-
+    * version state (fresh store, or just compacted) skips the
+    * resolve window entirely — bulk consumers pay the merge shuffle
+    * only while un-compacted deltas exist. */
   def bandingFrame(spark: SparkSession, dir: String): DataFrame =
-    frameCache.getOrElseUpdate(spark, s"$dir/banding")(
-      spark.read.parquet(s"$dir/banding"))
+    frameCache.getOrElseUpdate(spark, s"$dir/banding") {
+      import org.apache.spark.sql.expressions.Window
+      val vers = committedVers(spark, dir)
+      require(vers.nonEmpty, s"no committed banding versions under $dir/banding")
+      val raw = spark.read.parquet(s"$dir/banding/data")
+        .filter(col("__ver").isin(vers: _*)) // partition-pruned
+      if (vers.size == 1) raw.drop("__ver")
+      else raw
+        .withColumn("__maxv",
+          max(col("__ver")).over(Window.partitionBy(col("vec_id"))))
+        .filter(col("__ver") === col("__maxv"))
+        .drop("__ver", "__maxv")
+    }
 
   /** Pruned multi-probe read: distinct (vec_id, embedding) across the
     * probed buckets, exact-scored against the query. The OR-of-
@@ -147,10 +213,14 @@ object SrpStore {
     * only the touched (band, bk) bucket partitions are rewritten via
     * dynamic partition overwrite: buckets gaining rows plus buckets
     * holding a stale copy of an updated id (an updated embedding can
-    * move buckets). The compact `banding/` artifact is rewritten in
-    * full — it is the 12 B/row bulk form; at any scale that rewrite
-    * is one column-pruned scan, not Bands·2^RowsPerBand file opens.
-    * Returns the touched (band, bk) pairs. */
+    * move buckets). The compact `banding/` artifact gets an APPENDED
+    * O(update) delta version, committed (marker file) only after the
+    * bucket writes succeed — the durable pre-upsert banding is never
+    * rewritten or torn, and a crash at any step leaves readers on the
+    * old committed state with the upsert safely re-runnable. The
+    * version chain folds back to one full copy via [[compactBanding]]
+    * after [[CompactAfter]] commits. Returns the touched (band, bk)
+    * pairs. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame): Seq[(Int, Long)] = {
     val upd = updates
       .filter(col("embedding").isNotNull &&
@@ -171,8 +241,24 @@ object SrpStore {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val touched = (oldKeys ++ newKeys).distinct.sorted.toSeq
     if (touched.nonEmpty) {
-      // survivors: touched-bucket rows minus stale copies of updated
-      // ids; lineage broken before overwriting the files it reads
+      // 1. append the banding delta UNCOMMITTED: O(update) bytes into
+      //    a fresh __ver partition (a leftover partition from a
+      //    crashed earlier attempt at this version is cleared first,
+      //    so retries never double rows). Readers ignore it until the
+      //    marker in step 3 exists.
+      val vers = committedVers(spark, dir)
+      val nextVer = vers.lastOption.getOrElse(-1) + 1
+      val f = hadoopFs(spark, dir)
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/banding/data/__ver=$nextVer"), true): Unit
+      newBanded.select(col("vec_id"), col("band"), col("bk"))
+        .withColumn("__ver", lit(nextVer))
+        .write.mode(SaveMode.Append)
+        .partitionBy("__ver")
+        .parquet(s"$dir/banding/data")
+      // 2. bucket rewrites — survivors: touched-bucket rows minus
+      //    stale copies of updated ids; lineage broken before
+      //    overwriting the files it reads
       val survivors = store.filter(bucketPred(touched))
         .join(broadcast(updIds), Seq("vec_id"), "left_anti")
       val merged = survivors.unionByName(newBanded)
@@ -189,23 +275,51 @@ object SrpStore {
           .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
         val emptied = touched.filterNot(present)
         if (emptied.nonEmpty) {
-          val conf = spark.sparkContext.hadoopConfiguration
           emptied.foreach { case (b, bk) =>
-            val p = new org.apache.hadoop.fs.Path(s"$dir/banded/band=$b/bk=$bk")
-            val fs = p.getFileSystem(conf)
-            fs.delete(p, true): Unit
+            f.delete(new org.apache.hadoop.fs.Path(
+              s"$dir/banded/band=$b/bk=$bk"), true): Unit
           }
         }
-        val banding = bandingFrame(spark, dir)
-          .join(broadcast(updIds), Seq("vec_id"), "left_anti")
-          .unionByName(newBanded.select(col("vec_id"), col("band"), col("bk")))
-          .localCheckpoint(true)
-        try banding.write.mode(SaveMode.Overwrite).parquet(s"$dir/banding")
-        finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(banding)
       } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      // 3. commit: the delta becomes visible only now that every data
+      //    write above succeeded
+      commitVer(spark, dir, nextVer)
       graft.Tables.invalidate(dir)
+      // 4. fold the version chain once it grows past the threshold
+      if (vers.length + 1 >= CompactAfter) compactBanding(spark, dir)
     }
     touched
+  }
+
+  /** Fold the committed banding version chain back into ONE full
+    * copy — written as a NEW version (never in place: the old chain
+    * stays durable until the fold is committed), then the superseded
+    * markers and partitions are garbage-collected. One column-pruned
+    * O(corpus) scan+write, amortized over [[CompactAfter]] O(update)
+    * upserts. */
+  def compactBanding(spark: SparkSession, dir: String): Unit = {
+    val vers = committedVers(spark, dir)
+    if (vers.size <= 1) return
+    val next = vers.max + 1
+    val f = hadoopFs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/banding/data/__ver=$next"), true): Unit
+    bandingFrame(spark, dir)
+      .withColumn("__ver", lit(next))
+      .write.mode(SaveMode.Append)
+      .partitionBy("__ver")
+      .parquet(s"$dir/banding/data")
+    commitVer(spark, dir, next)
+    // GC: markers first (a crash here leaves unreferenced partitions
+    // — harmless garbage the next compaction's view never reads),
+    // then the superseded partitions
+    vers.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/banding/_commits/v$v"), false): Unit
+    }
+    vers.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/banding/data/__ver=$v"), true): Unit
+    }
+    graft.Tables.invalidate(dir)
   }
 
   /** v23: the v18 graph BUILD served from the persisted banding. The

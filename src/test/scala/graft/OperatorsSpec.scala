@@ -1358,7 +1358,7 @@ class OperatorsSpec extends AnyFunSuite {
     val dir = graft.sources.SrpStore.storeFor(spark, sf)
     // v27: batched search over the persisted banding == in-memory batch
     val stored = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50,
-      bandedSource = Some(spark.read.parquet(s"$dir/banding")))
+      bandedSource = Some(graft.sources.SrpStore.bandingFrame(spark, dir)))
     val inMem = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50)
     assert(stored.collect().map(_.toSeq).toSeq == inMem.collect().map(_.toSeq).toSeq,
       "batch over stored banding diverged from in-memory batch")

@@ -437,9 +437,53 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     // row accounting in both artifacts: one new id, Bands rows each
     assert(after.count() == (emb.count() + 1) * graft.operators.SrpBanded.Bands)
-    assert(spark.read.parquet(s"$dir/banding").count() == after.count())
+    assert(graft.sources.SrpStore.bandingFrame(spark, dir).count() == after.count())
     assert(after.groupBy(col("vec_id"), col("band")).count()
       .filter(col("count") > 1).count() == 0)
+  }
+
+  test("SRP banding upsert is merge-on-read: O(update) delta, base untouched, compaction folds the chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srp_mor").toString
+    graft.sources.SrpStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    def verFiles(v: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/banding/data/__ver=$v")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.isFile).map(f => (f.getName, f.length())).toSet
+    }
+    val base = verFiles(0)
+    assert(base.nonEmpty, "fresh store must have a committed version 0")
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].first()
+    graft.sources.SrpStore.upsert(spark, dir,
+      Seq((maxId + 1, v0), (maxId + 2, v0)).toDF("vec_id", "embedding"))
+    // the delta is O(update): exactly Bands rows per upserted id, and
+    // the durable version-0 copy is byte-identical
+    assert(verFiles(0) == base, "upsert rewrote the committed banding base")
+    assert(graft.sources.SrpStore.committedVers(spark, dir) == Seq(0, 1))
+    assert(spark.read.parquet(s"$dir/banding/data/__ver=1").count() ==
+      2 * graft.operators.SrpBanded.Bands)
+    // an updated id resolves to its LATEST version in the view
+    graft.sources.SrpStore.upsert(spark, dir,
+      Seq((maxId + 1, emb.filter(col("vec_id") === 1L)
+        .select(col("embedding")).as[Array[Float]].first())).toDF("vec_id", "embedding"))
+    val view = graft.sources.SrpStore.bandingFrame(spark, dir)
+    assert(view.filter(col("vec_id") === (maxId + 1)).count() ==
+      graft.operators.SrpBanded.Bands, "stale versions leaked into the view")
+    val viewRows = view.collect().map(_.toSeq).toSet
+    // compaction folds the chain to one full committed copy with an
+    // identical resolved view
+    graft.sources.SrpStore.compactBanding(spark, dir)
+    val versAfter = graft.sources.SrpStore.committedVers(spark, dir)
+    assert(versAfter.size == 1, s"compaction left $versAfter")
+    assert(!new java.io.File(s"$dir/banding/data/__ver=0").exists(),
+      "superseded version partition not garbage-collected")
+    assert(graft.sources.SrpStore.bandingFrame(spark, dir)
+      .collect().map(_.toSeq).toSet == viewRows,
+      "compaction changed the resolved banding view")
   }
 
   test("streaming SRP probe: equals batch stored graph search, seed scan partition-pruned") {
