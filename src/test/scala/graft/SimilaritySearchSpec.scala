@@ -486,6 +486,76 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "compaction changed the resolved banding view")
   }
 
+  test("EdgeStore upsert: upserted vector becomes a hop DESTINATION without a rebuild, untouched partitions stable") {
+    import spark.implicits._
+    // full artifact set built on the ORIGINAL corpus
+    val srpDir = java.nio.file.Files.createTempDirectory("edgeup_srp").toString
+    graft.sources.SrpStore.write(spark, sf, srpDir)
+    val edgeDir = java.nio.file.Files.createTempDirectory("edgeup_edges").toString
+    graft.sources.EdgeStore.write(spark,
+      graft.operators.SrpBanded.materializedRefinedGraph(spark, sf), edgeDir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val newId = maxId + 1
+    val tVec = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).as[Array[Float]].first()
+    val twin = tVec.updated(0, tVec(0) + 0.01f) // cos ~ 0.9999 to id 3
+    // post-ingest corpus: the table upsert (Ingest flow) has absorbed
+    // the new row — EdgeStore.upsert scores against this table
+    val d2 = java.nio.file.Files.createTempDirectory("edgeup_corpus").toString
+    emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((newId, twin)).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val updates = Seq((newId, twin)).toDF("vec_id", "embedding")
+    graft.sources.SrpStore.upsert(spark, srpDir, updates)
+
+    def pbFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$edgeDir/edges").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.isFile).map(f => (f.getName, f.length())).toSet)
+        .toMap
+    val before = pbFiles()
+
+    // a search whose seed pool EXCLUDES the new id: anything it finds
+    // of newId must arrive over an edge hop, as a destination
+    def seedExcludedSearch(): Set[Long] = {
+      val pool = graft.sources.SrpStore.scoredPool(spark, srpDir, twin)
+        .filter(col("vec_id") =!= newId)
+      graft.operators.SrpBanded.graphSearchFrom(spark, d2, pool, twin,
+          k = 10, beam = 8, iters = 2, maxEntries = 64, graphK = 5,
+          graphOverride = Some(graft.sources.EdgeStore.read(spark, edgeDir)))
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    }
+    assert(!seedExcludedSearch().contains(newId),
+      "stale edge table should not reach the upserted id")
+
+    val touchedPbs = graft.sources.EdgeStore.upsert(spark, edgeDir, d2, srpDir, updates)
+    assert(touchedPbs.nonEmpty &&
+      touchedPbs.size < graft.sources.EdgeStore.EdgePartitions,
+      s"upsert should touch a strict subset of partitions: $touchedPbs")
+
+    // structurally a destination: near neighbors adopted it
+    val adopters = graft.sources.EdgeStore.read(spark, edgeDir)
+      .filter(col("dst") === newId).select(col("src"))
+      .collect().map(_.getLong(0)).toSet
+    assert(adopters.contains(3L),
+      s"the twin's base vector should adopt the upserted id: $adopters")
+    // functionally a destination: reachable from a seed pool that
+    // excludes it, through the refreshed edges — no rebuild anywhere
+    assert(seedExcludedSearch().contains(newId),
+      "upserted id not reachable as a hop destination after EdgeStore.upsert")
+
+    // rewrite minimality: untouched pb partitions byte-identical
+    val after = pbFiles()
+    val touchedDirs = touchedPbs.map(p => s"pb=$p").toSet
+    before.foreach { case (pb, files) =>
+      if (!touchedDirs.contains(pb))
+        assert(after(pb) == files, s"$pb untouched but rewritten")
+    }
+  }
+
   test("streaming SRP probe: equals batch stored graph search, seed scan partition-pruned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("srp_stream").toString
