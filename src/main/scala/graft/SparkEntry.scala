@@ -198,6 +198,13 @@ object SparkEntry {
         graft.sources.IvfPqStore.residualStoreFor(s, d),
         Tables.embeddings(s, d), "embedding", "vec_id",
         FakeEmbedder.embed(SearchText), topK = 10, nprobe = 4)),
+    // batched serve over the persisted residual codes: the whole
+    // query table in one set-based plan (v14's join shape over the
+    // IvfPqStore — the quantization-family analogue of v26)
+    "v29_ivfpq_batch" -> ((s, d) =>
+      graft.sources.IvfPqStore.searchResidualBatch(s,
+        graft.sources.IvfPqStore.residualStoreFor(s, d), d,
+        queryMod = JoinQueryFilter)),
     // reference-schema parity: customer_records_data mapped from the
     // corpus, queried through the reference's two tool statements
     "r1_ref_filtered_knn" -> ((s, d) =>
@@ -382,6 +389,7 @@ object SparkEntry {
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),
     // same oracle as v22: the stored probe must return the same rows
     "v24_ivfpq_residual_stored" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v29_ivfpq_batch" -> IvfPqResidual.batchSearchSql(JoinQueryFilter),
     "v25_graph_search_refined" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     "v26_graph_search_batch" -> SrpBanded.graphSearchBatchSql(JoinQueryFilter),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -170,6 +170,69 @@ object IvfPqResidual {
       .limit(topK)
   }
 
+  /** v29 oracle — DuckDB twin of
+    * [[graft.sources.IvfPqStore.searchResidualBatch]]: the shared
+    * coarse + residual-PQ training CTEs, per-query probe ranking
+    * (v14's probes shape), residual ADC terms per (query, candidate,
+    * subspace) summed j-ascending like the kernel, per-query
+    * `topK·rerank` ADC cut, exact-L2 rerank. */
+  def batchSearchSql(queryMod: Int, nlists: Int = 16, ivfIters: Int = 5,
+                     m: Int = 8, k: Int = 16, pqIters: Int = 4,
+                     topK: Int = 5, nprobe: Int = 4, rerank: Int = 4,
+                     dim: Int = 64): String = {
+    val dsub = dim / m
+    val residTerms = (1 to dim).map(i => s"t.q[$i] - r.rc[$i]").mkString("[", ", ", "]")
+    // residual-domain query distance for a (query row q, candidate's
+    // list r, codebook row c) triple — the same double arithmetic as
+    // [[PqAdcResidualQ.adcJ]]: (CAST(q)−CAST(rc)) − c, squared,
+    // i-ascending within the subspace
+    def queryDist(c: String): String =
+      (1 to dsub).map { i =>
+        val idx = s"a.j * $dsub + $i"
+        s"((CAST(q.q[$idx] AS DOUBLE) - CAST(r.rc[$idx] AS DOUBLE)) - $c[$i])*((CAST(q.q[$idx] AS DOUBLE) - CAST(r.rc[$idx] AS DOUBLE)) - $c[$i])"
+      }.mkString(" + ")
+    s"""WITH ${IvfIndex.fitCtes(nlists, ivfIters, dim)},
+       |rcf AS MATERIALIZED (
+       |  SELECT list_id, list_transform(c, x -> CAST(floor(x) AS BIGINT)) AS rc
+       |  FROM cent$ivfIters),
+       |rq AS MATERIALIZED (
+       |  SELECT t.vec_id, a.list_id, $residTerms AS q
+       |  FROM qt t JOIN af a USING (vec_id) JOIN rcf r USING (list_id)),
+       |${PqIndex.pqFitCtes("rq", m, k, pqIters, dim, p = "p")},
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT t.vec_id AS query_id, c.list_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${IvfIndex.distSql("t.q", "c.c", dim)}, c.list_id) AS rn
+       |    FROM (SELECT * FROM qt WHERE vec_id % $queryMod = 0) t
+       |    CROSS JOIN cent$ivfIters c) WHERE rn <= $nprobe),
+       |adcterms AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id, a.j, ${queryDist("c.c")} AS term
+       |  FROM paf a
+       |  JOIN rq v ON v.vec_id = a.vec_id
+       |  JOIN rcf r ON r.list_id = v.list_id
+       |  JOIN probes p ON p.list_id = v.list_id
+       |  JOIN qt q ON q.vec_id = p.query_id
+       |  JOIN pcb$pqIters c ON c.j = a.j AND c.code = a.code),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rn
+       |    FROM (
+       |      SELECT query_id, vec_id, ${(1 to m).map(j => s"al[$j]").mkString(" + ")} AS adc
+       |      FROM (SELECT query_id, vec_id, list(term ORDER BY j) AS al
+       |            FROM adcterms GROUP BY query_id, vec_id)))
+       |  WHERE rn <= ${topK * rerank})
+       |SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk, score FROM (
+       |  SELECT c.query_id, ec.vec_id AS neighbor_id,
+       |    round(list_distance(CAST(ec.embedding AS DOUBLE[]), CAST(eq.embedding AS DOUBLE[])), 6) AS score,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY round(list_distance(CAST(ec.embedding AS DOUBLE[]), CAST(eq.embedding AS DOUBLE[])), 6) ASC, ec.vec_id) AS rk
+       |  FROM cand c JOIN embeddings ec ON ec.vec_id = c.vec_id
+       |  JOIN embeddings eq ON eq.vec_id = c.query_id)
+       |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+  }
+
   /** DuckDB twin: [[IvfIndex.fitCtes]]'s coarse training → floored
     * centroids → residual corpus → [[PqIndex.pqFitCtes]]'s residual
     * codebooks/encoding (CTEs prefixed `p` to stay disjoint from the
@@ -279,6 +342,60 @@ object PqAdcByList {
     var s = 0.0
     var j = 0
     while (j < t.length) { s += t(j)(codes.getInt(j)); j += 1 }
+    s
+  }
+}
+
+/** `pq_adc_residual_q(qq, codes, list_id)` → residual ADC distance for
+  * a BATCH of queries: unlike [[PqAdcByList]], whose per-QUERY driver-
+  * built tables cannot exist for millions of queries, this kernel
+  * carries the quantized query in the row and reconstructs each
+  * subspace term from the shared model refs (floored coarse centroids
+  * + codebooks, both model-sized broadcasts). Per-j terms accumulate
+  * i-ascending and sum j-ascending — the same IEEE association as the
+  * table path and the oracle's `list(term ORDER BY j)` sum. */
+case class PqAdcResidualQ(first: Expression, second: Expression, third: Expression,
+                          rc: Array[Array[Long]], cb: Array[Array[Array[Double]]])
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_residual_q"
+  override def nullSafeEval(q: Any, c: Any, l: Any): Any =
+    PqAdcResidualQ.adcJ(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      l.asInstanceOf[Int], rc, cb)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rcRef = ctx.addReferenceObj("flooredCentroids", rc, "long[][]")
+    val cbRef = ctx.addReferenceObj("codebooks", cb, "double[][][]")
+    defineCodeGen(ctx, ev, (q, c, l) =>
+      s"graft.operators.PqAdcResidualQ.adcJ($q, $c, $l, $rcRef, $cbRef)")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object PqAdcResidualQ {
+  def adcJ(q: ArrayData, codes: ArrayData, listId: Int,
+           rc: Array[Array[Long]], cb: Array[Array[Array[Double]]]): Double = {
+    val rcl = rc(listId)
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val cen = cb(j)(codes.getInt(j))
+      var t = 0.0
+      var i = 0
+      while (i < dsub) {
+        val idx = j * dsub + i
+        val qr = q.getLong(idx).toDouble - rcl(idx).toDouble
+        val dd = qr - cen(i)
+        t += dd * dd
+        i += 1
+      }
+      s += t
+      j += 1
+    }
     s
   }
 }

@@ -144,6 +144,73 @@ object IvfPqStore {
       dir
     }
 
+  /** v29: BATCHED serve over the persisted residual codes — the
+    * quantization-family analogue of the batched graph serve (and of
+    * [[IvfIndex.similarityJoin]]'s v14 shape): the whole query table
+    * (vec_id % queryMod = 0) is answered in ONE set-based plan over
+    * the store.
+    *
+    *  - probe assignment is map-only: each query's `nprobe` nearest
+    *    lists from the codegen'd [[graft.functions.NearestCentroids]]
+    *    kernel (centroids ride as a model-sized reference object);
+    *  - the only corpus-wide move is the (query, list) × codes
+    *    equi-join on `list_id` — nprobe/nlists of the pairs a brute
+    *    join would shuffle, 8-byte codes instead of vectors;
+    *  - ADC scoring is per-row codegen ([[graft.operators.PqAdcResidualQ]]):
+    *    the quantized query rides in the row, the model rides as a
+    *    broadcast ref — no per-query driver-built distance tables, so
+    *    the plan holds at millions of queries;
+    *  - per-query `topK·rerank` cut (WindowGroupLimit), then the few
+    *    survivors join embeddings for the exact-L2 rerank; the query
+    *    side joins via SHUFFLE_HASH, never a driver broadcast of
+    *    query embeddings (the v26 contract).
+    *
+    * Deterministic end to end → fully oracle-checked
+    * ([[IvfPqResidual.batchSearchSql]]). */
+  def searchResidualBatch(spark: SparkSession, dir: String, d: String,
+                          queryMod: Int, topK: Int = 5, nprobe: Int = 4,
+                          rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftBridge
+    val (ivf, pq) = readModels(spark, dir)
+    val rc = ivf.centroids.map(_.map(x => math.floor(x).toLong))
+    val dim = rc(0).length
+    val emb = graft.Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val probes = queries.select(col("query_id"),
+      IvfIndex.quantize(col("q_vec")).as("qq"),
+      explode(GraftBridge.column(graft.functions.NearestCentroids(
+        GraftBridge.expression(IvfIndex.quantize(col("q_vec"))),
+        ivf.centroids, nprobe))).as("list_id"))
+    val codes = spark.read.parquet(s"$dir/lists")
+      .withColumn("list_id", col("list_id").cast("int"))
+    val adc = codes.join(probes, Seq("list_id"))
+      .select(col("query_id"), col("id"),
+        GraftBridge.column(graft.operators.PqAdcResidualQ(
+          GraftBridge.expression(col("qq")),
+          GraftBridge.expression(col("codes")),
+          GraftBridge.expression(col("list_id")), rc, pq.codebooks)).as("adc"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc_nulls_last, col("id"))
+    val cand = adc.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= topK * rerank)
+      .select(col("query_id"), col("id").as("vec_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc_nulls_last, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .join(queries.hint("shuffle_hash"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.vectors.l2_dist(col("c_vec"), col("q_vec")), 6).as("score"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** probe: partition-pruned compressed scan + exact rerank against
     * the source embeddings table */
   def search(spark: SparkSession, dir: String, source: DataFrame,

@@ -1392,6 +1392,45 @@ class OperatorsSpec extends AnyFunSuite {
       s"residual probe not partition-pruned:\n$plan")
   }
 
+  test("v29 batched residual serve: self at rank 1, per-query parity with the stored probe, no query broadcast") {
+    import spark.implicits._
+    val dir = graft.sources.IvfPqStore.residualStoreFor(spark, sf)
+    val rows = graft.sources.IvfPqStore
+      .searchResidualBatch(spark, dir, sf, queryMod = 50).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    // a query IS a corpus vector: exact-L2 rerank puts it first at 0
+    byQuery.foreach { case (qid, rs) =>
+      val top = rs.minBy(_.getAs[Int]("rk"))
+      assert(top.getAs[Long]("neighbor_id") == qid &&
+        top.getAs[Double]("score") == 0.0,
+        s"query $qid rank-1 is ${top.getAs[Long]("neighbor_id")}")
+    }
+    // batch rows for a query == the per-query stored probe (same
+    // model, same ADC association, same rerank)
+    val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+    byQuery.keys.toSeq.sorted.take(2).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).as[Array[Float]].first()
+      val single = graft.sources.IvfPqStore.searchResidual(spark, dir,
+          Tables.embeddings(spark, sf), "embedding", "vec_id", q,
+          topK = 5, nprobe = 4)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSeq
+      val batchQ = byQuery(qid).sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSeq
+      assert(batchQ == single, s"query $qid: batch $batchQ != single $single")
+    }
+    // the v26 contract holds here too: query embeddings never ride a
+    // BroadcastExchange
+    val bxs = graft.sources.IvfPqStore
+      .searchResidualBatch(spark, dir, sf, queryMod = 50)
+      .queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+    assert(bxs.forall(!_.output.exists(_.name == "q_vec")),
+      "query embeddings materialized in a BroadcastExchange")
+  }
+
   test("v23 stored knn-graph build: identical to v18, banded scan prunes the embedding column") {
     val stored = graft.sources.SrpStore.knnGraphStored(spark, sf)
     val live = SrpBanded.knnGraph(spark, sf)
