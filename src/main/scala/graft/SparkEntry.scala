@@ -117,6 +117,10 @@ object SparkEntry {
     "v11_hybrid_search" -> ((s, d) =>
       SimilaritySearch.hybridSearch(s, d, SearchText, 10)),
     "v12_pq_search" -> ((s, d) => PqIndex.searchSummary(s, d, SearchText)),
+    // OPQ-style PQ: energy-balanced snake permutation of dims ahead
+    // of the subspace split, same code budget as v12 (Ge CVPR'13's
+    // permutation special case, pinned + integer-exact)
+    "v30_opq_search" -> ((s, d) => OpqIndex.searchSummary(s, d, SearchText)),
     "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
     // diversity rerank (oracle: the greedy loop unrolled into k CTE stages)
     "v17_mmr_rerank" -> ((s, d) => SimilaritySearch.mmrRerank(
@@ -384,6 +388,7 @@ object SparkEntry {
     "v14_ivf_similarity_join" -> IvfIndex.similarityJoinSql(JoinQueryFilter),
     "v15_sq_search" -> SqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v12_pq_search" -> PqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v30_opq_search" -> OpqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),
