@@ -30,6 +30,27 @@ object Bench {
                catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // OFFLINE ARTIFACT BUILDS, timed separately so cold cost is
+    // attributable: these are the session-lazy models/stores/graphs
+    // the first touching query would otherwise pay for invisibly (a
+    // real deployment builds them at ingest time, not query time).
+    // After this block the cold pass measures cold SERVING — plans,
+    // codegen, file-index IO — not index construction.
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def build(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val ok = try { f; true } catch { case _: Throwable => false }
+      builds(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    build("ivf_model") { graft.operators.IvfIndex.fitCached(spark, sfDir, 16, 5) }
+    build("pq_model") { graft.operators.PqIndex.fitCached(spark, sfDir) }
+    build("ivfpq_model") { graft.operators.IvfPqResidual.fitCached(spark, sfDir) }
+    build("opq_model") { graft.operators.OpqIndex.fitCached(spark, sfDir) }
+    build("knn_graph") { graft.operators.SrpBanded.materializedGraph(spark, sfDir, 5) }
+    build("refined_graph") { graft.operators.SrpBanded.materializedRefinedGraph(spark, sfDir) }
+    build("srp_store") { graft.sources.SrpStore.storeFor(spark, sfDir) }
+    build("edge_store") { graft.sources.EdgeStore.refinedStoreFor(spark, sfDir) }
+    build("ivfpq_store") { graft.sources.IvfPqStore.residualStoreFor(spark, sfDir) }
     // pass 1 doubles as warmup (JIT, codegen cache, file index) — its
     // total is reported separately as the COLD number
     val cold = timedPass()
@@ -45,13 +66,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val coldQs = cold.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val buildQs = builds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val buildTotal = builds.values.filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val sfJson = sfDir.flatMap { // keep the line valid JSON for any path
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"aggregation":"per-query min over warm passes","cold_total":$coldTotal,"queries":$qs,"sf":"$sfJson"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"aggregation":"per-query min over warm passes","build_total":$buildTotal,"builds":$buildQs,"cold_total":$coldTotal,"cold_queries":$coldQs,"queries":$qs,"sf":"$sfJson"}"""
     println(line)
     // the driver's bench artifact keeps only a tail of stdout, which
     // truncates the per-query map — persist the full line in-repo so
