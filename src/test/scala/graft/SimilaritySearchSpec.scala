@@ -486,6 +486,41 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "compaction changed the resolved banding view")
   }
 
+  test("SRP banding crash contract: uncommitted deltas are invisible and a retry absorbs the leftover") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srp_crash").toString
+    graft.sources.SrpStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].first()
+    val baseRows = graft.sources.SrpStore.bandingFrame(spark, dir).count()
+    // simulate an upsert that crashed AFTER the delta append but
+    // BEFORE the commit marker: write the ver-1 partition by hand
+    val updates = Seq((maxId + 1, v0)).toDF("vec_id", "embedding")
+    graft.operators.SrpBanded.bandedOf(
+        updates.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("band"), col("bk"))
+      .withColumn("__ver", lit(1))
+      .write.mode("append").partitionBy("__ver").parquet(s"$dir/banding/data")
+    graft.Tables.invalidate(dir)
+    // readers stay on the committed state — the torn write is invisible
+    assert(graft.sources.SrpStore.committedVers(spark, dir) == Seq(0))
+    val view = graft.sources.SrpStore.bandingFrame(spark, dir)
+    assert(view.count() == baseRows, "uncommitted delta leaked into the view")
+    assert(view.filter(col("vec_id") === (maxId + 1)).count() == 0)
+    // re-running the SAME upsert succeeds: the leftover uncommitted
+    // partition is cleared before the rewrite, so no doubled rows
+    graft.sources.SrpStore.upsert(spark, dir, updates)
+    assert(graft.sources.SrpStore.committedVers(spark, dir) == Seq(0, 1))
+    val after = graft.sources.SrpStore.bandingFrame(spark, dir)
+    assert(after.filter(col("vec_id") === (maxId + 1)).count() ==
+      graft.operators.SrpBanded.Bands,
+      "retry after a torn append must yield exactly Bands rows")
+    assert(after.count() == baseRows + graft.operators.SrpBanded.Bands)
+  }
+
   test("EdgeStore upsert: upserted vector becomes a hop DESTINATION without a rebuild, untouched partitions stable") {
     import spark.implicits._
     // full artifact set built on the ORIGINAL corpus
