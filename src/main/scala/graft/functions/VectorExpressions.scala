@@ -258,4 +258,42 @@ object ClosestCentroid {
     }
     best
   }
+  /** static, codegen-callable: the VALUE of the assignment distance —
+    * min squared-L2 over the centroids, same loop (and therefore the
+    * same IEEE accumulation order) as [[nearestJ]]. */
+  def nearestDistJ(a: ArrayData, cs: Array[Array[Double]]): Double = {
+    var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val cen = cs(c)
+      val n = math.min(a.numElements(), cen.length)
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getLong(i).toDouble - cen(i)
+        s += d * d; i += 1
+      }
+      if (s < bestD) bestD = s
+      c += 1
+    }
+    bestD
+  }
+}
+
+/** Squared-L2 distance to the nearest centroid — the assignment
+  * distance itself (the value [[ClosestCentroid]] minimizes), used by
+  * SemDeDup's keep/remove rule. Same quantized-int64 domain and
+  * dim-ascending accumulation as assignment, so the oracle's unrolled
+  * `distSql` chain reproduces it bit-for-bit. */
+case class NearestCentroidDist(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid_dist"
+  override def nullSafeEval(v: Any): Any =
+    ClosestCentroid.nearestDistJ(v.asInstanceOf[ArrayData], centroids)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ClosestCentroid.nearestDistJ($a, $cRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

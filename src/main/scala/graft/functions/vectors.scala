@@ -17,6 +17,8 @@ object vectors {
   def embed_text(t: Column): Column = c(EmbedText(e(t)))
   def closest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     c(ClosestCentroid(e(v), centroids))
+  def nearest_centroid_dist(v: Column, centroids: Array[Array[Double]]): Column =
+    c(NearestCentroidDist(e(v), centroids))
 
   /** register SQL names on the session (temp functions) */
   def register(spark: SparkSession): Unit = {

@@ -545,6 +545,85 @@ object Dedup {
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $tau
        |ORDER BY label, id_a, id_b""".stripMargin
 
+  /** d11: SemDeDup — cluster-then-dedup semantic pruning (Abbas et
+    * al. 2023, arXiv:2303.09540): k-means the embeddings, compare
+    * pairs ONLY within a cluster, and for every pair with cosine ≥ τ
+    * drop the member closer to its cluster centroid (the paper's
+    * diversity-keep: survivors sit at the cluster fringe), ties on
+    * the smaller id. Output is the full per-vector decision table.
+    *
+    * Scale shape — the whole point of SemDeDup is that clustering
+    * bounds the quadratic: k grows with the corpus so cluster size
+    * stays ~constant, and the within-cluster O(m²) runs as the d5/v16
+    * load-balanced chunked block-matrix join (each unordered chunk
+    * pair meets in exactly one bounded-memory task — never one
+    * SortMergeJoin task materializing a whole cluster²). Everything
+    * else is map-only: the coarse model rides as a broadcast reference
+    * object inside codegen'd kernels (assignment AND the centroid
+    * distance are computed per-row with no join), and the removal set
+    * shuffles ids only. Training is the shared integer-exact Lloyd
+    * model ([[IvfIndex.fitCached]] — same cached model v5/v6/v14 use),
+    * so the DuckDB oracle replays the entire pipeline bit-for-bit,
+    * keep/remove comparisons included. */
+  def semDedup(spark: SparkSession, d: String, tau: Double = 0.35,
+               k: Int = 16, iters: Int = 5, chunkSize: Int = 4096): DataFrame = {
+    val model = IvfIndex.fitCached(spark, d, k, iters)
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val q = IvfIndex.quantize(col("embedding"))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      vectors.closest_centroid(q, model.centroids).as("list_id"),
+      vectors.nearest_centroid_dist(q, model.centroids).as("cdist"))
+    // per-cluster chunk counts: bounded model state (k rows), broadcast
+    val nc = assigned.groupBy(col("list_id")).agg(
+      ceil(count(lit(1)).cast("double") / chunkSize).cast("int").as("nc"))
+    val chunked = assigned.join(broadcast(nc), "list_id")
+      .withColumn("ci", pmod(xxhash64(col("vec_id")), col("nc")).cast("int"))
+    val left = chunked.select(col("list_id"), col("ci"),
+      explode(expr("sequence(ci, nc - 1)")).as("cj"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cdist").as("cd_a"))
+    val right = chunked.select(col("list_id"), col("ci").as("cj"),
+      explode(expr("sequence(0, ci)")).as("ci"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cdist").as("cd_b"))
+    val removed = left.join(right, Seq("list_id", "ci", "cj"))
+      .filter(col("ci") < col("cj") || col("id_a") < col("id_b"))
+      .filter(vectors.cosine_sim(col("emb_a"), col("emb_b")) >= tau)
+      // un-orient: the tile layout doesn't promise id_a < id_b on the
+      // diagonal, but the keep rule is symmetric so it doesn't care
+      .select(when(col("cd_a") < col("cd_b"), col("id_a"))
+        .when(col("cd_b") < col("cd_a"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id"))
+      .distinct()
+    assigned.join(removed.withColumn("rm", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        when(col("rm").isNull, 1).otherwise(0).cast("int").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** d11 oracle: the replayed k-means ([[IvfIndex.fitCtes]]) extended
+    * with the assignment-distance column, the within-cluster pair
+    * scan, and the same keep/remove CASE. */
+  def semDedupSql(tau: Double = 0.35, k: Int = 16, iters: Int = 5,
+                  dim: Int = 64): String =
+    s"""WITH ${IvfIndex.fitCtes(k, iters, dim)},
+       |cd AS MATERIALIZED (
+       |  SELECT t.vec_id, a.list_id, ${IvfIndex.distSql("t.q", "c.c", dim)} AS cdist
+       |  FROM qt t JOIN af a USING (vec_id) JOIN cent$iters c ON a.list_id = c.list_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, a.cdist AS cd_a, b.vec_id AS id_b, b.cdist AS cd_b
+       |  FROM cd a JOIN cd b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= $tau),
+       |removed AS (
+       |  SELECT DISTINCT CASE WHEN cd_a < cd_b THEN id_a
+       |                       WHEN cd_b < cd_a THEN id_b
+       |                       ELSE greatest(id_a, id_b) END AS vec_id
+       |  FROM pairs)
+       |SELECT a.vec_id, a.list_id,
+       |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM af a LEFT JOIN removed r USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
   /** d7: train/eval contamination check — the decontamination pass an
     * LLM pipeline runs before training: which training docs share
     * suspiciously many word n-grams with an eval-set doc. Split here

@@ -194,6 +194,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiled == whole, s"chunked d5 diverged: ${tiled.diff(whole)} / ${whole.diff(tiled)}")
   }
 
+  test("d11 SemDeDup: decision table matches a brute-force replay of the rule; tiling-invariant") {
+    import spark.implicits._
+    val out = Dedup.semDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), (r.getAs[Int]("list_id"), r.getAs[Int]("kept"))))
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    assert(out.length == corpus.length, "one decision row per corpus vector")
+    assert(out.map(_._1).distinct.length == out.length, "vec_id unique")
+    // the chunked block-matrix must not change any decision
+    val tiled = Dedup.semDedup(spark, sf, chunkSize = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), (r.getAs[Int]("list_id"), r.getAs[Int]("kept"))))
+    assert(tiled.sortBy(_._1).sameElements(out.sortBy(_._1)), "tiling changed decisions")
+    // brute-force replay: same model, same quantized domain, same rule
+    val model = IvfIndex.fitCached(spark, sf, 16, 5)
+    def quant(v: Array[Float]): Array[Double] = v.map(x => math.floor(x.toDouble * 1e6))
+    def assignDist(q: Array[Double]): (Int, Double) = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- model.centroids.indices) {
+        var s = 0.0
+        for (j <- model.centroids(c).indices) { val d = q(j) - model.centroids(c)(j); s += d * d }
+        if (s < bestD) { bestD = s; best = c }
+      }
+      (best, bestD)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = corpus.map { case (id, v) =>
+      val (list, dist) = assignDist(quant(v)); id -> (v, list, dist)
+    }.toMap
+    val removedBrute = (for {
+      (ia, (va, la, da)) <- byId.toSeq; (ib, (vb, lb, db)) <- byId.toSeq
+      if ia < ib && la == lb && cos(va, vb) >= 0.35
+    } yield if (da < db) ia else if (db < da) ib else math.max(ia, ib)).toSet
+    out.foreach { case (id, (list, kept)) =>
+      assert(list == byId(id)._2, s"vec $id cluster mismatch")
+      assert((kept == 0) == removedBrute.contains(id),
+        s"vec $id kept=$kept but brute-force says removed=${removedBrute.contains(id)}")
+    }
+  }
+
   test("d9 SRP banding: finds every planted high-cosine near-dup, exactly as brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(7L)
