@@ -121,6 +121,14 @@ object SparkEntry {
     // of the subspace split, same code budget as v12 (Ge CVPR'13's
     // permutation special case, pinned + integer-exact)
     "v30_opq_search" -> ((s, d) => OpqIndex.searchSummary(s, d, SearchText)),
+    // hierarchical navigable graph: hash-derandomized HNSW levels,
+    // greedy coarse-to-fine descent, shared layer-0 beam tail
+    "v31_hnsw_search" -> ((s, d) =>
+      Hnsw.search(s, d, FakeEmbedder.embed(SearchText))),
+    // v31 served from the persisted hierarchy (layer-pruned walk +
+    // stored layer-0 edges) — identical rows, same oracle
+    "v32_hnsw_stored" -> ((s, d) => graft.sources.HnswStore.search(
+      s, d, graft.sources.HnswStore.storeFor(s, d), FakeEmbedder.embed(SearchText))),
     "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
     // diversity rerank (oracle: the greedy loop unrolled into k CTE stages)
     "v17_mmr_rerank" -> ((s, d) => SimilaritySearch.mmrRerank(
@@ -153,6 +161,7 @@ object SparkEntry {
     "d8_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "d9_srp_banded_neardup" -> ((s, d) => SrpBanded.srpBandedNearDup(s, d)),
     "d10_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "d11_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     "v18_knn_graph" -> ((s, d) => SrpBanded.knnGraph(s, d)),
     "v19_graph_search" -> ((s, d) =>
       SrpBanded.graphSearch(s, d, FakeEmbedder.embed(SearchText))),
@@ -342,6 +351,7 @@ object SparkEntry {
     "d8_canonical_docs" -> Dedup.canonicalDocsSql(),
     "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
+    "d11_semdedup" -> Dedup.semDedupSql(),
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
     "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
@@ -389,6 +399,9 @@ object SparkEntry {
     "v15_sq_search" -> SqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v12_pq_search" -> PqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v30_opq_search" -> OpqIndex.searchSummarySql(FakeEmbedder.embed(SearchText)),
+    "v31_hnsw_search" -> Hnsw.searchSql(queryVecSql),
+    // same oracle as v31: the stored path must return the same rows
+    "v32_hnsw_stored" -> Hnsw.searchSql(queryVecSql),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),

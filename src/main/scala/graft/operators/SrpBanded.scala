@@ -139,7 +139,7 @@ object SrpBanded {
     * list_dot_product over int64-quantized lists stays exact (values
     * ≪ 2^53, integer-valued doubles), so the keys agree bit-for-bit
     * with the codegen'd kernel. */
-  private def srpBandsCtes: String = {
+  private[graft] def srpBandsCtes: String = {
     def keySql(b: Int): String =
       (0 until RowsPerBand).map { k =>
         val planes = signs(b * RowsPerBand + k).mkString("[", ",", "]")
@@ -159,7 +159,7 @@ object SrpBanded {
   /** `e` (double vectors), `cand0` (band-collision pairs), `gscored`
     * (exact cosine), `granked` (per-src rank), `graph` (top-graphK
     * edges) — the v18 build every graph oracle shares. */
-  private def rawGraphCtes(graphK: Int): String =
+  private[graft] def rawGraphCtes(graphK: Int): String =
     s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cand0 AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -205,10 +205,20 @@ object SrpBanded {
     * `$graphCte`: `qscore`/`probe`/`pool`/`f0s`/`f0`, the unrolled
     * hops, and the final ranked SELECT. Returned WITHOUT a leading
     * comma — append after the graph CTEs. */
-  private def searchTailSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
-                            k: Int, beam: Int, iters: Int, maxEntries: Int,
-                            graphCte: String): String = {
-    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
+  /** `qv`/`qscore` — the exact query-vs-corpus scores every serve
+    * oracle reads from (shared with [[Hnsw]]'s descent CTEs). */
+  private[graft] def qscoreSql(queryVecSql: String): String =
+    s"""qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
+       |qscore AS (
+       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
+       |  WHERE e.vec_id IN (SELECT vec_id FROM qt))""".stripMargin
+
+  /** The beam hops + final ranked SELECT over an edge CTE `$graphCte`,
+    * starting from existing `f0`/`f0s`/`qscore` CTEs — the part of the
+    * serve tail that doesn't care HOW the seed pool was found (LSH
+    * multi-probe here, hierarchical descent in [[Hnsw]]). */
+  private[graft] def beamHopsSql(k: Int, beam: Int, iters: Int,
+                                 graphCte: String): String = {
     val hops = (1 to iters).map { i =>
       val prevF = if (i == 1) "f0" else s"f${i - 1}"
       val prevV = if (i == 1) "f0s" else s"v${i - 1}"
@@ -222,10 +232,18 @@ object SrpBanded {
          |  SELECT * FROM $prevV UNION ALL SELECT * FROM c${i}s)),
          |f$i AS (SELECT vec_id FROM c${i}s ORDER BY sim DESC, vec_id LIMIT $beam)""".stripMargin
     }.mkString(",\n")
-    s"""qv AS (SELECT CAST($queryVecSql AS DOUBLE[]) AS v),
-       |qscore AS (
-       |  SELECT e.vec_id, list_cosine_similarity(e.v, qv.v) AS sim FROM e, qv
-       |  WHERE e.vec_id IN (SELECT vec_id FROM qt)),
+    s"""$hops
+       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+       |  FROM v$iters)
+       |WHERE rk <= $k ORDER BY rk""".stripMargin
+  }
+
+  private def searchTailSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
+                            k: Int, beam: Int, iters: Int, maxEntries: Int,
+                            graphCte: String): String = {
+    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
+    s"""${qscoreSql(queryVecSql)},
        |probe(band, bk) AS (VALUES $probeValues),
        |pool AS (
        |  SELECT DISTINCT b.vec_id FROM bands b
@@ -234,11 +252,7 @@ object SrpBanded {
        |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
        |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
        |f0 AS (SELECT vec_id FROM f0s),
-       |$hops
-       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
-       |  SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
-       |  FROM v$iters)
-       |WHERE rk <= $k ORDER BY rk""".stripMargin
+       |${beamHopsSql(k, beam, iters, graphCte)}""".stripMargin
   }
 
   /** DuckDB twin of [[srpBandedNearDup]]: banded collision pairs,

@@ -617,4 +617,54 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("band"),
       s"no partition pruning in streaming seed plan:\n$plan")
   }
+
+  test("v31 HNSW: layers thin geometrically, descent path is valid, recall vs exact") {
+    import spark.implicits._
+    val q = FakeEmbedder.embed(queryText)
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+
+    // layer membership follows the md5 rule: ~1/4 per level, and each
+    // layer graph's nodes are exactly that layer's members
+    val lvls = emb.select(col("vec_id"),
+      substring(md5(col("vec_id").cast("string")), 1, 3).as("h"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("h")))
+    def lvlOf(h: String): Int =
+      if (h(0) >= '4') 0 else if (h(1) >= '4') 1 else if (h(2) >= '4') 2 else 3
+    val members1 = lvls.filter { case (_, h) => lvlOf(h) >= 1 }.map(_._1).toSet
+    assert(members1.size > 0 && members1.size < n,
+      s"level-1 membership ${members1.size} of $n not a proper subset")
+    val g1 = graft.operators.Hnsw.layerGraph(spark, sf, 1).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(g1.nonEmpty, "level-1 graph empty")
+    assert(g1.forall { case (s, d) => members1.contains(s) && members1.contains(d) },
+      "level-1 graph contains non-member nodes")
+
+    // serve: k sorted rows, descending sims, recall floor vs exact
+    val res = graft.operators.Hnsw.search(spark, sf, q).collect()
+    assert(res.length == 10, s"expected 10 rows, got ${res.length}")
+    val sims = res.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims not sorted")
+    val exactTop = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "cosine")
+      .collect().map(_.getLong(0))
+    val approx = res.map(_.getAs[Long]("vec_id")).toSet
+    val recall = exactTop.toSet.intersect(approx).size.toDouble / exactTop.length
+    assert(recall >= 0.7, s"HNSW recall $recall too low")
+    assert(exactTop.take(3).forall(approx.contains),
+      s"HNSW missed one of the exact top-3 ${exactTop.take(3).toSeq}")
+  }
+
+  test("v32 stored HNSW: equals in-memory serve, layer read is partition-pruned") {
+    val q = FakeEmbedder.embed(queryText)
+    val dir = graft.sources.HnswStore.storeFor(spark, sf)
+    val stored = graft.sources.HnswStore.search(spark, sf, dir, q).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"), r.getAs[Double]("sim")))
+    val inMem = graft.operators.Hnsw.search(spark, sf, q).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"), r.getAs[Double]("sim")))
+    assert(stored.sameElements(inMem),
+      s"stored HNSW diverged: ${stored.toSeq} vs ${inMem.toSeq}")
+    val plan = graft.sources.HnswStore.lastLayerPlan
+    assert(plan.contains("PartitionFilters") && plan.contains("layer"),
+      s"no partition pruning in stored layer read:\n$plan")
+  }
 }
