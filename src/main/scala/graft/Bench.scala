@@ -51,6 +51,11 @@ object Bench {
     build("srp_store") { graft.sources.SrpStore.storeFor(spark, sfDir) }
     build("edge_store") { graft.sources.EdgeStore.refinedStoreFor(spark, sfDir) }
     build("ivfpq_store") { graft.sources.IvfPqStore.residualStoreFor(spark, sfDir) }
+    build("hnsw_layers") {
+      (1 to graft.operators.Hnsw.MaxLevel)
+        .foreach(l => graft.operators.Hnsw.layerGraph(spark, sfDir, l))
+    }
+    build("hnsw_store") { graft.sources.HnswStore.storeFor(spark, sfDir) }
     // pass 1 doubles as warmup (JIT, codegen cache, file index) — its
     // total is reported separately as the COLD number
     val cold = timedPass()
