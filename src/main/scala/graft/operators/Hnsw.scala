@@ -63,7 +63,7 @@ object Hnsw {
 
   /** level(vec_id): leading md5 hex digits < '4', capped at MaxLevel.
     * Lowercase-hex md5 of the DECIMAL id string in both engines. */
-  private def levelCol(id: Column): Column = {
+  private[graft] def levelCol(id: Column): Column = {
     val h = md5(id.cast("string"))
     when(substring(h, 1, 1) >= "4", 0)
       .otherwise(when(substring(h, 2, 1) >= "4", 1)

@@ -667,4 +667,100 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("layer"),
       s"no partition pruning in stored layer read:\n$plan")
   }
+
+  test("HnswStore upsert: upserted vector joins its layers without a rebuild, untouched partitions stable") {
+    import spark.implicits._
+    val srpDir = java.nio.file.Files.createTempDirectory("hnswup_srp").toString
+    graft.sources.SrpStore.write(spark, sf, srpDir)
+    val dir = java.nio.file.Files.createTempDirectory("hnswup_store").toString
+    graft.sources.HnswStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    // the md5 level rule, replayed driver-side
+    def lvl(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h(0) >= '4') 0 else if (h(1) >= '4') 1 else if (h(2) >= '4') 2 else 3
+    }
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    // a new id that lands on layer >= 1, twinned to an EXISTING
+    // layer >= 1 member so a within-layer bucket collision is certain
+    val newId = (maxId + 1 to maxId + 64).find(lvl(_) >= 1).get
+    val baseId = emb.select(col("vec_id")).as[Long].collect().sorted
+      .find(lvl(_) >= 1).get
+    val bVec = emb.filter(col("vec_id") === baseId)
+      .select(col("embedding")).as[Array[Float]].first()
+    val twin = bVec.updated(0, bVec(0) + 0.01f)
+    val d2 = java.nio.file.Files.createTempDirectory("hnswup_corpus").toString
+    emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((newId, twin)).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val updates = Seq((newId, twin)).toDF("vec_id", "embedding")
+    graft.sources.SrpStore.upsert(spark, srpDir, updates)
+
+    def partFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$dir/layers").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("layer="))
+        .flatMap(ld => ld.listFiles().filter(_.isDirectory).map(pd =>
+          s"${ld.getName}/${pd.getName}" ->
+            pd.listFiles().filter(_.isFile).map(f => (f.getName, f.length())).toSet))
+        .toMap
+    val before = partFiles()
+
+    val touched = graft.sources.HnswStore.upsert(spark, dir, d2, srpDir, updates)
+    assert(touched.nonEmpty, "upsert touched no layer partitions")
+    assert(touched.size < before.size,
+      s"upsert should touch a strict subset: $touched of ${before.size}")
+
+    // structurally on its layers: the twin pair adopted each other
+    val l1 = spark.read.parquet(s"$dir/layers")
+      .filter(col("layer") === 1)
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(l1.contains((newId, baseId)),
+      s"upserted id has no layer-1 edge to its twin base $baseId")
+    assert(l1.contains((baseId, newId)),
+      s"twin base $baseId did not adopt the upserted id on layer 1")
+
+    // functionally: the full stored hierarchy serves the new vector
+    // after the layer-0 edge upsert, with no rebuild anywhere
+    graft.sources.EdgeStore.upsert(spark, s"$dir/l0", d2, srpDir, updates)
+    val served = graft.sources.HnswStore.search(spark, d2, dir, twin)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(served.contains(newId),
+      s"stored hierarchy does not serve the upserted vector: $served")
+
+    // rewrite minimality: untouched (layer, pb) partitions byte-identical
+    val after = partFiles()
+    val touchedDirs = touched.map { case (l, pb) => s"layer=$l/pb=$pb" }.toSet
+    before.foreach { case (part, files) =>
+      if (!touchedDirs.contains(part))
+        assert(after(part) == files, s"$part untouched but rewritten")
+    }
+  }
+
+  test("streaming HNSW probe: equals batch stored hierarchical search, layer read pruned") {
+    import spark.implicits._
+    val dir = graft.sources.HnswStore.storeFor(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("hnswprobe_q").toString
+    val q1 = "fast vector search over spark tables"
+    val q2 = "slow filter batch"
+    Seq(s"""{"query_id": 1, "query_text": "$q1"}""",
+      s"""{"query_id": 2, "query_text": "$q2"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = graft.streaming.HnswProbeStream
+      .runOnce(spark, tmp, sf, dir, k = 5).collect()
+    assert(out.length == 10) // 2 queries x 5 neighbors
+    Seq(1L -> q1, 2L -> q2).foreach { case (qid, qt) =>
+      val batch = graft.sources.HnswStore.search(spark, sf, dir,
+          FakeEmbedder.embed(qt), k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val stream = out.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(stream == batch, s"query $qid: stream $stream != batch $batch")
+    }
+    val plan = graft.sources.HnswStore.lastLayerPlan
+    assert(plan.contains("PartitionFilters") && plan.contains("layer"),
+      s"no partition pruning in streaming layer read:\n$plan")
+  }
 }
