@@ -580,4 +580,90 @@ object TextOps {
       |  CAST(target_share AS DOUBLE) * total_toks / p.lang_toks > 1.0 AS oversample
       |FROM per_lang p JOIN tgt USING (lang), tot
       |ORDER BY lang""".stripMargin
+
+  /** t17: quality gate — drop the global bottom decile by t2's
+    * quality score, the canonical curation cut (CCNet/Gopher-style
+    * filtering, done EXACTLY rather than by a sampled quantile). The
+    * cut is rank-based with a doc_id tie-break, so it is a total
+    * order both engines agree on; what must be found is one order
+    * statistic — the ⌈N/10⌉-th smallest (quality, doc_id) pair —
+    * and q33's blocked two-pass trick finds it with NO global sort:
+    *
+    *   1. one scoring scan (map-only expressions), checkpointed so
+    *      the later stages don't rescore the corpus;
+    *   2. value-range blocks on quality, per-block subtotals
+    *      prefix-scanned on the driver (bounded by the block count),
+    *      cumulative ranks from a window PARTITIONED by block;
+    *   3. the single boundary pair collected (1 row);
+    *   4. the verdict is a map-only broadcast compare.
+    *
+    * Output = every doc with its quality and an integer kept flag
+    * (the d11 decision-table shape). */
+  def qualityGate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val scored = qualityScore(spark, d)
+      .select(col("doc_id"), col("quality")).localCheckpoint(true)
+    try {
+      val stats = scored.agg(count(lit(1)),
+        min(col("quality")), max(col("quality"))).head()
+      val n = stats.getLong(0)
+      val cut = (n + 9) / 10 // rows dropped = ceil(N/10)
+      if (n == 0) return qualityScore(spark, d)
+        .select(col("doc_id"), col("quality"), lit(1).cast("int").as("kept"))
+      val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+      val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
+      val width = math.max((hi - lo) / targetBlocks, 1e-9)
+      val blkCol = least(floor((col("quality") - lit(lo)) / lit(width)),
+        lit(targetBlocks - 1)).cast("long")
+      val blocked = scored.withColumn("blk", blkCol)
+      val totals = blocked.groupBy(col("blk")).agg(count(lit(1)).as("blk_c"))
+        .orderBy(col("blk")).collect()
+      var acc = 0L
+      val prefix = totals.map { r =>
+        val o = (r.getLong(0), acc); acc += r.getLong(1); o
+      }.toSeq
+      val offsets = prefix.toDF("blk", "blk_before")
+      val wLocal = Window.partitionBy(col("blk"))
+        .orderBy(col("quality"), col("doc_id"))
+      // global rank = driver-prefixed block offset + within-block rank
+      val boundary = blocked
+        .withColumn("rnk_local", row_number().over(wLocal))
+        .join(broadcast(offsets), Seq("blk"))
+        .filter(col("blk_before") + col("rnk_local") === cut)
+        .select(col("quality"), col("doc_id"))
+        .head()
+      val (bq, bid) = (boundary.getDouble(0), boundary.getLong(1))
+      // the RETURNED frame rescores from the source (one map-only
+      // scan at evaluation time) — it must not reference the
+      // checkpoint, which is released before the caller evaluates
+      qualityScore(spark, d).select(col("doc_id"), col("quality"),
+          when(col("quality") > bq ||
+            (col("quality") === bq && col("doc_id") > bid), 1)
+            .otherwise(0).cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(scored)
+  }
+
+  /** t17 oracle: the t2 quality CTE + one rank window + the same
+    * ceil(N/10) cut. (The oracle MAY sort globally — it is the
+    * semantic spec, not the execution strategy.) */
+  def qualityGateSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) *
+       |      least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) AS quality
+       |  FROM (
+       |    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t))) AS n_stop
+       |    FROM documents)),
+       |r AS (
+       |  SELECT doc_id, quality,
+       |    row_number() OVER (ORDER BY quality, doc_id) AS rnk,
+       |    count(*) OVER () AS n
+       |  FROM q)
+       |SELECT doc_id, quality,
+       |  CAST(CASE WHEN rnk > (n + 9) // 10 THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 }

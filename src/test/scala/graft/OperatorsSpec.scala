@@ -240,6 +240,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 quality gate: blocked order statistic equals the brute-force rank cut") {
+    val out = TextOps.qualityGate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Double]("quality"), r.getAs[Int]("kept"))))
+    val n = out.length
+    val cut = (n.toLong + 9) / 10
+    assert(out.count(_._2._2 == 0) == cut,
+      s"dropped ${out.count(_._2._2 == 0)} docs, expected ceil(N/10) = $cut")
+    // brute force: global (quality, doc_id) rank on the driver
+    val dropped = out.map { case (id, (q, _)) => (q, id) }.sorted.take(cut.toInt)
+      .map(_._2).toSet
+    out.foreach { case (id, (_, kept)) =>
+      assert((kept == 0) == dropped.contains(id),
+        s"doc $id kept=$kept but brute-force rank says dropped=${dropped.contains(id)}")
+    }
+  }
+
   test("d9 SRP banding: finds every planted high-cosine near-dup, exactly as brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(7L)
