@@ -129,6 +129,9 @@ object SparkEntry {
     // stored layer-0 edges) — identical rows, same oracle
     "v32_hnsw_stored" -> ((s, d) => graft.sources.HnswStore.search(
       s, d, graft.sources.HnswStore.storeFor(s, d), FakeEmbedder.embed(SearchText))),
+    // batched multi-query hierarchical serve (the v26 shape over the
+    // layered walk) — one set-based plan, no query broadcast
+    "v33_hnsw_batch" -> ((s, d) => Hnsw.searchBatch(s, d, JoinQueryFilter)),
     "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
     // diversity rerank (oracle: the greedy loop unrolled into k CTE stages)
     "v17_mmr_rerank" -> ((s, d) => SimilaritySearch.mmrRerank(
@@ -241,6 +244,7 @@ object SparkEntry {
     "t14_len_histogram" -> TextOps.lenHistogram _,
     "t15_repetition" -> TextOps.repetition _,
     "t16_mix_weights" -> TextOps.mixWeights _,
+    "t17_quality_gate" -> TextOps.qualityGate _,
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -377,6 +381,7 @@ object SparkEntry {
     "t14_len_histogram" -> TextOps.lenHistogramSql,
     "t15_repetition" -> TextOps.repetitionSql,
     "t16_mix_weights" -> TextOps.mixWeightsSql,
+    "t17_quality_gate" -> TextOps.qualityGateSql,
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
@@ -402,6 +407,7 @@ object SparkEntry {
     "v31_hnsw_search" -> Hnsw.searchSql(queryVecSql),
     // same oracle as v31: the stored path must return the same rows
     "v32_hnsw_stored" -> Hnsw.searchSql(queryVecSql),
+    "v33_hnsw_batch" -> Hnsw.searchBatchSql(JoinQueryFilter),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),

@@ -60,6 +60,11 @@ object Hnsw {
     * (the two misses are ranks 8 and 10 at Δcos < 0.01; the exact
     * top-8, including the top-1, are all found). */
   val DescentBeam = 16
+  /** walk moves per layer in the BATCH path (v33): the set-based plan
+    * cannot early-exit per query, so every step is a full stage —
+    * 4 covers observed convergence (walks settle in ≤ 3 moves) at
+    * two-thirds the stage count of the single-query cap */
+  val BatchMaxSteps = 4
 
   /** level(vec_id): leading md5 hex digits < '4', capped at MaxLevel.
     * Lowercase-hex md5 of the DECIMAL id string in both engines. */
@@ -180,6 +185,148 @@ object Hnsw {
       k, beam, iters, maxEntries, graphK, graphOverride = g0)
   }
 
+  /** (query_id, vec_id) pairs → exact cosine; the v26 no-query-
+    * broadcast contract shared verbatim: the query side rides a
+    * SHUFFLE_HASH join on query_id, never a BroadcastExchange. */
+  private def batchScorePairs(emb: DataFrame, queries: DataFrame)
+                             (pairs: DataFrame): DataFrame = pairs
+    .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+    .join(queries.hint("shuffle_hash"), Seq("query_id"))
+    .select(col("query_id"), col("vec_id"),
+      vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
+
+  /** The batch entry seeding, LAZY — exposed so a plan spec can
+    * assert the no-query-broadcast contract without running the
+    * walk (the v26 `batchSeedScored` pattern). */
+  private[graft] def batchEntryScored(spark: SparkSession, d: String,
+                                      queryMod: Int, entry: Long): DataFrame = {
+    val emb = cleanEmb(spark, d)
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    batchScorePairs(emb, queries)(
+      queries.select(col("query_id"), lit(entry).as("vec_id")))
+  }
+
+  /** v33: BATCHED hierarchical serve — the whole query table walked
+    * down the hierarchy in one set-based plan (the HNSW analogue of
+    * v26, completing the batch-serve matrix: graph v26/v27,
+    * quantization v29, hierarchy here). The per-query walk state
+    * becomes a (query_id, vec_id, sim) frame cut by per-query
+    * windows; the monotone beam step is idempotent once a query
+    * converges, so the fixed unroll serves early- and late-converging
+    * queries in the same plan. The ENTRY is query-independent (the
+    * hierarchy's top), so seeding is one row per query — no bucket
+    * probing, no per-query driver state anywhere.
+    *
+    * Scale contract (v26's, inherited): query embeddings ride
+    * SHUFFLE_HASH joins on query_id, never a BroadcastExchange —
+    * millions of queries scale out with the cluster. Each stage is
+    * checkpointed against hop replay; intermediates are released
+    * once the k·|Q| result is materialized. */
+  def searchBatch(spark: SparkSession, d: String, queryMod: Int,
+                  k: Int = 5, beam: Int = 16, iters: Int = 3,
+                  maxEntries: Int = 64, graphK: Int = 5,
+                  descentBeam: Int = DescentBeam,
+                  maxSteps: Int = BatchMaxSteps): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = cleanEmb(spark, d)
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val scorePairs = batchScorePairs(emb, queries) _
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // entry: one agg over levels — query-independent, one row/query
+    val e = emb.agg(
+      min(when(levelCol(col("vec_id")) >= 3, col("vec_id"))).as("e3"),
+      min(when(levelCol(col("vec_id")) >= 2, col("vec_id"))).as("e2"),
+      min(when(levelCol(col("vec_id")) >= 1, col("vec_id"))).as("e1"),
+      min(col("vec_id")).as("e0")).collect()(0)
+    val entry = (0 to 3).map(i => Option(e.get(i)).map(_.asInstanceOf[Long]))
+      .collectFirst { case Some(id) => id }.get
+    // Catalyst's union constraint rewrite (InferFiltersFromConstraints
+    // over Distinct(Union(...))) fails with key-not-found on this
+    // unroll's deep union-of-checkpoints chains — a known optimizer
+    // defect with unioned self-derived lineage. Constraint propagation
+    // is an inference heuristic (it adds filters, never changes
+    // results), and every stage here is an eager checkpoint inside
+    // this scope, so it is disabled for the walk and restored after.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+    val cols3 = Seq("query_id", "vec_id", "sim")
+    var state = scorePairs(
+        queries.select(col("query_id"), lit(entry).as("vec_id")))
+      .toDF(cols3: _*).localCheckpoint(true)
+    intermediates += state
+    var path = state
+    for (l <- MaxLevel to 1 by -1; _ <- 1 to maxSteps) {
+      val g = layerGraph(spark, d, l)
+      val neigh = state.join(g, state("vec_id") === g("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+      val neighScored = scorePairs(neigh.distinct())
+        .toDF(cols3: _*).localCheckpoint(true)
+      intermediates += neighScored
+      val cand = state.unionByName(neighScored)
+        .distinct()
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= descentBeam)
+        .select(col("query_id"), col("vec_id"), col("sim"))
+        .toDF(cols3: _*).localCheckpoint(true)
+      intermediates += cand
+      state = cand
+      path = path.unionByName(state)
+    }
+    // layer-0: the v26 hop tail seeded with each query's walk path
+    val graph = SrpBanded.materializedGraph(spark, d, graphK)
+    val seed = path.distinct()
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= maxEntries)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .toDF(cols3: _*).localCheckpoint(true)
+    intermediates += seed
+    var visited = seed
+    // first frontier = the FULL per-query seed pool, as in the
+    // single-query tail and v26; carried SCORED so the hop's
+    // "frontier ∪ neighbors rescored" set assembles from checkpoint-
+    // rooted frames only (same constraint-rewrite dodge as the walk)
+    var frontierS = seed
+    (1 to iters).foreach { _ =>
+      val neigh = frontierS.join(graph, frontierS("vec_id") === graph("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+      val neighScored = scorePairs(neigh.distinct())
+        .toDF(cols3: _*).localCheckpoint(true)
+      intermediates += neighScored
+      // = scored(frontier ∪ neighbors): frontier rows keep their sims
+      // (bit-identical recomputation either way), overlap dedups on
+      // the full triple
+      val cand = frontierS.select(col("query_id"), col("vec_id"), col("sim"))
+        .unionByName(neighScored).distinct()
+        .toDF(cols3: _*).localCheckpoint(true)
+      intermediates += cand
+      visited = visited.unionByName(cand).distinct()
+      frontierS = cand
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("vec_id"), col("sim"))
+    }
+    val out = visited
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rk"))
+      .localCheckpoint(true)
+    intermediates.foreach(org.apache.spark.sql.GraftBridge.unpersistPlanRdds)
+    out
+    } finally cpPrev match {
+      case Some(v) => spark.conf.set(cpKey, v)
+      case None => spark.conf.unset(cpKey)
+    }
+  }
+
   // ---------------------------------------------------------------
   // DuckDB twin
   // ---------------------------------------------------------------
@@ -224,6 +371,86 @@ object Hnsw {
        |    SELECT DISTINCT vec_id, sim FROM (
        |      SELECT * FROM $prev UNION ALL SELECT * FROM ${out}n))
        |  ORDER BY sim DESC, vec_id LIMIT $DescentBeam)""".stripMargin
+
+  /** v33 oracle: the batch twin — layer CTEs + an `allscore` of every
+    * (query, corpus) pair (the oracle-side luxury v26's twin also
+    * takes), the entry scored once per query, the walk unrolled
+    * [[BatchMaxSteps]] times per layer with per-query windows, and
+    * the v26-style hop tail. All MATERIALIZED (the descent chain is
+    * deep; DuckDB inlines plain CTEs per reference). */
+  def searchBatchSql(queryMod: Int, k: Int = 5, beam: Int = 16,
+                     iters: Int = 3, maxEntries: Int = 64, graphK: Int = 5,
+                     levelK: Int = LevelK): String = {
+    val layers = (1 to MaxLevel).map(layerGraphSql(_, levelK)).mkString(",\n")
+    val stepNames = scala.collection.mutable.ArrayBuffer("bs0")
+    val steps = (MaxLevel to 1 by -1).flatMap { l =>
+      (1 to BatchMaxSteps).map { i =>
+        val prev = stepNames.last
+        val out = s"bs${l}_$i"
+        stepNames += out
+        s"""${out}c AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id FROM $prev
+           |    UNION ALL
+           |    SELECT p.query_id, g.dst AS vec_id FROM $prev p JOIN hg$l g ON g.src = p.vec_id)),
+           |$out AS MATERIALIZED (
+           |  SELECT query_id, vec_id, sim FROM (
+           |    SELECT c.query_id, c.vec_id, s.sim,
+           |      row_number() OVER (PARTITION BY c.query_id ORDER BY s.sim DESC, c.vec_id) AS rn
+           |    FROM ${out}c c JOIN allscore s ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
+           |  WHERE rn <= $DescentBeam)""".stripMargin
+      }
+    }.mkString(",\n")
+    val pathUnion = stepNames.map(n => s"SELECT query_id, vec_id FROM $n").mkString(" UNION ALL ")
+    val hops = (1 to iters).map { i =>
+      val prevF = if (i == 1) "bf0" else s"bf${i - 1}"
+      val prevV = if (i == 1) "bf0s" else s"bv${i - 1}"
+      s"""bc$i AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM $prevF
+         |    UNION ALL
+         |    SELECT f.query_id, g.dst AS vec_id FROM $prevF f JOIN graph g ON g.src = f.vec_id)),
+         |bc${i}s AS MATERIALIZED (SELECT c.query_id, c.vec_id, s.sim FROM bc$i c
+         |  JOIN allscore s ON s.query_id = c.query_id AND s.vec_id = c.vec_id),
+         |bv$i AS MATERIALIZED (SELECT DISTINCT query_id, vec_id, sim FROM (
+         |  SELECT * FROM $prevV UNION ALL SELECT * FROM bc${i}s)),
+         |bf$i AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bc${i}s) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SrpBanded.srpBandsCtes},
+       |${SrpBanded.rawGraphCtes(graphK)},
+       |$lvlSql,
+       |$layers,
+       |allscore AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id, list_cosine_similarity(c.v, q.v) AS sim
+       |  FROM (SELECT vec_id, v FROM e WHERE vec_id IN (SELECT vec_id FROM qt)) c
+       |  CROSS JOIN (SELECT vec_id, v FROM e
+       |    WHERE vec_id % $queryMod = 0 AND vec_id IN (SELECT vec_id FROM qt)) q),
+       |entry AS (SELECT COALESCE(
+       |  (SELECT min(vec_id) FROM lvl WHERE lvl >= 3),
+       |  (SELECT min(vec_id) FROM lvl WHERE lvl >= 2),
+       |  (SELECT min(vec_id) FROM lvl WHERE lvl >= 1),
+       |  (SELECT min(vec_id) FROM qt)) AS node),
+       |bs0 AS MATERIALIZED (
+       |  SELECT s.query_id, en.node AS vec_id, s.sim
+       |  FROM entry en JOIN allscore s ON s.vec_id = en.node),
+       |$steps,
+       |bpath AS MATERIALIZED (SELECT DISTINCT query_id, vec_id FROM ($pathUnion)),
+       |bf0s AS MATERIALIZED (
+       |  SELECT query_id, vec_id, sim FROM (
+       |    SELECT p.query_id, p.vec_id, s.sim,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY s.sim DESC, p.vec_id) AS rn
+       |    FROM bpath p JOIN allscore s ON s.query_id = p.query_id AND s.vec_id = p.vec_id)
+       |  WHERE rn <= $maxEntries),
+       |bf0 AS MATERIALIZED (SELECT query_id, vec_id FROM bf0s),
+       |$hops
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk, round(sim, 6) AS sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM bv$iters)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
 
   /** v31 oracle: shared bands + v18 graph + qscore CTEs, the replayed
     * layer assignment/edges, the unrolled greedy walk (MaxSteps per

@@ -763,4 +763,48 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("layer"),
       s"no partition pruning in streaming layer read:\n$plan")
   }
+
+  test("v33 batched HNSW: equals the single-query walk per query, no query broadcast") {
+    import graft.operators.Hnsw
+    val batch = Hnsw.searchBatch(spark, sf, queryMod = 50).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(batch.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    // navigation-based serving does not guarantee self-retrieval the
+    // way LSH seeding does (v26's self always collides with itself;
+    // a walk must REACH the query's neighborhood) — assert a floor
+    // on how many queries find themselves at rank 1, not all
+    val selfAt1 = batch.count { case (qid, rows) =>
+      val top = rows.minBy(_.getAs[Int]("rk"))
+      top.getAs[Long]("neighbor_id") == qid && top.getAs[Double]("sim") == 1.0
+    }
+    assert(selfAt1 >= batch.size / 2,
+      s"only $selfAt1 of ${batch.size} queries retrieve themselves at rank 1")
+    batch.foreach { case (qid, rows) =>
+      // per-query parity with the single-query walk at the same params
+      import spark.implicits._
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).as[Array[Float]].first()
+      val single = Hnsw.search(spark, sf, qv, k = 5, beam = 16, iters = 3,
+          maxEntries = 64, graphK = 5, refined = false,
+          descentBeam = Hnsw.DescentBeam, maxSteps = Hnsw.BatchMaxSteps)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"),
+          r.getAs[Double]("sim"))).toSet
+      val batchQ = rows.map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("sim"))).toSet
+      assert(batchQ == single, s"query $qid: batch $batchQ != single $single")
+    }
+    // the v26 contract: query embeddings never ride a BroadcastExchange
+    val entry = 0L // any literal works for the plan-shape check
+    val scored = Hnsw.batchEntryScored(spark, sf, 50, entry)
+    val bxs = scored.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    val offending = bxs.filter(_.output.exists(_.name == "q_vec"))
+    assert(offending.isEmpty,
+      s"query embeddings materialized in a BroadcastExchange:\n${offending.mkString("\n")}")
+    assert(scored.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
+      "expected a shuffle-hash join for the query side")
+  }
 }
