@@ -61,10 +61,13 @@ object Hnsw {
     * top-8, including the top-1, are all found). */
   val DescentBeam = 16
   /** walk moves per layer in the BATCH path (v33): the set-based plan
-    * cannot early-exit per query, so every step is a full stage —
-    * 4 covers observed convergence (walks settle in ≤ 3 moves) at
-    * two-thirds the stage count of the single-query cap */
-  val BatchMaxSteps = 4
+    * cannot early-exit per query, so every unrolled step is a full
+    * stage — 3 covers observed convergence (walks settle in ≤ 3
+    * moves) at half the single-query cap. An exact runtime fixpoint
+    * test (count + exceptAll per step) was tried and reverted: at
+    * bench scale the two extra jobs per step cost more than the
+    * skipped stages saved (4.7 s → 5.5 s). */
+  val BatchMaxSteps = 3
 
   /** level(vec_id): leading md5 hex digits < '4', capped at MaxLevel.
     * Lowercase-hex md5 of the DECIMAL id string in both engines. */
