@@ -125,13 +125,25 @@ object SparkEntry {
     // greedy coarse-to-fine descent, shared layer-0 beam tail
     "v31_hnsw_search" -> ((s, d) =>
       Hnsw.search(s, d, FakeEmbedder.embed(SearchText))),
-    // v31 served from the persisted hierarchy (layer-pruned walk +
-    // stored layer-0 edges) — identical rows, same oracle
+    // v31 served from the persisted hierarchy — entry, layer edges
+    // and layer-0 hops all read store artifacts with embeddings
+    // in-row: the serve path never touches the corpus (no corpus dir
+    // in the search signature). Identical rows, same oracle.
     "v32_hnsw_stored" -> ((s, d) => graft.sources.HnswStore.search(
-      s, d, graft.sources.HnswStore.storeFor(s, d), FakeEmbedder.embed(SearchText))),
+      s, graft.sources.HnswStore.storeFor(s, d), FakeEmbedder.embed(SearchText))),
     // batched multi-query hierarchical serve (the v26 shape over the
     // layered walk) — one set-based plan, no query broadcast
     "v33_hnsw_batch" -> ((s, d) => Hnsw.searchBatch(s, d, JoinQueryFilter)),
+    // v33 over the persisted hierarchy: stored entry + stored layers
+    // + stored layer-0 edges, zero graph construction at query time —
+    // the v27 analogue completing the stored-batch matrix
+    "v34_hnsw_batch_stored" -> ((s, d) => graft.sources.HnswStore.searchBatch(
+      s, d, graft.sources.HnswStore.storeFor(s, d), JoinQueryFilter)),
+    // hierarchical descent with the layer-0 tail over the NN-Descent-
+    // REFINED graph (v21's edges): better per-hop recall at identical
+    // serve cost — the v25 move applied to the hierarchy
+    "v35_hnsw_refined" -> ((s, d) =>
+      Hnsw.search(s, d, FakeEmbedder.embed(SearchText), refined = true)),
     "v15_sq_search" -> ((s, d) => SqIndex.searchSummary(s, d, SearchText)),
     // diversity rerank (oracle: the greedy loop unrolled into k CTE stages)
     "v17_mmr_rerank" -> ((s, d) => SimilaritySearch.mmrRerank(
@@ -200,10 +212,11 @@ object SparkEntry {
         bandedSource = Some(graft.sources.SrpStore.bandingFrame(s,
           graft.sources.SrpStore.storeFor(s, d))))),
     // fully store-backed serve: seeds from pruned SrpStore buckets,
-    // hops over the persisted refined edge table — zero build at
-    // query time (same oracle as v25)
+    // hops over the persisted refined edge table with embeddings
+    // in-row — zero build AND zero corpus reads at query time (same
+    // oracle as v25)
     "v28_graph_search_cold" -> ((s, d) =>
-      graft.sources.SrpStore.graphSearchCold(s, d,
+      graft.sources.SrpStore.graphSearchCold(s,
         graft.sources.SrpStore.storeFor(s, d),
         graft.sources.EdgeStore.refinedStoreFor(s, d),
         FakeEmbedder.embed(SearchText))),
@@ -408,6 +421,10 @@ object SparkEntry {
     // same oracle as v31: the stored path must return the same rows
     "v32_hnsw_stored" -> Hnsw.searchSql(queryVecSql),
     "v33_hnsw_batch" -> Hnsw.searchBatchSql(JoinQueryFilter),
+    // same oracle as v33: the stored hierarchy must serve the same batch
+    "v34_hnsw_batch_stored" -> Hnsw.searchBatchSql(JoinQueryFilter),
+    // descent unchanged, tail over the refined graph (v21's CTEs)
+    "v35_hnsw_refined" -> Hnsw.searchRefinedSql(queryVecSql),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),

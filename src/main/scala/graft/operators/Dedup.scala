@@ -568,7 +568,12 @@ object Dedup {
   def semDedup(spark: SparkSession, d: String, tau: Double = 0.35,
                k: Int = 16, iters: Int = 5, chunkSize: Int = 4096): DataFrame = {
     val model = IvfIndex.fitCached(spark, d, k, iters)
-    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    // same null/dim gate as the oracle's qt/af CTEs (and the cleanEmb
+    // idiom in Hnsw/SrpBanded): dirty rows must not emit decision rows
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
     val q = IvfIndex.quantize(col("embedding"))
     val assigned = emb.select(col("vec_id"), col("embedding"),
       vectors.closest_centroid(q, model.centroids).as("list_id"),

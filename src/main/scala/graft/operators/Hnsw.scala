@@ -91,14 +91,55 @@ object Hnsw {
   }
 
   /** The level-l (l ≥ 1) navigation graph: v18's banded build over
-    * the members of that layer. Edges carry (src, dst) only. */
+    * the members of that layer. Edges carry (src, dst, dst_emb) — the
+    * destination embedding rides in-row (the HNSW-paper layout), so a
+    * descent step scores from the edge rows it fetched and never
+    * joins the corpus. */
   private[graft] def layerGraph(spark: SparkSession, d: String, l: Int,
                                 levelK: Int = LevelK): DataFrame =
     layerCache.getOrElseUpdate(spark, (d, l, levelK)) {
       val members = cleanEmb(spark, d).filter(levelCol(col("vec_id")) >= l)
-      SrpBanded.knnGraphFromBanded(spark, d, SrpBanded.bandedOf(members), levelK)
-        .select(col("src"), col("dst")).localCheckpoint(true)
+      SrpBanded.knnGraphWithEmb(spark, d, SrpBanded.bandedOf(members), levelK)
+        .localCheckpoint(true)
     }
+
+  // the entry point is a pure function of the corpus — one agg per
+  // corpus dir, memoized (not per query); the persisted analogue is
+  // HnswStore's entry/ artifact, written at store-build time
+  private val entryCache = new graft.SessionCache[String, (Long, Array[Float])](8)
+  graft.Tables.onInvalidate { p =>
+    entryCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
+
+  /** Entry point of the hierarchy: the min vec_id on the highest
+    * occupied layer, with its embedding (so scoring it against a
+    * query needs no corpus read). */
+  private[graft] def entryFor(spark: SparkSession, d: String): (Long, Array[Float]) =
+    entryCache.getOrElseUpdate(spark, d) {
+      val emb = cleanEmb(spark, d)
+      val e = emb.agg(
+        min(when(levelCol(col("vec_id")) >= 3, col("vec_id"))).as("e3"),
+        min(when(levelCol(col("vec_id")) >= 2, col("vec_id"))).as("e2"),
+        min(when(levelCol(col("vec_id")) >= 1, col("vec_id"))).as("e1"),
+        min(col("vec_id")).as("e0")).collect()(0)
+      val entry = (0 to 3).map(i => Option(e.get(i)).map(_.asInstanceOf[Long]))
+        .collectFirst { case Some(id) => id }.get
+      val entryEmb = emb.filter(col("vec_id") === entry)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).toArray
+      (entry, entryEmb)
+    }
+
+  /** Exact cosine of one stored embedding against the query, computed
+    * by the same Spark expression every other score uses (one-row
+    * local relation — identical float inputs → identical double). */
+  private[graft] def scoreOne(spark: SparkSession, emb: Array[Float],
+                              queryVec: Array[Float]): Double = {
+    import spark.implicits._
+    Seq(Tuple1(emb)).toDF("embedding")
+      .select(vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
+      .as[Double].head()
+  }
 
   /** The coarse-to-fine walk alone: enter at the top layer, beam-
     * descend every upper layer, return the visited path as a scored
@@ -107,23 +148,17 @@ object Hnsw {
     * in-memory layer graphs here, partition-pruned store reads in
     * [[graft.sources.HnswStore]]; same rows either way, so the two
     * serve paths share one walk (and one oracle). */
-  private[graft] def descentPoolBy(spark: SparkSession, d: String,
-      queryVec: Array[Float], edgesFor: (Int, Seq[Long]) => DataFrame,
+  private[graft] def descentPoolBy(spark: SparkSession,
+      entry: (Long, Array[Float]), queryVec: Array[Float],
+      edgesFor: (Int, Seq[Long]) => DataFrame,
       descentBeam: Int = DescentBeam, maxSteps: Int = MaxSteps): DataFrame = {
     import spark.implicits._
-    val emb = cleanEmb(spark, d)
     val q = typedLit(queryVec)
 
-    // entry point: min id on the highest occupied layer — one tiny agg
-    val e = emb.agg(
-      min(when(levelCol(col("vec_id")) >= 3, col("vec_id"))).as("e3"),
-      min(when(levelCol(col("vec_id")) >= 2, col("vec_id"))).as("e2"),
-      min(when(levelCol(col("vec_id")) >= 1, col("vec_id"))).as("e1"),
-      min(col("vec_id")).as("e0")).collect()(0)
-    val entry = (0 to 3).map(i => Option(e.get(i)).map(_.asInstanceOf[Long]))
-      .collectFirst { case Some(id) => id }.get
-    val entrySim = emb.filter(col("vec_id") === entry)
-      .select(vectors.cosine_sim(col("embedding"), q)).as[Double].head()
+    // entry point: memoized ([[entryFor]]) or store-read — scored via
+    // a one-row relation; NO corpus access anywhere in the walk
+    val (entryId, entryEmb) = entry
+    val entrySim = scoreOne(spark, entryEmb, queryVec)
 
     // the same NaN-greatest / id-asc total order the beam serve uses
     def better(aSim: Double, aId: Long, bSim: Double, bId: Long): Boolean = {
@@ -140,17 +175,18 @@ object Hnsw {
     // reads against a src-partitioned edge table at scale) and keeps
     // the top-DescentBeam of state ∪ neighbors — monotone, so a
     // converged step is the identity and early exit is sound
-    var state: Seq[(Long, Double)] = Seq((entry, entrySim))
-    val path = scala.collection.mutable.LinkedHashMap(entry -> entrySim)
+    var state: Seq[(Long, Double)] = Seq((entryId, entrySim))
+    val path = scala.collection.mutable.LinkedHashMap(entryId -> entrySim)
     for (l <- MaxLevel to 1 by -1) {
       var converged = false
       var step = 0
       while (!converged && step < maxSteps) {
         step += 1
+        // neighbors scored from the edge rows' in-row embeddings —
+        // the step IS the pruned edge read, no corpus join
         val nb = edgesFor(l, state.map(_._1))
-          .join(emb, col("dst") === emb("vec_id"))
           .select(col("dst").as("vec_id"),
-            vectors.cosine_sim(col("embedding"), q).as("sim"))
+            vectors.cosine_sim(col("dst_emb"), q).as("sim"))
           .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
         val merged = (state ++ nb).groupBy(_._1).map(_._2.head).toSeq
           .sortWith { case ((ida, sa), (idb, sb)) => better(sa, ida, sb, idb) }
@@ -168,7 +204,7 @@ object Hnsw {
   private[graft] def descentPool(spark: SparkSession, d: String,
       queryVec: Array[Float], descentBeam: Int = DescentBeam,
       maxSteps: Int = MaxSteps): DataFrame =
-    descentPoolBy(spark, d, queryVec,
+    descentPoolBy(spark, entryFor(spark, d), queryVec,
       (l, frontier) => layerGraph(spark, d, l)
         .filter(col("src").isin(frontier: _*)),
       descentBeam, maxSteps)
@@ -230,7 +266,10 @@ object Hnsw {
                   k: Int = 5, beam: Int = 16, iters: Int = 3,
                   maxEntries: Int = 64, graphK: Int = 5,
                   descentBeam: Int = DescentBeam,
-                  maxSteps: Int = BatchMaxSteps): DataFrame = {
+                  maxSteps: Int = BatchMaxSteps,
+                  layerSource: Option[Int => DataFrame] = None,
+                  graphSource: Option[DataFrame] = None,
+                  entryOverride: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val emb = cleanEmb(spark, d)
@@ -239,15 +278,27 @@ object Hnsw {
     val scorePairs = batchScorePairs(emb, queries) _
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
+    // ONE exchange per walk/hop step instead of two: the union is
+    // hash-repartitioned on query_id once; the (query_id, vec_id)
+    // dedup and the per-query rank are then BOTH windows whose
+    // ClusteredDistribution is satisfied by that single partitioning
+    // (a window needs only a subset match), so Catalyst plans
+    // repartition → sort → dedup-window → sort → rank-window with no
+    // further shuffle. Duplicate (query_id, vec_id) rows carry
+    // bit-identical sims (same expression over the same floats — the
+    // invariant the former distinct() on the full triple relied on),
+    // so keeping any one row per pair equals the old distinct.
+    val wd = Window.partitionBy(col("query_id"), col("vec_id"))
+      .orderBy(col("sim"))
+    def dedupRank(df: DataFrame): DataFrame = df
+      .repartition(col("query_id"))
+      .withColumn("__dup", row_number().over(wd))
+      .filter(col("__dup") === 1).drop("__dup")
+      .withColumn("rn", row_number().over(wq))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // entry: one agg over levels — query-independent, one row/query
-    val e = emb.agg(
-      min(when(levelCol(col("vec_id")) >= 3, col("vec_id"))).as("e3"),
-      min(when(levelCol(col("vec_id")) >= 2, col("vec_id"))).as("e2"),
-      min(when(levelCol(col("vec_id")) >= 1, col("vec_id"))).as("e1"),
-      min(col("vec_id")).as("e0")).collect()(0)
-    val entry = (0 to 3).map(i => Option(e.get(i)).map(_.asInstanceOf[Long]))
-      .collectFirst { case Some(id) => id }.get
+    // entry: query-independent — memoized per corpus ([[entryFor]]) or
+    // read from the persisted store's entry artifact (v34)
+    val entry = entryOverride.getOrElse(entryFor(spark, d)._1)
     // Catalyst's union constraint rewrite (InferFiltersFromConstraints
     // over Distinct(Union(...))) fails with key-not-found on this
     // unroll's deep union-of-checkpoints chains — a known optimizer
@@ -255,6 +306,12 @@ object Hnsw {
     // is an inference heuristic (it adds filters, never changes
     // results), and every stage here is an eager checkpoint inside
     // this scope, so it is disabled for the walk and restored after.
+    // The set/walk/restore runs under a process-wide lock: the conf is
+    // session-global, and two overlapping batch walks could otherwise
+    // race on the save/restore (one capturing the other's "false" as
+    // the previous value). Batch serves are minutes-long offline jobs,
+    // so serializing them costs nothing observable.
+    cpLock.synchronized {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark.conf.getOption(cpKey)
     spark.conf.set(cpKey, "false")
@@ -266,15 +323,13 @@ object Hnsw {
     intermediates += state
     var path = state
     for (l <- MaxLevel to 1 by -1; _ <- 1 to maxSteps) {
-      val g = layerGraph(spark, d, l)
+      val g = layerSource.map(_(l)).getOrElse(layerGraph(spark, d, l))
       val neigh = state.join(g, state("vec_id") === g("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
       val neighScored = scorePairs(neigh.distinct())
         .toDF(cols3: _*).localCheckpoint(true)
       intermediates += neighScored
-      val cand = state.unionByName(neighScored)
-        .distinct()
-        .withColumn("rn", row_number().over(wq))
+      val cand = dedupRank(state.unionByName(neighScored))
         .filter(col("rn") <= descentBeam)
         .select(col("query_id"), col("vec_id"), col("sim"))
         .toDF(cols3: _*).localCheckpoint(true)
@@ -283,13 +338,18 @@ object Hnsw {
       path = path.unionByName(state)
     }
     // layer-0: the v26 hop tail seeded with each query's walk path
-    val graph = SrpBanded.materializedGraph(spark, d, graphK)
-    val seed = path.distinct()
-      .withColumn("rn", row_number().over(wq))
+    val graph = graphSource.getOrElse(SrpBanded.materializedGraph(spark, d, graphK))
+    val seed = dedupRank(path)
       .filter(col("rn") <= maxEntries)
       .select(col("query_id"), col("vec_id"), col("sim"))
       .toDF(cols3: _*).localCheckpoint(true)
     intermediates += seed
+    // visited accumulates the UNCUT candidate sets (a node scored but
+    // never promoted to the frontier can still make the final top-k);
+    // its dedup is deferred to the single final dedup+rank pass —
+    // inter-iteration overlap is bounded (≤ beam·(graphK+1) rows per
+    // query per hop), so carrying duplicates is cheaper than a
+    // distinct() exchange per hop
     var visited = seed
     // first frontier = the FULL per-query seed pool, as in the
     // single-query tail and v26; carried SCORED so the hop's
@@ -302,21 +362,19 @@ object Hnsw {
       val neighScored = scorePairs(neigh.distinct())
         .toDF(cols3: _*).localCheckpoint(true)
       intermediates += neighScored
-      // = scored(frontier ∪ neighbors): frontier rows keep their sims
-      // (bit-identical recomputation either way), overlap dedups on
-      // the full triple
-      val cand = frontierS.select(col("query_id"), col("vec_id"), col("sim"))
-        .unionByName(neighScored).distinct()
-        .toDF(cols3: _*).localCheckpoint(true)
+      // = scored(frontier ∪ neighbors) deduped WITH its per-query
+      // rank, in one exchange; the beam cut is then a plain filter
+      val cand = dedupRank(
+          frontierS.select(col("query_id"), col("vec_id"), col("sim"))
+            .unionByName(neighScored))
+        .toDF("query_id", "vec_id", "sim", "rn").localCheckpoint(true)
       intermediates += cand
-      visited = visited.unionByName(cand).distinct()
-      frontierS = cand
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= beam)
+      visited = visited.unionByName(cand.select(col("query_id"), col("vec_id"), col("sim")))
+      frontierS = cand.filter(col("rn") <= beam)
         .select(col("query_id"), col("vec_id"), col("sim"))
     }
-    val out = visited
-      .withColumn("rk", row_number().over(wq))
+    val out = dedupRank(visited)
+      .withColumnRenamed("rn", "rk")
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
@@ -328,7 +386,11 @@ object Hnsw {
       case Some(v) => spark.conf.set(cpKey, v)
       case None => spark.conf.unset(cpKey)
     }
+    }
   }
+
+  /** guards the [[searchBatch]] constraint-propagation conf scope */
+  private val cpLock = new Object
 
   // ---------------------------------------------------------------
   // DuckDB twin
@@ -364,7 +426,8 @@ object Hnsw {
     * of state ∪ state's layer-l neighbors, by (sim DESC, id ASC).
     * Monotone — a converged step reproduces its input, so the fixed
     * unroll matches the Scala path's early exit. */
-  private def stepSql(prev: String, out: String, l: Int): String =
+  private def stepSql(prev: String, out: String, l: Int,
+                      descentBeam: Int = DescentBeam): String =
     s"""${out}n AS MATERIALIZED (
        |  SELECT qs.vec_id, qs.sim
        |  FROM $prev p JOIN hg$l g ON g.src = p.vec_id
@@ -373,7 +436,7 @@ object Hnsw {
        |  SELECT vec_id, sim FROM (
        |    SELECT DISTINCT vec_id, sim FROM (
        |      SELECT * FROM $prev UNION ALL SELECT * FROM ${out}n))
-       |  ORDER BY sim DESC, vec_id LIMIT $DescentBeam)""".stripMargin
+       |  ORDER BY sim DESC, vec_id LIMIT $descentBeam)""".stripMargin
 
   /** v33 oracle: the batch twin — layer CTEs + an `allscore` of every
     * (query, corpus) pair (the oracle-side luxury v26's twin also
@@ -383,11 +446,12 @@ object Hnsw {
     * deep; DuckDB inlines plain CTEs per reference). */
   def searchBatchSql(queryMod: Int, k: Int = 5, beam: Int = 16,
                      iters: Int = 3, maxEntries: Int = 64, graphK: Int = 5,
-                     levelK: Int = LevelK): String = {
+                     levelK: Int = LevelK, descentBeam: Int = DescentBeam,
+                     maxSteps: Int = BatchMaxSteps): String = {
     val layers = (1 to MaxLevel).map(layerGraphSql(_, levelK)).mkString(",\n")
     val stepNames = scala.collection.mutable.ArrayBuffer("bs0")
     val steps = (MaxLevel to 1 by -1).flatMap { l =>
-      (1 to BatchMaxSteps).map { i =>
+      (1 to maxSteps).map { i =>
         val prev = stepNames.last
         val out = s"bs${l}_$i"
         stepNames += out
@@ -401,7 +465,7 @@ object Hnsw {
            |    SELECT c.query_id, c.vec_id, s.sim,
            |      row_number() OVER (PARTITION BY c.query_id ORDER BY s.sim DESC, c.vec_id) AS rn
            |    FROM ${out}c c JOIN allscore s ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
-           |  WHERE rn <= $DescentBeam)""".stripMargin
+           |  WHERE rn <= $descentBeam)""".stripMargin
       }
     }.mkString(",\n")
     val pathUnion = stepNames.map(n => s"SELECT query_id, vec_id FROM $n").mkString(" UNION ALL ")
@@ -460,15 +524,16 @@ object Hnsw {
     * layer), and the shared beam tail seeded by the walk's path. */
   def searchSql(queryVecSql: String, k: Int = 10, beam: Int = 16,
                 iters: Int = 3, maxEntries: Int = 64, graphK: Int = 5,
-                levelK: Int = LevelK): String = {
+                levelK: Int = LevelK, descentBeam: Int = DescentBeam,
+                maxSteps: Int = MaxSteps): String = {
     val layers = (1 to MaxLevel).map(layerGraphSql(_, levelK)).mkString(",\n")
     val stepNames = scala.collection.mutable.ArrayBuffer("s0")
     val steps = (MaxLevel to 1 by -1).flatMap { l =>
-      (1 to MaxSteps).map { i =>
+      (1 to maxSteps).map { i =>
         val prev = stepNames.last
         val out = s"ds${l}_$i"
         stepNames += out
-        stepSql(prev, out, l)
+        stepSql(prev, out, l, descentBeam)
       }
     }.mkString(",\n")
     val pathUnion = stepNames.map(n => s"SELECT vec_id FROM $n").mkString(" UNION ALL ")
@@ -490,5 +555,48 @@ object Hnsw {
        |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
        |f0 AS (SELECT vec_id FROM f0s),
        |${SrpBanded.beamHopsSql(k, beam, iters, "graph")}""".stripMargin
+  }
+
+  /** v35 oracle: [[searchSql]] with the layer-0 tail hopping the
+    * NN-Descent-REFINED graph — the descent CTEs are unchanged (upper
+    * layers are banded builds, independent of refinement), only the
+    * `graph` role in the beam tail is played by v21's refined edge
+    * set ([[SrpBanded.refinedGraphCtes]] — the same chain v25/v28
+    * replay), exactly mirroring `search(refined = true)`. */
+  def searchRefinedSql(queryVecSql: String, k: Int = 10, beam: Int = 16,
+                       iters: Int = 3, maxEntries: Int = 64, graphK: Int = 5,
+                       rounds: Int = 3, levelK: Int = LevelK,
+                       descentBeam: Int = DescentBeam,
+                       maxSteps: Int = MaxSteps): String = {
+    val layers = (1 to MaxLevel).map(layerGraphSql(_, levelK)).mkString(",\n")
+    val stepNames = scala.collection.mutable.ArrayBuffer("s0")
+    val steps = (MaxLevel to 1 by -1).flatMap { l =>
+      (1 to maxSteps).map { i =>
+        val prev = stepNames.last
+        val out = s"ds${l}_$i"
+        stepNames += out
+        stepSql(prev, out, l, descentBeam)
+      }
+    }.mkString(",\n")
+    val pathUnion = stepNames.map(n => s"SELECT vec_id FROM $n").mkString(" UNION ALL ")
+    s"""WITH ${SrpBanded.srpBandsCtes},
+       |${SrpBanded.rawGraphCtes(graphK)},
+       |${SrpBanded.refinedGraphCtes(graphK, rounds)},
+       |${SrpBanded.qscoreSql(queryVecSql)},
+       |$lvlSql,
+       |$layers,
+       |entry AS (SELECT COALESCE(
+       |  (SELECT min(vec_id) FROM lvl WHERE lvl >= 3),
+       |  (SELECT min(vec_id) FROM lvl WHERE lvl >= 2),
+       |  (SELECT min(vec_id) FROM lvl WHERE lvl >= 1),
+       |  (SELECT min(vec_id) FROM qt)) AS node),
+       |s0 AS (SELECT en.node AS vec_id, qs.sim FROM entry en JOIN qscore qs ON qs.vec_id = en.node),
+       |$steps,
+       |dpool AS (SELECT DISTINCT vec_id FROM ($pathUnion)),
+       |f0s AS (
+       |  SELECT p.vec_id, qs.sim FROM dpool p JOIN qscore qs USING (vec_id)
+       |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
+       |f0 AS (SELECT vec_id FROM f0s),
+       |${SrpBanded.beamHopsSql(k, beam, iters, "refined_graph")}""".stripMargin
   }
 }

@@ -180,14 +180,18 @@ object SrpBanded {
     (1 to rounds).map { r =>
       val prev = if (r == 1) start else s"g${r - 1}"
       // reverse edges sampled to workK per node by the same integer
-      // hash rank the Spark path uses (Dong §2.3 ρ-sampling)
+      // hash rank the Spark path uses (Dong §2.3 ρ-sampling) —
+      // operands reduced mod P before the multiply, pmod semantics on
+      // both engines, so the rank is overflow-free and engine-identical
       s"""und$r AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM $prev
          |    UNION ALL
          |    SELECT src, dst FROM (SELECT dst AS src, src AS dst FROM $prev)
          |    QUALIFY row_number() OVER (
-         |      PARTITION BY src ORDER BY (src * 1000003 + dst) % 1000000007, dst) <= $workK)),
+         |      PARTITION BY src ORDER BY
+         |        (((src % 1000000007 + 1000000007) % 1000000007) * 1000003
+         |          + ((dst % 1000000007 + 1000000007) % 1000000007)) % 1000000007, dst) <= $workK)),
          |cand$r AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT x.src, y.dst FROM und$r x JOIN und$r y ON x.dst = y.src WHERE x.src <> y.dst
@@ -296,7 +300,25 @@ object SrpBanded {
     * [[graft.sources.SrpStore]] (v23, where the per-row hashing was
     * paid once at write time). Same candidates → same graph. */
   private[graft] def knnGraphFromBanded(spark: SparkSession, d: String,
-                                        banded: DataFrame, k: Int): DataFrame = {
+                                        banded: DataFrame, k: Int): DataFrame =
+    rankedEdges(spark, d, banded, k)
+      .select(col("src"), col("dst"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("src"), col("rk"))
+
+  /** The same top-k edges KEEPING the destination embedding in-row —
+    * what the serve-time edge artifacts store, so hop/step scoring
+    * reads embeddings from the edge rows it already fetched instead
+    * of joining the full corpus per hop (the 100×-scale fix: a walk
+    * step is a pruned point read, never a corpus scan). The embedding
+    * was already present in the build's scoring join; keeping it
+    * through the window costs nothing extra. */
+  private[graft] def knnGraphWithEmb(spark: SparkSession, d: String,
+                                     banded: DataFrame, k: Int): DataFrame =
+    rankedEdges(spark, d, banded, k)
+      .select(col("src"), col("dst"), col("emb_d").as("dst_emb"))
+
+  private def rankedEdges(spark: SparkSession, d: String,
+                          banded: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
@@ -312,12 +334,10 @@ object SrpBanded {
     cand
       .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
       .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
-      .select(col("src"), col("dst"),
+      .select(col("src"), col("dst"), col("emb_d"),
         vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("src"), col("dst"), col("rk"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("src"), col("rk"))
   }
 
   /** DuckDB twin: same pinned hyperplanes → same candidate set → same
@@ -366,7 +386,7 @@ object SrpBanded {
     // refined edges are built once per (d, params) and cached like the
     // v18 graph — graph construction is offline, serving reuses it
     val g = refinedCache.getOrElseUpdate(spark, (d, k, graphK, rounds)) {
-      var cur = materializedGraph(spark, d, graphK)
+      var cur = materializedGraph(spark, d, graphK).select(col("src"), col("dst"))
       (1 to rounds).foreach { r =>
         // reverse-degree cap (Dong et al. WWW'11 §2.3's ρ-sampling,
         // here at ρ·K = workK): forward degree is bounded by the
@@ -377,8 +397,15 @@ object SrpBanded {
         // workK reverse neighbors per node, ranked by a deterministic
         // integer hash (replayed verbatim in the DuckDB twin) so the
         // sample is pseudo-random yet engine-exact.
+        // operands reduced mod P BEFORE the multiply so the hash never
+        // overflows Int64 (pmod(src,P) < 2^30, ×1000003 < 2^50) — and
+        // is therefore engine-identical at any id range (the DuckDB
+        // twin in refineCtes spells the same reduced form). For ids
+        // where src*1000003+dst fits, this equals the unreduced hash
+        // mod P, so small-corpus graphs are unchanged.
         val wrev = Window.partitionBy(col("src")).orderBy(
-          pmod(col("src") * lit(1000003L) + col("dst"), lit(1000000007L)),
+          pmod(pmod(col("src"), lit(1000000007L)) * lit(1000003L) +
+            pmod(col("dst"), lit(1000000007L)), lit(1000000007L)),
           col("dst"))
         val revSampled = cur.select(col("dst").as("src"), col("src").as("dst"))
           .withColumn("rrk", row_number().over(wrev))
@@ -440,9 +467,18 @@ object SrpBanded {
   graft.Tables.onInvalidate { p =>
     graphCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
+  /** The checkpointed serve-time edge table: (src, dst, dst_emb) —
+    * destination embeddings ride IN the edge rows (the HNSW-paper
+    * layout: vectors live with the graph), so serve-path hop scoring
+    * never joins back to the corpus. Build paths that want bare edges
+    * select (src, dst). */
   def materializedGraph(spark: SparkSession, d: String, k: Int): DataFrame =
     graphCache.getOrElseUpdate(spark, (d, k)) {
-      knnGraph(spark, d, k).select(col("src"), col("dst"))
+      val emb = Tables.embeddings(spark, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+        .select(col("vec_id"), col("embedding"))
+      knnGraphWithEmb(spark, d, bandedOf(emb)
+          .select(col("vec_id"), col("band"), col("bk")), k)
         .localCheckpoint(true)
     }
 
@@ -751,11 +787,19 @@ object SrpBanded {
   graft.Tables.onInvalidate { p =>
     refinedTopCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
+  /** v21's refined edges in the serve layout — (src, dst, dst_emb),
+    * destination embeddings in-row like [[materializedGraph]]. */
   def materializedRefinedGraph(spark: SparkSession, d: String, k: Int = 5,
                                graphK: Int = 5, rounds: Int = 3): DataFrame =
     refinedTopCache.getOrElseUpdate(spark, (d, k, graphK, rounds)) {
+      val emb = Tables.embeddings(spark, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+        .select(col("vec_id").as("dst"), col("embedding").as("dst_emb"))
       nnDescentGraph(spark, d, k, graphK, rounds)
-        .select(col("src"), col("dst")).localCheckpoint(true)
+        .select(col("src"), col("dst"))
+        .join(emb, Seq("dst"))
+        .select(col("src"), col("dst"), col("dst_emb"))
+        .localCheckpoint(true)
     }
 
   /** Beam search over the v18 graph from an already-probed, already-
@@ -774,12 +818,21 @@ object SrpBanded {
   private[graft] def graphSearchFrom(spark: SparkSession, d: String,
       scoredPool: DataFrame, queryVec: Array[Float], k: Int, beam: Int,
       iters: Int, maxEntries: Int, graphK: Int,
-      graphOverride: Option[DataFrame] = None): DataFrame = {
+      graphOverride: Option[DataFrame] = None,
+      edgesFor: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, d)
-      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
-      .select(col("vec_id"), col("embedding"))
-    val graph = graphOverride.getOrElse(materializedGraph(spark, d, graphK))
+    // frontier's out-edges WITH destination embeddings in-row: either
+    // a pruned point read against a persisted edge store (`edgesFor` —
+    // the v28/v32 path, PartitionFilters decided in the file index) or
+    // an isin-filter over the checkpointed in-memory serve graph. In
+    // BOTH cases the hop never touches the corpus table: candidate
+    // embeddings arrive in the edge rows themselves, so a beam step at
+    // 100 TB reads O(frontier·graphK) rows, not a corpus scan.
+    val edgesOf: Seq[Long] => DataFrame = edgesFor.getOrElse { frontier =>
+      graphOverride.getOrElse(materializedGraph(spark, d, graphK))
+        .filter(col("src").isin(frontier: _*))
+        .select(col("dst"), col("dst_emb"))
+    }
     val q = typedLit(queryVec)
     // seed cut: keep the best maxEntries of the scored pool — the one
     // collect whose input is corpus-sized is still cut distributed
@@ -803,14 +856,19 @@ object SrpBanded {
     }
     var frontier: Seq[Long] = seed.map(_._1).toSeq
     (1 to iters).foreach { _ =>
-      val fDf = frontier.toDF("vec_id")
-      val neigh = broadcast(fDf)
-        .join(graph, fDf("vec_id") === graph("src"))
-        .select(col("dst").as("vec_id"))
-      val cand = broadcast(fDf.union(neigh).distinct())
-        .join(emb, "vec_id")
-        .select(col("vec_id"), vectors.cosine_sim(col("embedding"), q).as("sim"))
+      // frontier sims are already known (seeds, or last hop's scores):
+      // only the NEW neighbors need scoring, from their in-row
+      // embeddings — same IEEE floats as the corpus column, so results
+      // are bit-identical to the former corpus-join form
+      val nb = edgesOf(frontier)
+        .select(col("dst").as("vec_id"),
+          vectors.cosine_sim(col("dst_emb"), q).as("sim"))
+        .dropDuplicates("vec_id")
         .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+      val candMap = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+      frontier.foreach(id => candMap.update(id, visited(id)))
+      nb.foreach { case (id, s) => candMap.update(id, s) }
+      val cand = candMap.toSeq
       cand.foreach { case (id, s) => visited.update(id, s) }
       frontier = cand.sortWith(simDescIdAsc).take(beam).map(_._1).toSeq
     }
@@ -838,6 +896,22 @@ object SrpBanded {
        |${rawGraphCtes(graphK)},
        |${searchTailSql(queryVecSql, probeKeys, k, beam, iters, maxEntries, "graph")}""".stripMargin
 
+  /** The refinement chain + the final `refined_graph` edge CTE —
+    * refinement rounds run at the work degree v21 uses (2·graphK),
+    * the served edge set is the refined graph cut back to graphK.
+    * Shared by [[graphSearchRefinedSql]] (v25/v28) and the refined
+    * hierarchical twin ([[Hnsw.searchRefinedSql]], v35) — ONE text
+    * source, so the refined edge set cannot diverge between oracles. */
+  private[graft] def refinedGraphCtes(graphK: Int, rounds: Int): String =
+    s"""${refineCtes(rounds, 2 * graphK, start = "graph")},
+       |final_scored AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
+       |  FROM g$rounds c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
+       |refined_graph AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM final_scored) WHERE rk <= $graphK)""".stripMargin
+
   /** DuckDB twin of [[graphSearchRefined]]: [[nnDescentGraphSql]]'s
     * training + refinement CTEs produce the final refined edge set,
     * which then plays the `graph` role in [[graphSearchSql]]'s probe/
@@ -846,17 +920,8 @@ object SrpBanded {
                             k: Int = 10, beam: Int = 8, iters: Int = 2,
                             maxEntries: Int = 64, graphK: Int = 5,
                             rounds: Int = 3): String =
-    // refinement rounds run at the work degree v21 uses (2·graphK);
-    // the served edge set is the refined graph cut back to graphK
     s"""WITH $srpBandsCtes,
        |${rawGraphCtes(graphK)},
-       |${refineCtes(rounds, 2 * graphK, start = "graph")},
-       |final_scored AS MATERIALIZED (
-       |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
-       |  FROM g$rounds c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
-       |refined_graph AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-       |    FROM final_scored) WHERE rk <= $graphK),
+       |${refinedGraphCtes(graphK, rounds)},
        |${searchTailSql(queryVecSql, probeKeys, k, beam, iters, maxEntries, "refined_graph")}""".stripMargin
 }

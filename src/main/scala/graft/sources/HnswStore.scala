@@ -6,21 +6,34 @@ import graft.operators.{Hnsw, SrpBanded}
 
 /** Persisted HNSW hierarchy — the on-disk artifact set the
   * hierarchical serve path ([[graft.operators.Hnsw]], v31) needs so a
-  * FRESH session answers queries with zero graph construction at
-  * startup (the v28 contract, extended to the layered family):
+  * FRESH session answers queries with zero graph construction — and
+  * zero corpus access — at query time (the v28 contract, extended to
+  * the layered family):
   *
-  *  - `<dir>/layers/layer=<l>/pb=<p>/` — the upper-layer navigation
-  *    edges (src, dst), partitioned by layer and `pb = src mod
-  *    [[LayerPartitions]]`. A descent step touches ≤ DescentBeam
-  *    sources, so the read prunes to one layer × the frontier's pb
-  *    buckets in the file index — point reads, not scans.
-  *  - `<dir>/l0/edges/pb=<p>/` — the layer-0 beam graph in the
-  *    [[EdgeStore]] layout (v18's edges by default, matching v31).
+  *  - `<dir>/layers/data/__ver=<n>/layer=<l>/pb=<p>/` — the upper-
+  *    layer navigation edges `(src, dst, dst_emb)`, partitioned by
+  *    version, layer and `pb = pmod(src, LayerPartitions)`. The
+  *    DESTINATION EMBEDDING rides in the edge row (the HNSW-paper
+  *    layout), so a descent step scores what it reads — ≤ DescentBeam
+  *    sources' edges, pruned to one layer × the frontier's pb buckets
+  *    in the file index. Point reads, never corpus scans.
+  *  - `<dir>/layers/_commits/v<n>` — merge-on-read commit markers,
+  *    the [[SrpStore]] banding crash contract: a version is readable
+  *    iff its marker exists, latest version per (layer, src) wins,
+  *    null-dst tombstones mask removed sources. [[upsert]] APPENDS an
+  *    O(update) delta; a crash before the marker leaves readers on
+  *    the prior committed hierarchy.
+  *  - `<dir>/entry/v<n>/` — the hierarchy's entry point (one row:
+  *    vec_id + embedding), versioned with the layer chain. The entry
+  *    is a pure function of the corpus, persisted at write time so
+  *    serving never runs the corpus-wide level aggregation.
+  *  - `<dir>/l0/` — the layer-0 beam graph in the [[EdgeStore]]
+  *    layout (v18's edges by default, matching v31), embeddings
+  *    in-row there too.
   *
   * Levels are a pure function of vec_id (the md5 rule), so the store
   * needs no level table — membership is recomputed, never stored,
-  * and can therefore never go stale. Scoring reads embeddings from
-  * the corpus parquet (on-disk data, not session state).
+  * and can therefore never go stale.
   */
 object HnswStore {
 
@@ -28,55 +41,137 @@ object HnswStore {
     * level, so coarser than EdgeStore's 64 keeps files non-tiny */
   val LayerPartitions = 16
 
+  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/layers/_commits")
+    val f = hadoopFs(spark, dir)
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
+  }
+
+  private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
+    val f = hadoopFs(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/layers/_commits")
+    f.mkdirs(cd)
+    f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
+  }
+
+  private def writeEntry(spark: SparkSession, dir: String, ver: Int,
+                         entry: (Long, Array[Float])): Unit = {
+    import spark.implicits._
+    val f = hadoopFs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/entry/v$ver"), true): Unit
+    Seq(entry).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/entry/v$ver")
+  }
+
   def write(spark: SparkSession, d: String, dir: String): Unit = {
+    val f = hadoopFs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/layers"), true): Unit
     val layers = (1 to Hnsw.MaxLevel).map { l =>
       Hnsw.layerGraph(spark, d, l).withColumn("layer", lit(l))
     }.reduce(_ unionByName _)
     layers
       .withColumn("pb", pmod(col("src"), lit(LayerPartitions.toLong)))
+      .withColumn("__ver", lit(0))
       .repartition(col("layer"), col("pb"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("layer", "pb")
-      .parquet(s"$dir/layers")
+      .partitionBy("__ver", "layer", "pb")
+      .parquet(s"$dir/layers/data")
+    writeEntry(spark, dir, 0, Hnsw.entryFor(spark, d))
+    commitVer(spark, dir, 0)
     EdgeStore.write(spark, SrpBanded.materializedGraph(spark, d, 5), s"$dir/l0")
     graft.Tables.invalidate(dir)
   }
 
   private val frameCache = new graft.SessionCache[String, DataFrame](8)
+  private val entryCache = new graft.SessionCache[String, (Long, Array[Float])](8)
   graft.Tables.onInvalidate { p =>
     frameCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+    entryCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }
+
+  /** Merge-on-read view of the hierarchy: committed versions only,
+    * latest version per (layer, src) wins, tombstones dropped. The
+    * single-version state skips the resolve window; the multi-version
+    * window partitions by (layer, pb, src) so layer/pb/src predicates
+    * push below it and point reads stay partition-pruned. */
   def layersFrame(spark: SparkSession, dir: String): DataFrame =
-    frameCache.getOrElseUpdate(spark, dir)(
-      spark.read.parquet(s"$dir/layers")
-        .select(col("src"), col("dst"),
-          col("layer").cast("int").as("layer"), col("pb").cast("long").as("pb")))
+    frameCache.getOrElseUpdate(spark, dir) {
+      import org.apache.spark.sql.expressions.Window
+      val vers = committedVers(spark, dir)
+      require(vers.nonEmpty, s"no committed layer versions under $dir/layers")
+      val raw = spark.read.parquet(s"$dir/layers/data")
+        .filter(col("__ver").isin(vers: _*)) // partition-pruned
+        .select(col("src"), col("dst"), col("dst_emb"),
+          col("layer").cast("int").as("layer"), col("pb").cast("long").as("pb"),
+          col("__ver").cast("int").as("__ver"))
+      val resolved =
+        if (vers.size == 1) raw.drop("__ver")
+        else raw
+          .withColumn("__maxv", max(col("__ver"))
+            .over(Window.partitionBy(col("layer"), col("pb"), col("src"))))
+          .filter(col("__ver") === col("__maxv"))
+          .drop("__ver", "__maxv")
+      resolved.filter(col("dst").isNotNull)
+    }
+
+  /** The persisted entry point: read once per store handle — serving
+    * never touches the corpus to find (or score) its entry. */
+  def storedEntry(spark: SparkSession, dir: String): (Long, Array[Float]) =
+    entryCache.getOrElseUpdate(spark, dir) {
+      val v = committedVers(spark, dir).max
+      val r = spark.read.parquet(s"$dir/entry/v$v").collect()(0)
+      (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray)
+    }
 
   /** executed plan of the last descent-step layer read — spec hook
     * for the partition-pruning assertion */
   @volatile var lastLayerPlan: String = ""
 
-  /** v32: v31's search served entirely from the persisted hierarchy —
-    * the walk reads pruned (layer, pb) partitions, the layer-0 tail
-    * hops over the stored [[EdgeStore]] edges. Identical rows to the
-    * in-memory path (same edges, same IEEE scores), so it shares
-    * v31's oracle. */
-  def search(spark: SparkSession, d: String, dir: String,
+  /** v32: v31's search served ENTIRELY from the persisted artifacts —
+    * entry from `entry/`, walk steps from pruned (layer, pb)
+    * partitions, layer-0 hops from the stored [[EdgeStore]] — all of
+    * which carry their embeddings in-row, so no stage of the serve
+    * path reads the corpus table (note the signature: no corpus dir).
+    * Identical rows to the in-memory path (same edges, same IEEE
+    * scores), so it shares v31's oracle. */
+  def search(spark: SparkSession, dir: String,
              queryVec: Array[Float], k: Int = 10, beam: Int = 16,
              iters: Int = 3, maxEntries: Int = 64): DataFrame = {
     val layers = layersFrame(spark, dir)
-    val pool = Hnsw.descentPoolBy(spark, d, queryVec,
+    val pool = Hnsw.descentPoolBy(spark, storedEntry(spark, dir), queryVec,
       (l, frontier) => {
-        val pbs = frontier.map(_ % LayerPartitions).distinct
+        val pbs = frontier.map(Math.floorMod(_, LayerPartitions.toLong)).distinct
         val step = layers
           .filter(col("layer") === l && col("pb").isin(pbs: _*) &&
             col("src").isin(frontier: _*))
         lastLayerPlan = step.queryExecution.executedPlan.toString
         step
       })
-    SrpBanded.graphSearchFrom(spark, d, pool, queryVec,
+    SrpBanded.graphSearchFrom(spark, dir, pool, queryVec,
       k, beam, iters, maxEntries, graphK = 5,
-      graphOverride = Some(EdgeStore.read(spark, s"$dir/l0")))
+      edgesFor = Some(fr => EdgeStore.edgesFor(spark, s"$dir/l0", fr)))
+  }
+
+  /** v34: the BATCHED hierarchical serve ([[Hnsw.searchBatch]], v33)
+    * over the persisted hierarchy — stored entry, stored layer edges,
+    * stored layer-0 graph; zero graph construction at query time.
+    * The batch stages are bulk equi-joins on src, so the layer reads
+    * are full committed-partition scans (the right shape for a batch,
+    * as v27/v29 are for their families). Shares v33's oracle. */
+  def searchBatch(spark: SparkSession, d: String, dir: String, queryMod: Int,
+                  k: Int = 5, beam: Int = 16, iters: Int = 3,
+                  maxEntries: Int = 64): DataFrame = {
+    val layers = layersFrame(spark, dir)
+    Hnsw.searchBatch(spark, d, queryMod, k, beam, iters, maxEntries,
+      layerSource = Some(l => layers.filter(col("layer") === l)),
+      graphSource = Some(EdgeStore.read(spark, s"$dir/l0")),
+      entryOverride = Some(storedEntry(spark, dir)._1))
   }
 
   /** Incremental hierarchy maintenance — the upsert analogue
@@ -91,12 +186,15 @@ object HnswStore {
     * Call AFTER the corpus ingest upsert and [[SrpStore.upsert]]
     * (`d` = post-ingest corpus, `srpDir`'s banding supplies the
     * collision candidates — the same generator the full build uses).
-    * Only the (layer, pb) partitions holding touched sources are
-    * dynamic-overwritten; cost is O(neighborhood per layer), and
-    * layers thin 4× per level. The layer-0 edge table is
-    * [[EdgeStore]]'s — run its upsert on `<dir>/l0` alongside.
-    * Returns the touched (layer, pb) partitions for minimality
-    * assertions. */
+    * The refreshed edge sets are APPENDED as one committed O(update)
+    * delta version (with tombstones for sources losing all edges) —
+    * committed data is never rewritten, and a crash before the marker
+    * leaves readers on the prior hierarchy, the same crash contract
+    * as the banding chain. The entry artifact is re-derived from the
+    * post-ingest corpus and written with the same version. The
+    * layer-0 edge table is [[EdgeStore]]'s — run its upsert on
+    * `<dir>/l0` alongside. Returns the delta's (layer, pb)
+    * partitions for minimality assertions. */
   def upsert(spark: SparkSession, dir: String, d: String, srpDir: String,
              updates: DataFrame, levelK: Int = Hnsw.LevelK): Seq[(Int, Long)] = {
     import org.apache.spark.sql.expressions.Window
@@ -112,7 +210,7 @@ object HnswStore {
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
-    val perLayer = (1 to Hnsw.MaxLevel).map { l =>
+    val delta = (1 to Hnsw.MaxLevel).map { l =>
       // membership is recomputed from the id — no stored level table
       val memberBanding = banding.filter(Hnsw.levelCol(col("vec_id")) >= l)
       val updIdsL = upd.filter(Hnsw.levelCol(col("vec_id")) >= l)
@@ -140,40 +238,68 @@ object HnswStore {
       val newEdges = cand
         .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
         .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
-        .select(col("src"), col("dst"),
+        .select(col("src"), col("dst"), col("emb_d").as("dst_emb"),
           graft.functions.vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= levelK)
-        .select(col("src"), col("dst"))
-      (l, touched, newEdges)
-    }
-    val touchedParts = perLayer.flatMap { case (l, touched, _) =>
-      touched.select(pmod(col("vec_id"), lit(LayerPartitions.toLong)).as("pb"))
-        .distinct().collect().map(r => (l, r.getLong(0)))
-    }
-    val store = spark.read.parquet(s"$dir/layers")
-      .select(col("src"), col("dst"),
-        col("layer").cast("int").as("layer"), col("pb").cast("long").as("pb"))
-    val merged = perLayer.map { case (l, touched, newEdges) =>
-      val pbs = touchedParts.collect { case (`l`, pb) => pb }
-      val survivors = store
-        .filter(col("layer") === l && col("pb").isin(pbs: _*))
-        .join(touched.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
-        .select(col("src"), col("dst"), col("layer"), col("pb"))
-      survivors.unionByName(newEdges
-        .withColumn("layer", lit(l))
-        .withColumn("pb", pmod(col("src"), lit(LayerPartitions.toLong))))
+        .select(col("src"), col("dst"), col("dst_emb"))
+      val tomb = touched.withColumnRenamed("vec_id", "src")
+        .join(newEdges.select(col("src")).distinct(), Seq("src"), "left_anti")
+        .select(col("src"), lit(null).cast("long").as("dst"),
+          lit(null).cast("array<float>").as("dst_emb"))
+      newEdges.unionByName(tomb).withColumn("layer", lit(l))
     }.reduce(_ unionByName _)
-      .repartition(col("layer"), col("pb"))
+      .withColumn("pb", pmod(col("src"), lit(LayerPartitions.toLong)))
       .localCheckpoint(true)
     try {
-      merged.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("layer", "pb")
-        .parquet(s"$dir/layers")
-    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      val vers = committedVers(spark, dir)
+      val nextVer = vers.lastOption.getOrElse(-1) + 1
+      val f = hadoopFs(spark, dir)
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/layers/data/__ver=$nextVer"), true): Unit
+      delta
+        .withColumn("__ver", lit(nextVer))
+        .repartition(col("layer"), col("pb"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("__ver", "layer", "pb")
+        .parquet(s"$dir/layers/data")
+      // the entry is a pure function of the corpus — re-derive from
+      // the post-ingest table, versioned with this delta
+      writeEntry(spark, dir, nextVer, Hnsw.entryFor(spark, d))
+      commitVer(spark, dir, nextVer)
+      graft.Tables.invalidate(dir)
+      if (vers.length + 1 >= SrpStore.CompactAfter) compact(spark, dir)
+      delta.select(col("layer"), col("pb")).distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(delta)
+  }
+
+  /** Fold the layer version chain to one full copy (committed as a
+    * new version, never in place), then GC the superseded versions —
+    * [[EdgeStore.compact]] for the hierarchy. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val vers = committedVers(spark, dir)
+    if (vers.size <= 1) return
+    val next = vers.max + 1
+    val f = hadoopFs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/layers/data/__ver=$next"), true): Unit
+    layersFrame(spark, dir)
+      .withColumn("__ver", lit(next))
+      .repartition(col("layer"), col("pb"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("__ver", "layer", "pb")
+      .parquet(s"$dir/layers/data")
+    writeEntry(spark, dir, next, storedEntry(spark, dir))
+    commitVer(spark, dir, next)
+    vers.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/layers/_commits/v$v"), false): Unit
+    }
+    vers.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/layers/data/__ver=$v"), true): Unit
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/entry/v$v"), true): Unit
+    }
     graft.Tables.invalidate(dir)
-    touchedParts.sorted
   }
 
   // one store per corpus dir, built lazily for the queries() entry —

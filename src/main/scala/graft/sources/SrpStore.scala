@@ -191,20 +191,23 @@ object SrpStore {
   /** v28: FULLY store-backed serving — seeds read from this store's
     * pruned bucket partitions AND hops over a persisted
     * [[EdgeStore]] edge table (the refined v21 graph). Nothing is
-    * trained, hashed or graph-built at query time: a fresh serving
+    * trained, hashed or graph-built at query time, and NO stage reads
+    * the corpus table (note the signature: no corpus dir): seeds
+    * score the embeddings stored in the probed buckets, hops score
+    * the embeddings stored in the pruned edge rows. A fresh serving
     * process answers its first query from three on-disk artifacts
     * (buckets, banding, edges). Results are identical to the
     * in-memory refined path ([[SrpBanded.graphSearchRefined]] — same
     * pool, same edges, same IEEE floats). */
-  def graphSearchCold(spark: SparkSession, d: String, dir: String,
+  def graphSearchCold(spark: SparkSession, dir: String,
                       edgeDir: String, queryVec: Array[Float],
                       k: Int = 10, beam: Int = 8, iters: Int = 2,
                       maxEntries: Int = 64, graphK: Int = 5,
                       probeRadius: Int = 2): DataFrame =
-    SrpBanded.graphSearchFrom(spark, d,
+    SrpBanded.graphSearchFrom(spark, dir,
       scoredPool(spark, dir, queryVec, probeRadius),
       queryVec, k, beam, iters, maxEntries, graphK,
-      graphOverride = Some(EdgeStore.read(spark, edgeDir)))
+      edgesFor = Some(fr => EdgeStore.edgesFor(spark, edgeDir, fr)))
 
   /** Incremental maintenance — the SRP analogue of
     * [[IvfStore.upsert]]: new/updated vectors are banded against the

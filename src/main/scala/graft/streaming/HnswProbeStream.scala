@@ -22,12 +22,13 @@ import graft.functions.FakeEmbedder
 object HnswProbeStream {
 
   /** One batch of queries against the store: the shared kernel of the
-    * stream and its batch twin ([[HnswStore.search]] per query). */
-  def probeBatch(spark: SparkSession, d: String, storeDir: String,
+    * stream and its batch twin ([[HnswStore.search]] per query).
+    * Store-only serving — no corpus dir anywhere in the stream. */
+  def probeBatch(spark: SparkSession, storeDir: String,
                  queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
     import spark.implicits._
     val perQuery = queries.map { case (qid, qv) =>
-      HnswStore.search(spark, d, storeDir, qv, k)
+      HnswStore.search(spark, storeDir, qv, k)
         .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
           col("rk"), col("sim"))
     }
@@ -39,7 +40,7 @@ object HnswProbeStream {
 
   /** Drain a query-text stream through the store once (AvailableNow),
     * returning all emitted (query, neighbor, rk, sim) rows. */
-  def runOnce(spark: SparkSession, queriesDir: String, d: String,
+  def runOnce(spark: SparkSession, queriesDir: String,
               storeDir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
@@ -51,7 +52,7 @@ object HnswProbeStream {
         val qs = batch.collect()
           .map(r => (r.getLong(0), FakeEmbedder.embed(r.getString(1)))).toSeq
         if (qs.nonEmpty) {
-          val rows = probeBatch(spark, d, storeDir, qs, k).collect()
+          val rows = probeBatch(spark, storeDir, qs, k).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
           out.synchronized { out ++= rows: Unit }
         }

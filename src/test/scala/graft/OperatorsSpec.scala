@@ -1427,16 +1427,18 @@ class OperatorsSpec extends AnyFunSuite {
     // v28: seeds from pruned buckets + persisted refined edges == the
     // in-memory refined path
     val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
-    val cold = graft.sources.SrpStore.graphSearchCold(spark, sf, dir, edgeDir, q)
+    val cold = graft.sources.SrpStore.graphSearchCold(spark, dir, edgeDir, q)
     val refined = SrpBanded.graphSearchRefined(spark, sf, q)
     assert(cold.collect().map(_.toSeq).toSeq == refined.collect().map(_.toSeq).toSeq,
       "cold-start serve diverged from the in-memory refined path")
-    // the persisted edge table really is what the hops read: 2-col scan
-    val scans = graft.sources.EdgeStore.read(spark, edgeDir)
-      .queryExecution.sparkPlan.collectLeaves()
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-    assert(scans.exists(f => f.requiredSchema.fieldNames.toSet == Set("src", "dst")),
-      "edge store scan should read exactly (src, dst)")
+    // the persisted edge table really is what the hops read — a
+    // pruned, SELF-CONTAINED point read: dst embeddings in-row, pb
+    // partitions pruned in the file index, no corpus table anywhere
+    val hopPlan = graft.sources.EdgeStore.lastEdgePlan
+    assert(hopPlan.contains("PartitionFilters") && hopPlan.contains("pb"),
+      s"cold hop read not partition-pruned:\n$hopPlan")
+    assert(hopPlan.contains("dst_emb") && !hopPlan.contains("embeddings.parquet"),
+      s"cold hop read not self-contained:\n$hopPlan")
   }
 
   test("v24 residual store probe: identical to in-memory v22, scan is partition-pruned") {

@@ -353,6 +353,25 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(lists.length >= 4, "k-means collapsed to too few lists")
   }
 
+  test("probeFlips: exact Hamming-ball mask sets for every radius 0..RowsPerBand") {
+    import graft.operators.SrpBanded
+    val n = SrpBanded.RowsPerBand
+    def choose(n: Int, r: Int): Long =
+      (0 until r).foldLeft(1L)((a, i) => a * (n - i) / (i + 1))
+    (0 to n).foreach { radius =>
+      val masks = SrpBanded.probeFlips(radius)
+      // distinct masks, each within the radius-ball, count = Σ C(n, i)
+      assert(masks.distinct.size == masks.size, s"radius $radius: duplicate masks")
+      assert(masks.forall(m => java.lang.Long.bitCount(m) <= radius &&
+        (m >> n) == 0L), s"radius $radius: mask outside the band's bits")
+      val expect = (0 to radius).map(choose(n, _)).sum
+      assert(masks.size.toLong == expect,
+        s"radius $radius: ${masks.size} masks, expected $expect")
+    }
+    assertThrows[IllegalArgumentException](SrpBanded.probeFlips(n + 1))
+    assertThrows[IllegalArgumentException](SrpBanded.probeFlips(-1))
+  }
+
   test("persisted SRP store: graph search equals in-memory, seed scan is partition-pruned") {
     val q = FakeEmbedder.embed(queryText)
     val dir = java.nio.file.Files.createTempDirectory("srp_store").toString
@@ -545,13 +564,19 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val updates = Seq((newId, twin)).toDF("vec_id", "embedding")
     graft.sources.SrpStore.upsert(spark, srpDir, updates)
 
-    def pbFiles(): Map[String, Set[(String, Long)]] =
-      new java.io.File(s"$edgeDir/edges").listFiles()
+    // the upsert appends a committed delta version — the v0 data is
+    // NEVER rewritten (the crash contract): snapshot every v0 file
+    def verFiles(ver: Int): Map[String, Set[(String, Long)]] = {
+      val vd = new java.io.File(s"$edgeDir/edges/data/__ver=$ver")
+      if (!vd.exists()) Map.empty
+      else vd.listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("pb="))
         .map(d => d.getName ->
           d.listFiles().filter(_.isFile).map(f => (f.getName, f.length())).toSet)
         .toMap
-    val before = pbFiles()
+    }
+    val before = verFiles(0)
+    assert(before.nonEmpty, "no v0 partitions written")
 
     // a search whose seed pool EXCLUDES the new id: anything it finds
     // of newId must arrive over an edge hop, as a destination
@@ -560,7 +585,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
         .filter(col("vec_id") =!= newId)
       graft.operators.SrpBanded.graphSearchFrom(spark, d2, pool, twin,
           k = 10, beam = 8, iters = 2, maxEntries = 64, graphK = 5,
-          graphOverride = Some(graft.sources.EdgeStore.read(spark, edgeDir)))
+          edgesFor = Some(fr => graft.sources.EdgeStore.edgesFor(spark, edgeDir, fr)))
         .collect().map(_.getAs[Long]("vec_id")).toSet
     }
     assert(!seedExcludedSearch().contains(newId),
@@ -569,7 +594,9 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val touchedPbs = graft.sources.EdgeStore.upsert(spark, edgeDir, d2, srpDir, updates)
     assert(touchedPbs.nonEmpty &&
       touchedPbs.size < graft.sources.EdgeStore.EdgePartitions,
-      s"upsert should touch a strict subset of partitions: $touchedPbs")
+      s"upsert delta should cover a strict subset of partitions: $touchedPbs")
+    assert(graft.sources.EdgeStore.committedVers(spark, edgeDir) == Seq(0, 1),
+      "upsert should commit exactly one delta version")
 
     // structurally a destination: near neighbors adopted it
     val adopters = graft.sources.EdgeStore.read(spark, edgeDir)
@@ -582,13 +609,57 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(seedExcludedSearch().contains(newId),
       "upserted id not reachable as a hop destination after EdgeStore.upsert")
 
-    // rewrite minimality: untouched pb partitions byte-identical
-    val after = pbFiles()
-    val touchedDirs = touchedPbs.map(p => s"pb=$p").toSet
-    before.foreach { case (pb, files) =>
-      if (!touchedDirs.contains(pb))
-        assert(after(pb) == files, s"$pb untouched but rewritten")
-    }
+    // append-only: EVERY committed v0 file byte-identical, the delta
+    // confined to the new version's touched pb partitions
+    assert(verFiles(0) == before, "committed v0 data rewritten by upsert")
+    val deltaDirs = verFiles(1).keySet
+    assert(deltaDirs == touchedPbs.map(p => s"pb=$p").toSet,
+      s"delta partitions $deltaDirs != reported $touchedPbs")
+  }
+
+  test("EdgeStore crash contract: uncommitted delta invisible, retry safe") {
+    import spark.implicits._
+    val srpDir = java.nio.file.Files.createTempDirectory("edgecrash_srp").toString
+    graft.sources.SrpStore.write(spark, sf, srpDir)
+    val edgeDir = java.nio.file.Files.createTempDirectory("edgecrash_edges").toString
+    graft.sources.EdgeStore.write(spark,
+      graft.operators.SrpBanded.materializedRefinedGraph(spark, sf), edgeDir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val baseRows = graft.sources.EdgeStore.read(spark, edgeDir).count()
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val newId = maxId + 1
+    val tVec = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).as[Array[Float]].first()
+    val twin = tVec.updated(0, tVec(0) + 0.01f)
+    val d2 = java.nio.file.Files.createTempDirectory("edgecrash_corpus").toString
+    emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((newId, twin)).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val updates = Seq((newId, twin)).toDF("vec_id", "embedding")
+    graft.sources.SrpStore.upsert(spark, srpDir, updates)
+    // simulate a crash AFTER the delta data write but BEFORE the
+    // commit marker: write a bogus ver-1 partition by hand
+    Seq((newId, 3L, tVec)).toDF("src", "dst", "dst_emb")
+      .withColumn("pb", pmod(col("src"),
+        lit(graft.sources.EdgeStore.EdgePartitions.toLong)))
+      .withColumn("__ver", lit(1))
+      .write.mode("append").partitionBy("__ver", "pb")
+      .parquet(s"$edgeDir/edges/data")
+    graft.Tables.invalidate(edgeDir)
+    // readers stay on the committed state — the torn write is invisible
+    assert(graft.sources.EdgeStore.committedVers(spark, edgeDir) == Seq(0))
+    val view = graft.sources.EdgeStore.read(spark, edgeDir)
+    assert(view.count() == baseRows, "uncommitted delta leaked into the view")
+    assert(view.filter(col("src") === newId).count() == 0)
+    // the retry clears the torn partition before re-writing: no
+    // doubled rows, the bogus hand-written edge is gone
+    graft.sources.EdgeStore.upsert(spark, edgeDir, d2, srpDir, updates)
+    assert(graft.sources.EdgeStore.committedVers(spark, edgeDir) == Seq(0, 1))
+    val after = graft.sources.EdgeStore.read(spark, edgeDir)
+    val newOut = after.filter(col("src") === newId).count()
+    assert(newOut > 0 && newOut <= 5,
+      s"retry should give the upserted id one top-k edge set, got $newOut")
   }
 
   test("streaming SRP probe: equals batch stored graph search, seed scan partition-pruned") {
@@ -654,10 +725,50 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"HNSW missed one of the exact top-3 ${exactTop.take(3).toSeq}")
   }
 
-  test("v32 stored HNSW: equals in-memory serve, layer read is partition-pruned") {
+  test("v35 refined HNSW: recall within noise of the raw-graph serve, identical descent") {
+    val emb = Tables.embeddings(spark, sf)
+    // MEASURED (and kept honest here): refinement is a WASH under
+    // descent seeding on this corpus — unlike v25, whose broad
+    // radius-2 multi-probe seed pool lets the refined graph's tighter
+    // edges shine, the walk's narrow basin-local seed pool depends on
+    // edge DIVERSITY, which NN-Descent trades away for nearness (the
+    // reason HNSW selects neighbors heuristically rather than purely
+    // nearest). So the contract is: same descent, no regression
+    // beyond per-query noise, and the serve floor holds. The ≥ raw
+    // contract lives where it is true — v25's LSH-seeded spec.
+    val texts = Seq(queryText,
+      "fast vector search over spark tables",
+      "streaming ingestion pipeline design",
+      "how do neural networks learn representations",
+      "distributed query optimization techniques",
+      "the history of database transaction logs")
+    val recalls = texts.map { t =>
+      val q = FakeEmbedder.embed(t)
+      val exactTop = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "cosine")
+        .collect().map(_.getLong(0)).toSet
+      def recallOf(refined: Boolean): Double = {
+        val got = graft.operators.Hnsw.search(spark, sf, q, refined = refined)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        exactTop.intersect(got).size.toDouble / exactTop.size
+      }
+      (recallOf(refined = false), recallOf(refined = true))
+    }
+    val meanRaw = recalls.map(_._1).sum / recalls.size
+    val meanRef = recalls.map(_._2).sum / recalls.size
+    info(s"mean recall@10 over ${texts.size} queries: raw=$meanRaw refined=$meanRef")
+    info(s"per-query (raw, refined): $recalls")
+    assert(meanRef >= meanRaw - 0.1,
+      s"refined mean recall $meanRef regressed beyond noise vs raw $meanRaw")
+    assert(meanRef >= 0.55, s"refined mean recall $meanRef below the serve floor")
+  }
+
+  test("v32 stored HNSW: equals in-memory serve, layer read is partition-pruned, zero corpus access") {
     val q = FakeEmbedder.embed(queryText)
     val dir = graft.sources.HnswStore.storeFor(spark, sf)
-    val stored = graft.sources.HnswStore.search(spark, sf, dir, q).collect()
+    // the search signature takes ONLY the store dir: entry, layer
+    // edges and layer-0 hops are all self-contained store reads (the
+    // embeddings ride in the rows), so serving cannot touch the corpus
+    val stored = graft.sources.HnswStore.search(spark, dir, q).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"), r.getAs[Double]("sim")))
     val inMem = graft.operators.Hnsw.search(spark, sf, q).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"), r.getAs[Double]("sim")))
@@ -666,6 +777,15 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val plan = graft.sources.HnswStore.lastLayerPlan
     assert(plan.contains("PartitionFilters") && plan.contains("layer"),
       s"no partition pruning in stored layer read:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"stored layer read touches the corpus table:\n$plan")
+    // the layer-0 hop read is the pruned EdgeStore point read, with
+    // the destination embedding in-row — also corpus-free
+    val edgePlan = graft.sources.EdgeStore.lastEdgePlan
+    assert(edgePlan.contains("PartitionFilters") && edgePlan.contains("pb"),
+      s"no partition pruning in stored hop read:\n$edgePlan")
+    assert(edgePlan.contains("dst_emb") && !edgePlan.contains("embeddings.parquet"),
+      s"hop read not self-contained:\n$edgePlan")
   }
 
   test("HnswStore upsert: upserted vector joins its layers without a rebuild, untouched partitions stable") {
@@ -698,22 +818,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val updates = Seq((newId, twin)).toDF("vec_id", "embedding")
     graft.sources.SrpStore.upsert(spark, srpDir, updates)
 
-    def partFiles(): Map[String, Set[(String, Long)]] =
-      new java.io.File(s"$dir/layers").listFiles()
+    def verFiles(ver: Int): Map[String, Set[(String, Long)]] = {
+      val vd = new java.io.File(s"$dir/layers/data/__ver=$ver")
+      if (!vd.exists()) Map.empty
+      else vd.listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("layer="))
         .flatMap(ld => ld.listFiles().filter(_.isDirectory).map(pd =>
           s"${ld.getName}/${pd.getName}" ->
             pd.listFiles().filter(_.isFile).map(f => (f.getName, f.length())).toSet))
         .toMap
-    val before = partFiles()
+    }
+    val before = verFiles(0)
+    assert(before.nonEmpty, "no v0 layer partitions written")
 
     val touched = graft.sources.HnswStore.upsert(spark, dir, d2, srpDir, updates)
     assert(touched.nonEmpty, "upsert touched no layer partitions")
     assert(touched.size < before.size,
-      s"upsert should touch a strict subset: $touched of ${before.size}")
+      s"upsert delta should cover a strict subset: $touched of ${before.size}")
+    assert(graft.sources.HnswStore.committedVers(spark, dir) == Seq(0, 1),
+      "upsert should commit exactly one delta version")
 
     // structurally on its layers: the twin pair adopted each other
-    val l1 = spark.read.parquet(s"$dir/layers")
+    // (resolved merge-on-read view)
+    val l1 = graft.sources.HnswStore.layersFrame(spark, dir)
       .filter(col("layer") === 1)
       .select(col("src"), col("dst"))
       .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
@@ -725,18 +852,17 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // functionally: the full stored hierarchy serves the new vector
     // after the layer-0 edge upsert, with no rebuild anywhere
     graft.sources.EdgeStore.upsert(spark, s"$dir/l0", d2, srpDir, updates)
-    val served = graft.sources.HnswStore.search(spark, d2, dir, twin)
+    val served = graft.sources.HnswStore.search(spark, dir, twin)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(served.contains(newId),
       s"stored hierarchy does not serve the upserted vector: $served")
 
-    // rewrite minimality: untouched (layer, pb) partitions byte-identical
-    val after = partFiles()
-    val touchedDirs = touched.map { case (l, pb) => s"layer=$l/pb=$pb" }.toSet
-    before.foreach { case (part, files) =>
-      if (!touchedDirs.contains(part))
-        assert(after(part) == files, s"$part untouched but rewritten")
-    }
+    // append-only crash contract: EVERY committed v0 file
+    // byte-identical, the delta confined to the new version
+    assert(verFiles(0) == before, "committed v0 layers rewritten by upsert")
+    val deltaDirs = verFiles(1).keySet
+    assert(deltaDirs == touched.map { case (l, pb) => s"layer=$l/pb=$pb" }.toSet,
+      s"delta partitions $deltaDirs != reported $touched")
   }
 
   test("streaming HNSW probe: equals batch stored hierarchical search, layer read pruned") {
@@ -749,10 +875,10 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"""{"query_id": 2, "query_text": "$q2"}""")
       .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
     val out = graft.streaming.HnswProbeStream
-      .runOnce(spark, tmp, sf, dir, k = 5).collect()
+      .runOnce(spark, tmp, dir, k = 5).collect()
     assert(out.length == 10) // 2 queries x 5 neighbors
     Seq(1L -> q1, 2L -> q2).foreach { case (qid, qt) =>
-      val batch = graft.sources.HnswStore.search(spark, sf, dir,
+      val batch = graft.sources.HnswStore.search(spark, dir,
           FakeEmbedder.embed(qt), k = 5)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
       val stream = out.filter(_.getLong(0) == qid)
@@ -806,5 +932,28 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"query embeddings materialized in a BroadcastExchange:\n${offending.mkString("\n")}")
     assert(scored.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
       "expected a shuffle-hash join for the query side")
+  }
+
+  test("v34 stored batched HNSW: equals the in-memory batch, layers read only committed store files") {
+    import graft.operators.Hnsw
+    val dir = graft.sources.HnswStore.storeFor(spark, sf)
+    val stored = graft.sources.HnswStore.searchBatch(spark, sf, dir, queryMod = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("sim"))).toSet
+    val inMem = Hnsw.searchBatch(spark, sf, queryMod = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("sim"))).toSet
+    assert(stored == inMem, "stored batched hierarchy diverged from in-memory v33")
+    // the batch layer source is the committed merge-on-read view: its
+    // scan prunes to committed __ver partitions and never touches the
+    // corpus table (embeddings ride in the stored edge rows)
+    val layerScan = graft.sources.HnswStore.layersFrame(spark, dir)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan under the stored layer view"))
+    assert(layerScan.toString.contains("PartitionFilters"),
+      s"stored layer view not version-pruned:\n$layerScan")
+    assert(!layerScan.toString.contains("embeddings.parquet"),
+      s"stored layer view reads the corpus:\n$layerScan")
   }
 }
