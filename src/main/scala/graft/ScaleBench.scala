@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-step benchmark: times the headline serve paths one order of
+  * magnitude above the driver's largest fixture (no sf1 parquet is
+  * provided, so the corpus is a deterministic replication of sf0.1).
+  *
+  * Purpose: verify the serve-path scale claims where the session cache
+  * stops hiding them — in particular that the stored single-query
+  * paths (v28/v32) hold their point-read cost when the corpus grows
+  * 10×, and that the batched serves grow sub-linearly per query.
+  *
+  * Corpus construction: `SPARK_GRAFT_SCALE` copies of the sf0.1
+  * embeddings table, copy i shifting vec_id by i·(maxId+1) and
+  * deterministically perturbing each component by ±0.1% (a pure
+  * function of (copy, component) — no RNG), so replicas are near but
+  * not equal to their originals and ANN structure stays non-degenerate.
+  * Written once to `SPARK_GRAFT_SCALE_DIR` and reused.
+  *
+  * Prints one JSON line: {"metric":"scale_total","sf_copies":N,
+  * "rows":R,"builds":{...},"queries":{...}} — builds (offline artifact
+  * construction) split from warm serve timings, as graft.Bench does.
+  */
+object ScaleBench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale_$copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val embPath = s"$dir/embeddings.parquet"
+    if (!new java.io.File(embPath).exists()) {
+      val base = Tables.embeddings(spark, src)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1
+      // copy i: ids shifted by i*maxId, component j scaled by
+      // 1 + ((i*31 + j) mod 7 - 3) * 1e-3 — deterministic, near-dup
+      // of the original but not equal, so graphs/buckets stay honest
+      val copiesDf = (0 until copies).map { i =>
+        base.select(
+          (col("vec_id") + lit(i.toLong * maxId)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) +
+              (((lit(i * 31) + j.cast("int")) % 7) - lit(3)).cast("float") * lit(0.001f))
+          ).cast("array<float>").as("embedding"))
+      }.reduce(_ unionByName _)
+      copiesDf.repartition(32).write.mode("overwrite").parquet(embPath)
+    }
+
+    val rows = spark.read.parquet(embPath).count()
+
+    // offline artifact builds, timed individually (the Bench split)
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def build(name: String)(f: => Any): Unit = {
+      val ok = try { Some(time(f)) } catch { case _: Throwable => None }
+      builds(name) = ok.map(_._2).getOrElse(-1.0)
+    }
+    build("knn_graph") { graft.operators.SrpBanded.materializedGraph(spark, dir, 5) }
+    build("refined_graph") { graft.operators.SrpBanded.materializedRefinedGraph(spark, dir) }
+    build("srp_store") { graft.sources.SrpStore.storeFor(spark, dir) }
+    build("edge_store") { graft.sources.EdgeStore.refinedStoreFor(spark, dir) }
+    build("hnsw_layers") {
+      (1 to graft.operators.Hnsw.MaxLevel)
+        .foreach(l => graft.operators.Hnsw.layerGraph(spark, dir, l))
+    }
+    build("hnsw_store") { graft.sources.HnswStore.storeFor(spark, dir) }
+
+    // headline serves: the round-6 top-5 by cost + the two stored
+    // single-query paths whose scale posture this bench exists to
+    // check. Run once untimed (codegen/file-index warmup), once timed.
+    val names = Seq("v1_knn_cosine", "v19_graph_search", "v25_graph_search_refined",
+      "v28_graph_search_cold", "v26_graph_search_batch", "v27_graph_search_batch_stored",
+      "v31_hnsw_search", "v32_hnsw_stored", "v33_hnsw_batch", "v34_hnsw_batch_stored")
+    def pass(): Seq[(String, Double)] = names.map { n =>
+      val ok = try {
+        Some(time(SparkEntry.queries(n)(spark, dir).count()))
+      } catch { case _: Throwable => None }
+      n -> ok.map(_._2).getOrElse(-1.0)
+    }
+    pass() // warmup
+    val warm = pass()
+
+    val bj = builds.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    val qj = warm.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    val total = warm.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"builds":{$bj},"queries":{$qj}}""")
+    spark.stop()
+  }
+}
