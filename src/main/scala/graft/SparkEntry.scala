@@ -139,6 +139,16 @@ object SparkEntry {
     // the v27 analogue completing the stored-batch matrix
     "v34_hnsw_batch_stored" -> ((s, d) => graft.sources.HnswStore.searchBatch(
       s, d, graft.sources.HnswStore.storeFor(s, d), JoinQueryFilter)),
+    // compact-code linear scan: 64-bit SRP sign sketch (8 band-sliced
+    // keys), Hamming shortlist via codegen'd xor/bit_count, exact
+    // rerank — the high-recall batch-curation family (8 B/row scan)
+    "v36_hamming_search" -> ((s, d) =>
+      HammingIndex.search(s, d, FakeEmbedder.embed(SearchText))),
+    // v36 served from the persisted code store: 8-byte column-pruned
+    // code scan + pb-pruned embedding point-fetch, zero coding work
+    // and zero corpus access at query time (same oracle as v36)
+    "v37_hamming_stored" -> ((s, d) => graft.sources.CodeStore.search(
+      s, graft.sources.CodeStore.storeFor(s, d), FakeEmbedder.embed(SearchText))),
     // hierarchical descent with the layer-0 tail over the NN-Descent-
     // REFINED graph (v21's edges): better per-hop recall at identical
     // serve cost — the v25 move applied to the hierarchy
@@ -177,6 +187,9 @@ object SparkEntry {
     "d9_srp_banded_neardup" -> ((s, d) => SrpBanded.srpBandedNearDup(s, d)),
     "d10_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     "d11_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
+    // soft dedup: every doc kept, near-dup cluster members share one
+    // document's sampling mass (weight = 1/cluster_size)
+    "d12_dup_weight" -> ((s, d) => Dedup.dupWeights(s, d)),
     "v18_knn_graph" -> ((s, d) => SrpBanded.knnGraph(s, d)),
     "v19_graph_search" -> ((s, d) =>
       SrpBanded.graphSearch(s, d, FakeEmbedder.embed(SearchText))),
@@ -258,6 +271,9 @@ object SparkEntry {
     "t15_repetition" -> TextOps.repetition _,
     "t16_mix_weights" -> TextOps.mixWeights _,
     "t17_quality_gate" -> TextOps.qualityGate _,
+    // Jelinek-Mercer interpolated bigram perplexity proxy — catches
+    // locally-incoherent text t13's unigram scoring cannot
+    "t18_bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
     // multimodal
     "m1_blob_metadata" -> Multimodal.blobMetadata _,
     "m2_frame_sample" -> Multimodal.frameSample _,
@@ -369,6 +385,7 @@ object SparkEntry {
     "d9_srp_banded_neardup" -> SrpBanded.srpBandedNearDupSql(),
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
     "d11_semdedup" -> Dedup.semDedupSql(),
+    "d12_dup_weight" -> Dedup.dupWeightsSql(),
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
     "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
@@ -395,6 +412,7 @@ object SparkEntry {
     "t15_repetition" -> TextOps.repetitionSql,
     "t16_mix_weights" -> TextOps.mixWeightsSql,
     "t17_quality_gate" -> TextOps.qualityGateSql,
+    "t18_bigram_logprob" -> TextOps.bigramLogprobSql(),
     "m1_blob_metadata" -> Multimodal.blobMetadataSql,
     "m2_frame_sample" -> Multimodal.frameSampleSql,
     "m4_media_header" -> Multimodal.mediaHeaderSql,
@@ -425,6 +443,13 @@ object SparkEntry {
     "v34_hnsw_batch_stored" -> Hnsw.searchBatchSql(JoinQueryFilter),
     // descent unchanged, tail over the refined graph (v21's CTEs)
     "v35_hnsw_refined" -> Hnsw.searchRefinedSql(queryVecSql),
+    // sign-sketch shortlist + exact rerank; the query's band keys are
+    // interpolated from the SAME queryBandKeys the Scala path calls
+    "v36_hamming_search" -> HammingIndex.searchSql(queryVecSql,
+      SrpBanded.queryBandKeys(FakeEmbedder.embed(SearchText)).map(_._2)),
+    // same oracle as v36: the stored code scan must serve identically
+    "v37_hamming_stored" -> HammingIndex.searchSql(queryVecSql,
+      SrpBanded.queryBandKeys(FakeEmbedder.embed(SearchText)).map(_._2)),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),

@@ -488,6 +488,56 @@ object Dedup {
        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** d12: soft-dedup training weights — the keep-everything
+    * alternative to d8's hard survivor cut: every document stays in
+    * the mix, but members of a near-dup cluster share one document's
+    * worth of sampling mass (weight = 1/cluster_size — the standard
+    * repetition-discounting move for web-scale training mixes, where
+    * dropping near-dups outright loses the cluster's best formatting
+    * variants). Composes d6's components with a left join back to
+    * the full document table; singletons get cluster_id = doc_id and
+    * weight 1. All-integer sizes → the weight is a single exact
+    * division, engine-identical. */
+  def dupWeights(spark: SparkSession, d: String, threshold: Double = 0.3): DataFrame = {
+    val comps = dupComponents(spark, d, threshold)
+    val sizes = comps.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dupWeightsSql(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+       |    FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+       |    JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+       |      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $threshold),
+       |bidir AS (SELECT id_a, id_b FROM edges UNION SELECT id_b, id_a FROM edges),
+       |reach(id, root) AS (
+       |  SELECT id_a, id_a FROM bidir
+       |  UNION
+       |  SELECT b.id_b, r.root FROM reach r JOIN bidir b ON b.id_a = r.id),
+       |comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |  coalesce(s.cluster_size, 1) AS cluster_size,
+       |  round(1.0 / coalesce(s.cluster_size, 1), 6) AS weight
+       |FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** d5: embedding-cosine near-dup pairs within label blocks — ids
     * only in the output so float rounding can't break the oracle.
     *

@@ -565,6 +565,16 @@ object SrpBanded {
       posexplode(keysCol).as(Seq("band", "bk")))
   }
 
+  /** The UN-exploded 8-band key array for an embedding column — the
+    * 64-bit sign sketch in band-sliced form (8 × 8-bit keys, kept
+    * separate so no engine ever composes a value past int64 range).
+    * Bit-compatible with [[bandedOf]]/[[queryBandKeys]] by
+    * construction: same quantization, same pinned hyperplanes. */
+  private[graft] def bandKeysCol(emb: Column, dim: Int = Dim): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SrpBandKeysExpr(
+        org.apache.spark.sql.GraftBridge.expression(quantized(emb)), dim))
+
   /** Exact-scored multi-probe seed pool over the in-memory banding —
     * the seeding stage [[graphSearch]] and [[graphSearchRefined]]
     * share (the persisted analogue is

@@ -666,4 +666,79 @@ object TextOps {
        |  CAST(CASE WHEN rnk > (n + 9) // 10 THEN 1 ELSE 0 END AS INTEGER) AS kept
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  /** t18: interpolated-bigram log-probability scoring — the stronger
+    * perplexity proxy over t13's unigram: token i scores
+    * ln(λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ)), the standard Jelinek-Mercer
+    * interpolation (λ = 0.7), with the document's first token falling
+    * back to its unigram probability. Catches locally-incoherent text
+    * (shuffled corpus words) that unigram scoring cannot: each token
+    * may be corpus-typical while no ADJACENT pair is.
+    *
+    * Scale shape: the previous-token column is a lag window keyed on
+    * doc_id (the natural partition — no skew, documents are bounded);
+    * the count joins are token-keyed shuffles identical to t13's. The
+    * model is the corpus itself — both count tables stream map-side
+    * partials; nothing is collected.
+    *
+    * Cross-engine float discipline (t13's, verbatim): per-token ln is
+    * rounded to 6 dp — the interpolation is two IEEE double products
+    * and an add, spelled identically in both engines, and ln agrees
+    * to sub-ulp — then summed as exact decimals, so aggregation order
+    * cannot flake the hash. */
+  def bigramLogprob(spark: SparkSession, d: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withPrev = toks.withColumn("prev", lag(col("tok"), 1).over(wDoc))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val total = broadcast(uni.agg(sum(col("ucnt")).cast("double").as("total")))
+    val bi = withPrev.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bcnt"))
+    val pUni = col("ucnt").cast("double") / col("total")
+    val pBi = col("bcnt").cast("double") / col("pucnt").cast("double")
+    withPrev
+      .join(uni, Seq("tok"))
+      .join(uni.select(col("tok").as("prev"), col("ucnt").as("pucnt")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(total)
+      .select(col("doc_id"),
+        round(log(
+          when(col("prev").isNull, pUni)
+            .otherwise(lit(lambda) * coalesce(pBi, lit(0.0)) +
+              lit(1.0 - lambda) * pUni)), 6)
+          .cast("decimal(18,6)").as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("logp")).cast("double").as("sum_logp"))
+      .withColumn("avg_logp", col("sum_logp") / col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramLogprobSql(lambda: Double = 0.7): String =
+    s"""WITH dl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok,
+       |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+       |  FROM dl, unnest(range(1, len(toks) + 1)) AS t(i)),
+       |uni AS (SELECT tok, count(*) AS ucnt FROM tok GROUP BY tok),
+       |total AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS n FROM uni),
+       |bi AS (SELECT prev, tok, count(*) AS bcnt FROM tok WHERE prev IS NOT NULL GROUP BY prev, tok)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  CAST(sum(logp) AS DOUBLE) AS sum_logp,
+       |  CAST(sum(logp) AS DOUBLE) / count(*) AS avg_logp
+       |FROM (
+       |  SELECT t.doc_id,
+       |    CAST(round(ln(
+       |      CASE WHEN t.prev IS NULL THEN CAST(u.ucnt AS DOUBLE) / total.n
+       |           ELSE $lambda * coalesce(CAST(b.bcnt AS DOUBLE) / CAST(pu.ucnt AS DOUBLE), 0.0)
+       |                + ${1.0 - lambda} * CAST(u.ucnt AS DOUBLE) / total.n END), 6)
+       |      AS DECIMAL(18,6)) AS logp
+       |  FROM tok t
+       |  JOIN uni u ON t.tok = u.tok
+       |  LEFT JOIN uni pu ON t.prev = pu.tok
+       |  LEFT JOIN bi b ON t.prev = b.prev AND t.tok = b.tok,
+       |  total)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

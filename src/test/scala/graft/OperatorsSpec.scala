@@ -1043,6 +1043,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lp.join(nt, "doc_id").filter($"n_toks" =!= $"n").count() == 0)
   }
 
+  test("t18 bigram logprob: token parity with t13, coherent text outscores its unigram bound") {
+    import spark.implicits._
+    val bi = TextOps.bigramLogprob(spark, sf)
+    assert(bi.filter($"avg_logp" >= 0.0).count() == 0)
+    // identical token accounting to the unigram scorer
+    val uni = TextOps.unigramLogprob(spark, sf)
+      .select($"doc_id", $"n_toks".as("n_uni"), $"avg_logp".as("avg_uni"))
+    val j = bi.join(uni, "doc_id").cache()
+    try {
+      assert(j.filter($"n_toks" =!= $"n_uni").count() == 0)
+      // real (coherent) text: adjacent pairs are more predictable than
+      // the unigram background, so the interpolated score should beat
+      // the unigram score for a clear majority of documents — this is
+      // the signal the operator exists to add (a shuffled-word corpus
+      // would sit at the 0.3-weighted unigram floor instead)
+      val n = j.count()
+      val better = j.filter($"avg_logp" > $"avg_uni").count()
+      info(s"bigram beats unigram on $better of $n docs")
+      assert(better * 2 > n, s"bigram outscored unigram on only $better of $n")
+    } finally { j.unpersist(blocking = false): Unit }
+  }
+
+  test("d12 dup weights: cluster mass sums to one, singletons weigh 1, full coverage") {
+    import spark.implicits._
+    val w = Dedup.dupWeights(spark, sf).cache()
+    try {
+      val nDocs = Tables.documents(spark, sf).count()
+      assert(w.count() == nDocs, "every document must get a weight row")
+      assert(w.filter($"cluster_size" === 1 && $"weight" =!= 1.0).count() == 0)
+      assert(w.filter($"cluster_size" > 1).count() > 0,
+        "fixture should contain at least one near-dup cluster")
+      // each cluster's total sampling mass is one document's worth
+      // (up to the 6-dp rounding of 1/size)
+      val bad = w.groupBy($"cluster_id")
+        .agg(sum($"weight").as("mass"), count(lit(1)).as("m"))
+        .filter(abs($"mass" - 1.0) > 1e-4)
+      assert(bad.count() == 0, s"cluster mass off: ${bad.collect().mkString(",")}")
+      // cluster ids agree with d6's components on clustered docs
+      val comps = Dedup.dupComponents(spark, sf)
+        .select($"doc_id", $"cluster_id".as("d6_cluster"))
+      assert(w.join(comps, Seq("doc_id"))
+        .filter($"cluster_id" =!= $"d6_cluster").count() == 0)
+    } finally { w.unpersist(blocking = false): Unit }
+  }
+
   test("reference parity: embed path matches stored embeddings, lookup returns the mapped row") {
     import spark.implicits._
     // the ingest path runs end-to-end over reference-shaped rows:

@@ -934,6 +934,53 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "expected a shuffle-hash join for the query side")
   }
 
+  test("v36 hamming code scan: deterministic, shortlist is a TakeOrdered, decent recall") {
+    val q = FakeEmbedder.embed(queryText)
+    val a = graft.operators.HammingIndex.search(spark, sf, q).collect().map(_.toSeq).toSeq
+    val b = graft.operators.HammingIndex.search(spark, sf, q).collect().map(_.toSeq).toSeq
+    assert(a == b, "hamming search not deterministic")
+    assert(a.length == 10)
+    // recall floor vs exact at the default 256-wide shortlist
+    // (measured 1.0 on this corpus; 0.4 at 64 — the low-similarity
+    // regime separates weakly under 1-bit/dim sketches, which is why
+    // the default shortlist is provisioned wide)
+    val emb = Tables.embeddings(spark, sf)
+    val exactTop = SimilaritySearch.knn(emb, "embedding", "vec_id", q, 10, "cosine")
+      .collect().map(_.getLong(0)).toSet
+    val got = a.map(_.head.asInstanceOf[Long]).toSet
+    val recall = exactTop.intersect(got).size.toDouble / exactTop.size
+    info(s"hamming recall@10 at shortlist ${graft.operators.HammingIndex.Shortlist}: $recall")
+    assert(recall >= 0.7, s"hamming recall $recall too low")
+    // the shortlist is a partial top-R merge, never a global sort
+    val qk = graft.operators.SrpBanded.queryBandKeys(q).map(_._2)
+    val plan = graft.operators.HammingIndex.coded(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.operators.HammingIndex.hammingCol(qk).as("ham"))
+      .orderBy(col("ham").asc, col("vec_id").asc).limit(graft.operators.HammingIndex.Shortlist)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"shortlist not a TakeOrdered:\n$plan")
+  }
+
+  test("v37 stored code scan: equals in-memory, scan never reads embeddings, fetch is pruned") {
+    val q = FakeEmbedder.embed(queryText)
+    val dir = graft.sources.CodeStore.storeFor(spark, sf)
+    val stored = graft.sources.CodeStore.search(spark, dir, q).collect().map(_.toSeq).toSeq
+    val inMem = graft.operators.HammingIndex.search(spark, sf, q).collect().map(_.toSeq).toSeq
+    assert(stored == inMem, s"stored code scan diverged: $stored vs $inMem")
+    // shortlist stage: columnar projection must exclude the embedding
+    // column — the 8-byte-per-row scan is the family's reason to exist
+    val scanPlan = graft.sources.CodeStore.lastScanPlan
+    assert(scanPlan.contains("ReadSchema") && !scanPlan.contains("embedding"),
+      s"code scan reads the embedding column:\n$scanPlan")
+    // rerank stage: pb-pruned point fetch, embeddings from store rows
+    val fetchPlan = graft.sources.CodeStore.lastFetchPlan
+    assert(fetchPlan.contains("PartitionFilters") && fetchPlan.contains("pb"),
+      s"embedding fetch not partition-pruned:\n$fetchPlan")
+    assert(!fetchPlan.contains("embeddings.parquet"),
+      s"fetch reads the corpus table:\n$fetchPlan")
+  }
+
   test("v34 stored batched HNSW: equals the in-memory batch, layers read only committed store files") {
     import graft.operators.Hnsw
     val dir = graft.sources.HnswStore.storeFor(spark, sf)
