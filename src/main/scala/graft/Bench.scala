@@ -86,11 +86,18 @@ object Bench {
     println(line)
     // the driver's bench artifact keeps only a tail of stdout, which
     // truncates the per-query map — persist the full line in-repo so
-    // every timing survives the round
+    // every timing survives the round. bench_green.json additionally
+    // keeps the last ALL-PASSING run: round-over-round diff tooling
+    // ratios against it, so a run with -1.0 failure sentinels never
+    // becomes the comparison baseline.
     try {
       val out = java.nio.file.Paths.get("docs/bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8")): Unit
+      if (nFailed == 0) {
+        java.nio.file.Files.write(java.nio.file.Paths.get("docs/bench_green.json"),
+          (line + "\n").getBytes("UTF-8")): Unit
+      }
     } catch { case _: Throwable => () } // best-effort: never fail the bench
     spark.stop()
   }

@@ -149,6 +149,13 @@ object SparkEntry {
     // and zero corpus access at query time (same oracle as v36)
     "v37_hamming_stored" -> ((s, d) => graft.sources.CodeStore.search(
       s, graft.sources.CodeStore.storeFor(s, d), FakeEmbedder.embed(SearchText))),
+    // batched compact-code serve: the whole query table answered by
+    // ONE 8 B/row code scan (query codes broadcast — code-sized, the
+    // v29 model license), per-query WindowGroupLimit shortlist, rerank
+    // from the store's in-row embeddings under the SHUFFLE_HASH query
+    // contract — closes the 4-family × batch matrix
+    "v38_hamming_batch" -> ((s, d) => graft.sources.CodeStore.searchBatch(
+      s, graft.sources.CodeStore.storeFor(s, d), d, JoinQueryFilter)),
     // hierarchical descent with the layer-0 tail over the NN-Descent-
     // REFINED graph (v21's edges): better per-hop recall at identical
     // serve cost — the v25 move applied to the hierarchy
@@ -219,11 +226,13 @@ object SparkEntry {
     "v26_graph_search_batch" -> ((s, d) =>
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter)),
     // v26 with the corpus banding read from the persisted SrpStore
-    // banding/ artifact instead of re-hashing (same oracle as v26)
+    // instead of re-hashing (same oracle as v26); the seed read is
+    // pruned to the union of probed buckets across the query set —
+    // PartitionFilters, never an O(corpus) artifact scan
     "v27_graph_search_batch_stored" -> ((s, d) =>
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter,
-        bandedSource = Some(graft.sources.SrpStore.bandingFrame(s,
-          graft.sources.SrpStore.storeFor(s, d))))),
+        bandedSource = Some(keys => graft.sources.SrpStore.prunedBanding(s,
+          graft.sources.SrpStore.storeFor(s, d), keys)))),
     // fully store-backed serve: seeds from pruned SrpStore buckets,
     // hops over the persisted refined edge table with embeddings
     // in-row — zero build AND zero corpus reads at query time (same
@@ -450,6 +459,8 @@ object SparkEntry {
     // same oracle as v36: the stored code scan must serve identically
     "v37_hamming_stored" -> HammingIndex.searchSql(queryVecSql,
       SrpBanded.queryBandKeys(FakeEmbedder.embed(SearchText)).map(_._2)),
+    // batched code scan: query codes from the shared bands CTE
+    "v38_hamming_batch" -> HammingIndex.searchBatchSql(JoinQueryFilter),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),

@@ -61,13 +61,26 @@ object Tables {
     table(s, d, "events")
   }
 
-  /** normalize a raw events frame: nanos-long ts → micros timestamp */
+  /** Normalize a raw events frame so every physical encoding the driver
+    * has generated lands on the same UTC `TimestampType` column:
+    *  - TIMESTAMP(NANOS) read as long (legacy flag above) → floor-divide
+    *    to micros in exact integer arithmetic (ns epochs overflow double);
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=false → Spark 4 infers
+    *    TIMESTAMP_NTZ; the session TZ is pinned to UTC in every entry
+    *    point, so a cast reinterprets the naive value as UTC — exactly
+    *    what DuckDB's `epoch_ms` does on naive timestamps;
+    *  - TIMESTAMP_MICROS/UTC → already TimestampType, pass through.
+    */
   def eventsNormalize(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
 

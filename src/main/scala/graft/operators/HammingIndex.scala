@@ -92,6 +92,39 @@ object HammingIndex {
     rerank(short, queryVec, k)
   }
 
+  /** v38 oracle ([[graft.sources.CodeStore.searchBatch]]'s twin): the
+    * query set is the corpus slice, so its codes come from the SAME
+    * `bands` CTE the corpus side uses (bit-compatible with the Scala
+    * path's [[SrpBanded.bandKeysCol]] by construction); per-query
+    * Hamming shortlist, exact-cosine rerank, per-query top-k. */
+  def searchBatchSql(queryMod: Int, k: Int = 5,
+                     shortlist: Int = Shortlist): String =
+    s"""WITH ${SrpBanded.srpBandsCtes},
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qset AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v FROM e WHERE vec_id % $queryMod = 0),
+       |ham AS MATERIALIZED (
+       |  SELECT qb.vec_id AS query_id, b.vec_id,
+       |    CAST(sum(bit_count(xor(b.bk, qb.bk))) AS INTEGER) AS ham
+       |  FROM bands b JOIN bands qb ON b.band = qb.band
+       |  WHERE qb.vec_id % $queryMod = 0
+       |  GROUP BY qb.vec_id, b.vec_id),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS rn
+       |    FROM ham) WHERE rn <= $shortlist),
+       |scored AS MATERIALIZED (
+       |  SELECT s.query_id, s.vec_id, list_cosine_similarity(e.v, q.v) AS sim
+       |  FROM short s JOIN e ON e.vec_id = s.vec_id
+       |  JOIN qset q ON q.query_id = s.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+       |  round(sim, 6) AS sim
+       |FROM (SELECT query_id, vec_id, sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+       |      FROM scored)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+
   /** DuckDB twin: the shared banding CTEs produce the identical
     * keys; the query's keys are interpolated as a literal VALUES
     * list computed by the SAME [[SrpBanded.queryBandKeys]] the Scala

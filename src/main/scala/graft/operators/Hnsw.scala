@@ -224,26 +224,31 @@ object Hnsw {
       k, beam, iters, maxEntries, graphK, graphOverride = g0)
   }
 
-  /** (query_id, vec_id) pairs → exact cosine; the v26 no-query-
-    * broadcast contract shared verbatim: the query side rides a
-    * SHUFFLE_HASH join on query_id, never a BroadcastExchange. */
-  private def batchScorePairs(emb: DataFrame, queries: DataFrame)
-                             (pairs: DataFrame): DataFrame = pairs
-    .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
-    .join(queries.hint("shuffle_hash"), Seq("query_id"))
-    .select(col("query_id"), col("vec_id"),
-      vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
+  /** (query_id, vec_id, c_vec) pairs → exact cosine, the candidate
+    * embedding ALREADY IN-ROW (carried from the edge rows' dst_emb) —
+    * scoring never joins the corpus table. The query side keeps the
+    * v26 no-broadcast contract verbatim: a SHUFFLE_HASH join on
+    * query_id, never a BroadcastExchange. */
+  private def batchScoreEdges(queries: DataFrame)(pairs: DataFrame): DataFrame =
+    pairs
+      .join(queries.hint("shuffle_hash"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
 
-  /** The batch entry seeding, LAZY — exposed so a plan spec can
-    * assert the no-query-broadcast contract without running the
-    * walk (the v26 `batchSeedScored` pattern). */
-  private[graft] def batchEntryScored(spark: SparkSession, d: String,
-                                      queryMod: Int, entry: Long): DataFrame = {
+  /** One in-row-scored walk step, LAZY — exposed so a plan spec can
+    * assert the no-query-broadcast AND no-corpus-join contracts
+    * without running the walk (the v26 `batchSeedScored` pattern). */
+  private[graft] def batchStepScored(spark: SparkSession, d: String,
+                                     queryMod: Int, entry: Long): DataFrame = {
     val emb = cleanEmb(spark, d)
     val queries = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    batchScorePairs(emb, queries)(
-      queries.select(col("query_id"), lit(entry).as("vec_id")))
+    val g = layerGraph(spark, d, MaxLevel)
+    val state = queries.select(col("query_id"), lit(entry).as("vec_id"))
+    batchScoreEdges(queries)(
+      state.join(g, state("vec_id") === g("src"))
+        .select(col("query_id"), col("dst").as("vec_id"),
+          col("dst_emb").as("c_vec")))
   }
 
   /** v33: BATCHED hierarchical serve — the whole query table walked
@@ -261,7 +266,15 @@ object Hnsw {
     * SHUFFLE_HASH joins on query_id, never a BroadcastExchange —
     * millions of queries scale out with the cluster. Each stage is
     * checkpointed against hop replay; intermediates are released
-    * once the k·|Q| result is materialized. */
+    * once the k·|Q| result is materialized.
+    *
+    * Corpus-scan count: ONE — the query-slice read itself. Every
+    * walk step and layer-0 hop scores from the `dst_emb` riding in
+    * the edge rows it already joined ([[batchScoreEdges]]), and the
+    * entry is scored from its known embedding; at 100 TB the serve
+    * cost is |Q|·(beam·graphK) edge rows, independent of N. The
+    * former shape re-joined the corpus per stage (~15 scans/serve —
+    * 29% of the r8 warm bench across v33+v34). */
   def searchBatch(spark: SparkSession, d: String, queryMod: Int,
                   k: Int = 5, beam: Int = 16, iters: Int = 3,
                   maxEntries: Int = 64, graphK: Int = 5,
@@ -269,13 +282,17 @@ object Hnsw {
                   maxSteps: Int = BatchMaxSteps,
                   layerSource: Option[Int => DataFrame] = None,
                   graphSource: Option[DataFrame] = None,
-                  entryOverride: Option[Long] = None): DataFrame = {
+                  entryOverride: Option[(Long, Array[Float])] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val emb = cleanEmb(spark, d)
+    // materialized ONCE — O(|Q|) rows, not O(corpus); every stage
+    // below joins this checkpoint, so the batch serve's only corpus
+    // read is this query-slice scan
     val queries = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val scorePairs = batchScorePairs(emb, queries) _
+      .localCheckpoint(true)
+    val scoreEdges = batchScoreEdges(queries) _
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     // ONE exchange per walk/hop step instead of two: the union is
@@ -296,9 +313,11 @@ object Hnsw {
       .filter(col("__dup") === 1).drop("__dup")
       .withColumn("rn", row_number().over(wq))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    intermediates += queries
     // entry: query-independent — memoized per corpus ([[entryFor]]) or
-    // read from the persisted store's entry artifact (v34)
-    val entry = entryOverride.getOrElse(entryFor(spark, d)._1)
+    // read from the persisted store's entry artifact (v34); its
+    // embedding comes with it, so seeding scores WITHOUT any join
+    val (entryId, entryEmb) = entryOverride.getOrElse(entryFor(spark, d))
     // Catalyst's union constraint rewrite (InferFiltersFromConstraints
     // over Distinct(Union(...))) fails with key-not-found on this
     // unroll's deep union-of-checkpoints chains — a known optimizer
@@ -317,17 +336,28 @@ object Hnsw {
     spark.conf.set(cpKey, "false")
     try {
     val cols3 = Seq("query_id", "vec_id", "sim")
-    var state = scorePairs(
-        queries.select(col("query_id"), lit(entry).as("vec_id")))
+    // the entry embedding is a literal — the same floats the corpus
+    // row holds, same cosine expression, so sims stay bit-identical
+    // to the former corpus-joined seed
+    var state = queries.select(col("query_id"), lit(entryId).as("vec_id"),
+        vectors.cosine_sim(typedLit(entryEmb), col("q_vec")).as("sim"))
       .toDF(cols3: _*).localCheckpoint(true)
     intermediates += state
     var path = state
     for (l <- MaxLevel to 1 by -1; _ <- 1 to maxSteps) {
       val g = layerSource.map(_(l)).getOrElse(layerGraph(spark, d, l))
+      // dst_emb rides in the edge row → score what was joined, no
+      // corpus access. Duplicate (query_id, vec_id) rows (several
+      // frontier members sharing a neighbor) carry bit-identical
+      // sims, so the former pre-score distinct() is deferred to the
+      // step's single dedupRank exchange below — scoring a dup is a
+      // projection, cheaper than the extra exchange the distinct cost
       val neigh = state.join(g, state("vec_id") === g("src"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-      val neighScored = scorePairs(neigh.distinct())
-        .toDF(cols3: _*).localCheckpoint(true)
+        .select(col("query_id"), col("dst").as("vec_id"),
+          col("dst_emb").as("c_vec"))
+      val stepScored = scoreEdges(neigh).toDF(cols3: _*)
+      lastStepPlan = stepScored.queryExecution.executedPlan.toString
+      val neighScored = stepScored.localCheckpoint(true)
       intermediates += neighScored
       val cand = dedupRank(state.unionByName(neighScored))
         .filter(col("rn") <= descentBeam)
@@ -357,10 +387,15 @@ object Hnsw {
     // rooted frames only (same constraint-rewrite dodge as the walk)
     var frontierS = seed
     (1 to iters).foreach { _ =>
+      // same in-row scoring as the walk: the layer-0 edge table
+      // (in-memory materializedGraph or the stored EdgeStore) carries
+      // dst_emb, so hops never re-join the corpus either
       val neigh = frontierS.join(graph, frontierS("vec_id") === graph("src"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-      val neighScored = scorePairs(neigh.distinct())
-        .toDF(cols3: _*).localCheckpoint(true)
+        .select(col("query_id"), col("dst").as("vec_id"),
+          col("dst_emb").as("c_vec"))
+      val hopScored = scoreEdges(neigh).toDF(cols3: _*)
+      lastHopPlan = hopScored.queryExecution.executedPlan.toString
+      val neighScored = hopScored.localCheckpoint(true)
       intermediates += neighScored
       // = scored(frontier ∪ neighbors) deduped WITH its per-query
       // rank, in one exchange; the beam cut is then a plain filter
@@ -391,6 +426,11 @@ object Hnsw {
 
   /** guards the [[searchBatch]] constraint-propagation conf scope */
   private val cpLock = new Object
+
+  /** executed plans of the last batch walk step / layer-0 hop scoring
+    * stage — spec hooks for the no-corpus-scan contract */
+  @volatile var lastStepPlan: String = ""
+  @volatile var lastHopPlan: String = ""
 
   // ---------------------------------------------------------------
   // DuckDB twin

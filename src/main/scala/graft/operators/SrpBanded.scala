@@ -664,10 +664,18 @@ object SrpBanded {
 
   /** The seed-stage scored pool (multi-probe buckets × corpus banding,
     * exact-scored), LAZY — factored out so a plan spec can assert the
-    * no-query-broadcast contract without executing the batch. */
+    * no-query-broadcast contract without executing the batch.
+    *
+    * `bandedSource` (v27) is a PRUNING function, not a frame: it
+    * receives the union of probed (band, bk) buckets across the whole
+    * query set and returns the corpus banding restricted to them.
+    * The union is bounded by Bands·2^RowsPerBand = 2048 pairs however
+    * large the query set — the same O(k) driver license every serve
+    * here documents — so the stored seed read is O(probed buckets),
+    * never an O(corpus) artifact scan. */
   private[graft] def batchSeedScored(spark: SparkSession, d: String, queryMod: Int,
                                      probeRadius: Int = 2,
-                                     bandedSource: Option[DataFrame] = None): DataFrame = {
+                                     bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (emb, queries) = batchInputs(spark, d, queryMod)
     // multi-probe (query, band, key) set: each query's own band keys
@@ -679,9 +687,16 @@ object SrpBanded {
         col("bk").bitwiseXOR(col("f")).as("bk"))
       .distinct()
     // corpus banding: recomputed in-memory, or (v27) the persisted
-    // SrpStore `banding/` artifact — per-row hashing paid at ingest
-    val banded = bandedSource.getOrElse(
-      bandedOf(emb).select(col("vec_id"), col("band"), col("bk")))
+    // SrpStore buckets pruned to the probed key union — per-row
+    // hashing paid at ingest, seed IO bounded by the probe set
+    val banded = bandedSource match {
+      case Some(pruned) =>
+        val keys = probes.select(col("band"), col("bk")).distinct()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+        pruned(keys)
+      case None =>
+        bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
+    }
     val pool = probes.join(banded, Seq("band", "bk"))
       .select(col("query_id"), col("vec_id")).distinct()
     batchScorePairs(emb, queries)(pool)
@@ -691,7 +706,7 @@ object SrpBanded {
                        k: Int = 5, beam: Int = 8, iters: Int = 2,
                        maxEntries: Int = 64, graphK: Int = 5,
                        probeRadius: Int = 2,
-                       bandedSource: Option[DataFrame] = None): DataFrame = {
+                       bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (emb, queries) = batchInputs(spark, d, queryMod)
     val graph = materializedGraph(spark, d, graphK)

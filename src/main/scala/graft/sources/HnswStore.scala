@@ -171,7 +171,7 @@ object HnswStore {
     Hnsw.searchBatch(spark, d, queryMod, k, beam, iters, maxEntries,
       layerSource = Some(l => layers.filter(col("layer") === l)),
       graphSource = Some(EdgeStore.read(spark, s"$dir/l0")),
-      entryOverride = Some(storedEntry(spark, dir)._1))
+      entryOverride = Some(storedEntry(spark, dir)))
   }
 
   /** Incremental hierarchy maintenance — the upsert analogue

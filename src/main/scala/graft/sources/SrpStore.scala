@@ -163,6 +163,31 @@ object SrpStore {
   private def bucketPred(keys: Seq[(Int, Long)]): org.apache.spark.sql.Column =
     balancedOr(keys.map { case (b, bk) => col("band") === b && col("bk") === bk })
 
+  /** executed plan of the last pruned bulk banding read — spec hook */
+  @volatile var lastPrunedBandingPlan: String = ""
+
+  /** Pruned bulk banding read for the batched stored serve (v27): the
+    * union of probed (band, bk) buckets across the query set, read
+    * from the partitioned `banded/` bucket layout so the predicate is
+    * STATIC partition pruning (PartitionFilters decided in the file
+    * index before any IO — the same contract as [[scoredPool]]'s
+    * single-query read). The key union is bounded by
+    * Bands·2^RowsPerBand = 2048 however many queries are batched, so
+    * the seed-stage IO is O(probed buckets), never the O(corpus)
+    * `banding/` artifact scan this replaced (11.8 s → bucket-bounded
+    * at r8 scale). `banded/` buckets are rewritten in place by
+    * [[upsert]], so this view is always the current committed state —
+    * no merge-on-read resolve needed. */
+  def prunedBanding(spark: SparkSession, dir: String,
+                    keys: Seq[(Int, Long)]): DataFrame = {
+    val pruned = bandedFrame(spark, dir)
+      .filter(bucketPred(keys))
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("bk").cast("long").as("bk"))
+    lastPrunedBandingPlan = pruned.queryExecution.executedPlan.toString
+    pruned
+  }
+
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val probe = bucketPred(SrpBanded.queryProbeKeys(queryVec, probeRadius))

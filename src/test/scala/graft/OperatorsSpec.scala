@@ -1465,10 +1465,16 @@ class OperatorsSpec extends AnyFunSuite {
     val dir = graft.sources.SrpStore.storeFor(spark, sf)
     // v27: batched search over the persisted banding == in-memory batch
     val stored = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50,
-      bandedSource = Some(graft.sources.SrpStore.bandingFrame(spark, dir)))
+      bandedSource = Some(keys =>
+        graft.sources.SrpStore.prunedBanding(spark, dir, keys)))
     val inMem = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50)
     assert(stored.collect().map(_.toSeq).toSeq == inMem.collect().map(_.toSeq).toSeq,
       "batch over stored banding diverged from in-memory batch")
+    // the seed-stage store read prunes to the probed bucket union in
+    // the file index — O(probed buckets), never an O(corpus) scan
+    val seedPlan = graft.sources.SrpStore.lastPrunedBandingPlan
+    assert(seedPlan.contains("PartitionFilters") && seedPlan.contains("bk"),
+      s"v27 seed read not partition-pruned:\n$seedPlan")
     // v28: seeds from pruned buckets + persisted refined edges == the
     // in-memory refined path
     val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)

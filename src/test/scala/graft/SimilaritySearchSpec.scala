@@ -923,7 +923,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     // the v26 contract: query embeddings never ride a BroadcastExchange
     val entry = 0L // any literal works for the plan-shape check
-    val scored = Hnsw.batchEntryScored(spark, sf, 50, entry)
+    val scored = Hnsw.batchStepScored(spark, sf, 50, entry)
     val bxs = scored.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
     }
@@ -932,6 +932,13 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"query embeddings materialized in a BroadcastExchange:\n${offending.mkString("\n")}")
     assert(scored.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
       "expected a shuffle-hash join for the query side")
+    // in-row scoring contract: the walk/hop scoring stages read the
+    // candidate embeddings from the edge rows they joined — the last
+    // batch run's step and hop plans touch no corpus scan
+    assert(!Hnsw.lastStepPlan.contains("embeddings.parquet"),
+      s"batch walk step re-joins the corpus:\n${Hnsw.lastStepPlan}")
+    assert(!Hnsw.lastHopPlan.contains("embeddings.parquet"),
+      s"batch layer-0 hop re-joins the corpus:\n${Hnsw.lastHopPlan}")
   }
 
   test("v36 hamming code scan: deterministic, shortlist is a TakeOrdered, decent recall") {
@@ -981,12 +988,161 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"fetch reads the corpus table:\n$fetchPlan")
   }
 
+  test("CodeStore upsert: recoded rows searchable without rebuild, committed data never rewritten, tombstones mask") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("codeup").toString
+    graft.sources.CodeStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val newId = maxId + 1
+    val tVec = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).as[Array[Float]].first()
+    val twin = tVec.updated(0, tVec(0) + 0.01f) // cos ~ 0.9999 to id 3
+
+    def verFiles(ver: Int): Map[String, Set[(String, Long)]] = {
+      val vd = new java.io.File(s"$dir/codes/data/__ver=$ver")
+      if (!vd.exists()) Map.empty
+      else vd.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.isFile).map(f => (f.getName, f.length())).toSet)
+        .toMap
+    }
+    val before = verFiles(0)
+    assert(before.nonEmpty, "no v0 partitions written")
+    val baseTop = graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!baseTop.contains(newId), "store knows an id never upserted")
+
+    // O(update) delta: one new id → its single pb partition
+    val touched = graft.sources.CodeStore.upsert(spark, dir,
+      Seq((newId, twin)).toDF("vec_id", "embedding"))
+    assert(touched == Seq(Math.floorMod(newId, 64L)),
+      s"delta should cover exactly the upserted id's pb: $touched")
+    assert(graft.sources.CodeStore.committedVers(spark, dir) == Seq(0, 1))
+    assert(verFiles(0) == before, "committed v0 data rewritten by upsert")
+    val afterTop = graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(afterTop.get(newId).contains(1),
+      s"upserted id should now top its own query: $afterTop")
+
+    // a null-embedding update tombstones the id out of the store
+    graft.sources.CodeStore.upsert(spark, dir,
+      Seq((newId, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val masked = graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!masked.contains(newId), "tombstoned id still served")
+  }
+
+  test("CodeStore crash contract: uncommitted delta invisible, retry safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("codecrash").toString
+    graft.sources.CodeStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val newId = maxId + 1
+    val tVec = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).as[Array[Float]].first()
+    val twin = tVec.updated(0, tVec(0) + 0.01f)
+    // simulate a crash AFTER the delta data write but BEFORE the
+    // commit marker: hand-write a bogus ver-1 partition
+    Seq((newId, graft.operators.SrpBanded.queryBandKeys(twin).map(_._2).toArray, twin))
+      .toDF("vec_id", "keys", "embedding")
+      .withColumn("pb", pmod(col("vec_id"), lit(64L)))
+      .withColumn("__ver", lit(1))
+      .write.mode("append").partitionBy("__ver", "pb")
+      .parquet(s"$dir/codes/data")
+    graft.Tables.invalidate(dir)
+    assert(graft.sources.CodeStore.committedVers(spark, dir) == Seq(0))
+    val top = graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(newId), "uncommitted delta leaked into the serve path")
+    // the retry clears the torn partition before re-writing
+    graft.sources.CodeStore.upsert(spark, dir,
+      Seq((newId, twin)).toDF("vec_id", "embedding"))
+    assert(graft.sources.CodeStore.committedVers(spark, dir) == Seq(0, 1))
+    val after = graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(after.get(newId).contains(1), s"retry did not serve the upsert: $after")
+  }
+
+  test("streaming code probe: equals the stored code scan per query") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("code_stream").toString
+    graft.sources.CodeStore.write(spark, sf, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("codeprobe_q").toString
+    val q1 = "fast vector search over spark tables"
+    val q2 = "slow filter batch"
+    Seq(s"""{"query_id": 1, "query_text": "$q1"}""",
+      s"""{"query_id": 2, "query_text": "$q2"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val out = graft.streaming.CodeProbeStream
+      .runOnce(spark, tmp, dir, k = 5).collect()
+    assert(out.length == 10) // 2 queries x 5 neighbors
+    Seq(1L -> q1, 2L -> q2).foreach { case (qid, qt) =>
+      val batch = graft.sources.CodeStore.search(spark, dir,
+          FakeEmbedder.embed(qt), k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val stream = out.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(stream == batch, s"query $qid: stream $stream != batch $batch")
+    }
+    // the micro-batch shortlist scan stays the 8 B/row projection
+    val scanPlan = graft.sources.CodeStore.lastScanPlan
+    assert(scanPlan.contains("ReadSchema") && !scanPlan.contains("embedding"),
+      s"streaming code scan reads the embedding column:\n$scanPlan")
+  }
+
+  test("v38 batched code scan: per-query parity with the stored serve, no query-embedding broadcast") {
+    import spark.implicits._
+    val dir = graft.sources.CodeStore.storeFor(spark, sf)
+    val batch = graft.sources.CodeStore.searchBatch(spark, dir, sf, queryMod = 50)
+    val rows = batch.collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    // every query is a corpus vector: ham(self)=0 puts it in its own
+    // shortlist, exact rerank puts it at rank 1 with sim 1.0
+    byQuery.foreach { case (qid, rs) =>
+      val top = rs.minBy(_.getAs[Int]("rk"))
+      assert(top.getAs[Long]("neighbor_id") == qid &&
+        top.getAs[Double]("sim") == 1.0,
+        s"query $qid rank-1 is ${top.getAs[Long]("neighbor_id")}")
+    }
+    // per-query parity with the single-query stored serve
+    byQuery.keys.toSeq.sorted.take(2).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).as[Array[Float]].first()
+      val single = graft.sources.CodeStore.search(spark, dir, qv, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val batchQ = byQuery(qid)
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rk"),
+          r.getAs[Double]("sim"))).toSet
+      assert(batchQ == single, s"query $qid: batch $batchQ != single $single")
+    }
+    // the v26 contract: query EMBEDDINGS never ride a broadcast (the
+    // code-sized q_keys broadcast is the sanctioned v29 model license)
+    val bxs = batch.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bxs.forall(!_.output.exists(_.name == "q_vec")),
+      "query embeddings materialized in a BroadcastExchange")
+    assert(batch.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
+      "expected a shuffle-hash join for the rerank query side")
+  }
+
   test("v34 stored batched HNSW: equals the in-memory batch, layers read only committed store files") {
     import graft.operators.Hnsw
     val dir = graft.sources.HnswStore.storeFor(spark, sf)
     val stored = graft.sources.HnswStore.searchBatch(spark, sf, dir, queryMod = 50)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Int]("rk"), r.getAs[Double]("sim"))).toSet
+    // capture the STORED run's scoring plans before the in-memory run
+    // below overwrites the hooks
+    val (storedStepPlan, storedHopPlan) = (Hnsw.lastStepPlan, Hnsw.lastHopPlan)
     val inMem = Hnsw.searchBatch(spark, sf, queryMod = 50)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Int]("rk"), r.getAs[Double]("sim"))).toSet
@@ -1002,5 +1158,11 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"stored layer view not version-pruned:\n$layerScan")
     assert(!layerScan.toString.contains("embeddings.parquet"),
       s"stored layer view reads the corpus:\n$layerScan")
+    // the stored batch's scoring stages read embeddings from the
+    // store's edge rows only — zero corpus scans in the walk and hops
+    assert(storedStepPlan.nonEmpty && !storedStepPlan.contains("embeddings.parquet"),
+      s"stored batch walk step re-joins the corpus:\n$storedStepPlan")
+    assert(storedHopPlan.nonEmpty && !storedHopPlan.contains("embeddings.parquet"),
+      s"stored batch hop re-joins the corpus:\n$storedHopPlan")
   }
 }
