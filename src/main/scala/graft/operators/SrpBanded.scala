@@ -675,9 +675,10 @@ object SrpBanded {
     * never an O(corpus) artifact scan. */
   private[graft] def batchSeedScored(spark: SparkSession, d: String, queryMod: Int,
                                      probeRadius: Int = 2,
-                                     bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None): DataFrame = {
+                                     bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None,
+                                     inputs: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import spark.implicits._
-    val (emb, queries) = batchInputs(spark, d, queryMod)
+    val (emb, queries) = inputs.getOrElse(batchInputs(spark, d, queryMod))
     // multi-probe (query, band, key) set: each query's own band keys
     // XOR every flip mask within the Hamming radius
     val probes = bandedOf(queries
@@ -708,38 +709,66 @@ object SrpBanded {
                        probeRadius: Int = 2,
                        bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (emb, queries) = batchInputs(spark, d, queryMod)
+    val (emb, queriesRaw) = batchInputs(spark, d, queryMod)
+    // the query slice is materialized ONCE (O(|Q|) rows) — every
+    // stage below joins this checkpoint instead of re-scanning the
+    // corpus for the slice
+    val queries = queriesRaw.localCheckpoint(true)
     val graph = materializedGraph(spark, d, graphK)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    val scorePairs: DataFrame => DataFrame = batchScorePairs(emb, queries)
+    // hop scoring reads the candidate embedding from the edge rows it
+    // joined (dst_emb rides in materializedGraph / the stored banding),
+    // so hops never re-scan the corpus; the query side keeps the
+    // SHUFFLE_HASH no-broadcast contract
+    val scoreEdges: DataFrame => DataFrame = pairs => pairs
+      .join(queries.hint("shuffle_hash"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
     // seed: per-query top-maxEntries of the scored pool; checkpointed —
     // the banding join must not replay once per downstream reference.
     // Intermediates are tracked and unpersisted once the final result
     // is checkpointed, so repeated batch calls pin only their k·|Q|
     // output rows, not the per-hop candidate sets.
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val seed = batchSeedScored(spark, d, queryMod, probeRadius, bandedSource)
+    intermediates += queries
+    val seed = batchSeedScored(spark, d, queryMod, probeRadius, bandedSource,
+        Some((emb, queries)))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= maxEntries)
       .select(col("query_id"), col("vec_id"), col("sim"))
       .localCheckpoint(true)
     intermediates += seed
+    // visited accumulates scored candidate sets with the dedup
+    // DEFERRED to the single final pass — duplicate (query_id, vec_id)
+    // rows carry bit-identical sims (same expression over the same
+    // floats), so one end dedup equals the former per-hop distinct()
+    // at two fewer exchanges per hop
     var visited = seed
-    var frontier = seed.select(col("query_id"), col("vec_id"))
+    var frontierS = seed
     (1 to iters).foreach { _ =>
-      val neigh = frontier.join(graph, frontier("vec_id") === graph("src"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-      val cand = scorePairs(frontier.union(neigh).distinct())
+      val neigh = frontierS.select(col("query_id"), col("vec_id"))
+        .join(graph, col("vec_id") === graph("src"))
+        .select(col("query_id"), col("dst").as("vec_id"),
+          col("dst_emb").as("c_vec"))
+      val neighScored = scoreEdges(neigh)
+        .toDF("query_id", "vec_id", "sim").localCheckpoint(true)
+      intermediates += neighScored
+      // = scored(frontier ∪ neighbors) deduped: the frontier is
+      // already scored, neighbors scored from their edge rows — the
+      // former cand = scorePairs(frontier ∪ neigh distinct) row set
+      val cand = frontierS.unionByName(neighScored)
+        .dropDuplicates("query_id", "vec_id")
         .localCheckpoint(true)
       intermediates += cand
-      visited = visited.union(cand).distinct()
-      frontier = cand
+      visited = visited.unionByName(cand)
+      frontierS = cand
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= beam)
-        .select(col("query_id"), col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("sim"))
     }
     val out = visited
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
