@@ -53,14 +53,20 @@ object ScaleBench {
         .select(col("vec_id"), col("embedding"))
       val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1
       // copy i: ids shifted by i*maxId, component j scaled by
-      // 1 + ((i*31 + j) mod 7 - 3) * 1e-3 — deterministic, near-dup
-      // of the original but not equal, so graphs/buckets stay honest
+      // 1 + (((i*31 + j*17) mod 101) - 50) * 2e-4 — deterministic
+      // (pure function of (copy, component)), near-dup of the
+      // original (cos ≈ 0.9999) but not equal. 101 is prime and
+      // coprime to both strides, so every copy gets a DISTINCT
+      // perturbation pattern — the previous mod-7 form gave only 7
+      // patterns, so at 100 copies each vector had ~14 bit-exact
+      // clones whose identical SRP keys degenerated every LSH bucket
+      // (and, pre-BucketCap, OOM'd the quadratic banded build).
       val copiesDf = (0 until copies).map { i =>
         base.select(
           (col("vec_id") + lit(i.toLong * maxId)).as("vec_id"),
           transform(col("embedding"), (x, j) =>
             x * (lit(1.0f) +
-              (((lit(i * 31) + j.cast("int")) % 7) - lit(3)).cast("float") * lit(0.001f))
+              (((lit(i * 31) + j.cast("int") * lit(17)) % 101) - lit(50)).cast("float") * lit(2e-4f))
           ).cast("array<float>").as("embedding"))
       }.reduce(_ unionByName _)
       copiesDf.repartition(32).write.mode("overwrite").parquet(embPath)

@@ -451,9 +451,14 @@ object Hnsw {
   // oracle runs minutes instead of seconds (measured >120 s → 34 s)
   private def layerGraphSql(l: Int, levelK: Int): String =
     s"""hb$l AS MATERIALIZED (SELECT b.vec_id, b.band, b.bk FROM bands b JOIN lvl v USING (vec_id) WHERE v.lvl >= $l),
+       |hbcap$l AS MATERIALIZED (
+       |  SELECT band, bk, vec_id FROM (
+       |    SELECT band, bk, vec_id,
+       |      row_number() OVER (PARTITION BY band, bk ORDER BY vec_id) AS bi
+       |    FROM hb$l) WHERE bi <= ${SrpBanded.BucketCap}),
        |hc$l AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM hb$l a JOIN hb$l b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |  FROM hb$l a JOIN hbcap$l b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
        |hs$l AS MATERIALIZED (
        |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
        |  FROM hc$l c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),

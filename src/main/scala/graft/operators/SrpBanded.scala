@@ -161,9 +161,14 @@ object SrpBanded {
     * edges) — the v18 build every graph oracle shares. */
   private[graft] def rawGraphCtes(graphK: Int): String =
     s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bcap AS MATERIALIZED (
+       |  SELECT band, bk, vec_id FROM (
+       |    SELECT band, bk, vec_id,
+       |      row_number() OVER (PARTITION BY band, bk ORDER BY vec_id) AS bi
+       |    FROM bands) WHERE bi <= $BucketCap),
        |cand0 AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |  FROM bands a JOIN bcap b ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
        |gscored AS MATERIALIZED (
        |  SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS sim
        |  FROM cand0 c JOIN e s ON c.src = s.vec_id JOIN e t ON c.dst = t.vec_id),
@@ -317,14 +322,33 @@ object SrpBanded {
     rankedEdges(spark, d, banded, k)
       .select(col("src"), col("dst"), col("emb_d").as("dst_emb"))
 
+  /** Per-bucket candidate cap for the graph BUILD: each (band, bk)
+    * bucket contributes at most this many DESTINATION candidates (the
+    * lowest vec_ids — deterministic, replayed verbatim in the oracle).
+    * Without it the banded self-join is quadratic in bucket size —
+    * ~1.25B candidate pairs at 200k rows with 8-bit keys (measured:
+    * the 100× scale-step build OOMs) — the same degenerate-bucket
+    * failure d2/d3 already cap. With it the build is ≤ N·Bands·cap
+    * pairs, linear in the corpus at ANY bucket skew; a capped bucket
+    * is by construction a near-collision cluster, so the kept 64 are
+    * interchangeable seeds and the NN-Descent refinement (v21/v25)
+    * recovers any edge the cap cost. Never binds at the test SFs
+    * (max bucket ≈ 8 rows at sf0.1), so test-scale outputs are
+    * bit-identical with or without it — but the oracle mirrors the
+    * cut anyway, keeping both engines aligned at every SF. */
+  val BucketCap = 64
+
   private def rankedEdges(spark: SparkSession, d: String,
                           banded: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
+    val wb = Window.partitionBy(col("band"), col("bk")).orderBy(col("dst"))
     val a = banded.select(col("band"), col("bk"), col("vec_id").as("src"))
     val b = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
+      .withColumn("__bi", row_number().over(wb))
+      .filter(col("__bi") <= BucketCap).drop("__bi")
     val cand = a.join(b, Seq("band", "bk"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))

@@ -1132,6 +1132,11 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "query embeddings materialized in a BroadcastExchange")
     assert(batch.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
       "expected a shuffle-hash join for the rerank query side")
+    // the per-query shortlist must plant a partial WindowGroupLimit
+    // map-side so the shuffle carries at most |Q|·shortlist rows per
+    // partition, never the full |Q|·N cross product
+    assert(batch.queryExecution.sparkPlan.toString.contains("WindowGroupLimit"),
+      "per-query shortlist missing the WindowGroupLimit cut")
   }
 
   test("v34 stored batched HNSW: equals the in-memory batch, layers read only committed store files") {
