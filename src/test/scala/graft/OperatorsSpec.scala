@@ -1222,6 +1222,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("v18 build bucket cap: degenerate near-dup buckets stay linear, every source keeps its edges") {
+    import spark.implicits._
+    // a pathological corpus: 400 near-identical vectors (one cluster
+    // that lands in the SAME bucket in every band — the shape that
+    // made the uncapped banded self-join quadratic and OOM'd the
+    // 100× scale build) plus a handful of distinct ones
+    val rng = new scala.util.Random(7L)
+    val center = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val clones = (0 until 400).map { i =>
+      (i.toLong, center.map(x => x * (1.0f + 1e-6f * (i % 3))))
+    }
+    val distinct = (400 until 410).map { i =>
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("bcap").toString
+    (clones ++ distinct).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val g = SrpBanded.knnGraph(spark, tmp, k = 5).collect()
+    // linearity: the cluster's bucket contributes at most BucketCap
+    // distinct destinations, so the edge DESTINATION set inside the
+    // cluster is bounded by the cap, not by the cluster size
+    val clusterDsts = g.filter(r => r.getAs[Long]("src") < 400 &&
+      r.getAs[Long]("dst") < 400).map(_.getAs[Long]("dst")).toSet
+    assert(clusterDsts.nonEmpty && clusterDsts.size <= SrpBanded.BucketCap,
+      s"capped bucket leaked ${clusterDsts.size} distinct destinations")
+    // serviceability: EVERY clone still gets a full top-k edge set
+    // (any capped-bucket member is an interchangeable near neighbor)
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    (0 until 400).foreach { i =>
+      assert(bySrc.get(i.toLong).exists(_.length == 5),
+        s"clone $i lost its edges under the cap")
+    }
+  }
+
   test("v19 graph search: deterministic, self-retrieving, decent recall on the small corpus") {
     val emb = Tables.embeddings(spark, sf)
       .filter(col("embedding").isNotNull)
