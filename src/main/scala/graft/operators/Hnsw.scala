@@ -357,9 +357,11 @@ object Hnsw {
           col("dst_emb").as("c_vec"))
       val stepScored = scoreEdges(neigh).toDF(cols3: _*)
       lastStepPlan = stepScored.queryExecution.executedPlan.toString
-      val neighScored = stepScored.localCheckpoint(true)
-      intermediates += neighScored
-      val cand = dedupRank(state.unionByName(neighScored))
+      // ONE eager checkpoint per step: the scoring join stays inline
+      // in the dedup+rank stage (its inputs — state and the layer
+      // edges — are already checkpoint/cache-rooted, so the lineage
+      // is one join deep and nothing replays)
+      val cand = dedupRank(state.unionByName(stepScored))
         .filter(col("rn") <= descentBeam)
         .select(col("query_id"), col("vec_id"), col("sim"))
         .toDF(cols3: _*).localCheckpoint(true)
@@ -395,13 +397,13 @@ object Hnsw {
           col("dst_emb").as("c_vec"))
       val hopScored = scoreEdges(neigh).toDF(cols3: _*)
       lastHopPlan = hopScored.queryExecution.executedPlan.toString
-      val neighScored = hopScored.localCheckpoint(true)
-      intermediates += neighScored
       // = scored(frontier ∪ neighbors) deduped WITH its per-query
-      // rank, in one exchange; the beam cut is then a plain filter
+      // rank, in one exchange (and, as in the walk, one checkpoint
+      // per hop — the scoring join rides inline); the beam cut is
+      // then a plain filter
       val cand = dedupRank(
           frontierS.select(col("query_id"), col("vec_id"), col("sim"))
-            .unionByName(neighScored))
+            .unionByName(hopScored))
         .toDF("query_id", "vec_id", "sim", "rn").localCheckpoint(true)
       intermediates += cand
       visited = visited.unionByName(cand.select(col("query_id"), col("vec_id"), col("sim")))

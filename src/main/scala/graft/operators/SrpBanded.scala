@@ -776,11 +776,13 @@ object SrpBanded {
         .select(col("query_id"), col("dst").as("vec_id"),
           col("dst_emb").as("c_vec"))
       val neighScored = scoreEdges(neigh)
-        .toDF("query_id", "vec_id", "sim").localCheckpoint(true)
-      intermediates += neighScored
+        .toDF("query_id", "vec_id", "sim")
       // = scored(frontier ∪ neighbors) deduped: the frontier is
       // already scored, neighbors scored from their edge rows — the
-      // former cand = scorePairs(frontier ∪ neigh distinct) row set
+      // former cand = scorePairs(frontier ∪ neigh distinct) row set.
+      // ONE eager checkpoint per hop: the scoring join stays inline
+      // (its inputs — the frontier checkpoint and the edge table —
+      // are checkpoint-rooted, so nothing replays)
       val cand = frontierS.unionByName(neighScored)
         .dropDuplicates("query_id", "vec_id")
         .localCheckpoint(true)
