@@ -78,6 +78,14 @@ object Tables {
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the cast reinterprets the naive value in the SESSION zone;
+        // every entry point here pins UTC (build.sbt, Bench, Verify,
+        // the spec session) — fail loudly rather than silently
+        // diverge from the oracle if an embedding application forgot
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"events.parquet carries TIMESTAMP_NTZ; set spark.sql.session.timeZone=UTC " +
+            s"(found '$tz') so the naive->UTC reinterpretation matches the engine contract")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts")
             .cast(org.apache.spark.sql.types.TimestampType))
