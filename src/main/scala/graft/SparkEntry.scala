@@ -227,11 +227,13 @@ object SparkEntry {
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter)),
     // v26 with the corpus banding read from the persisted SrpStore
     // instead of re-hashing (same oracle as v26); the seed read is
-    // pruned to the union of probed buckets across the query set —
-    // PartitionFilters, never an O(corpus) artifact scan
+    // adaptive — partition-pruned bucket point-reads while the probe
+    // union is sparse, the compact banding artifact once the batch
+    // saturates the bucket space (SrpStore.batchBanding's
+    // bitmap-vs-seq-scan crossover)
     "v27_graph_search_batch_stored" -> ((s, d) =>
       SrpBanded.graphSearchBatch(s, d, JoinQueryFilter,
-        bandedSource = Some(keys => graft.sources.SrpStore.prunedBanding(s,
+        bandedSource = Some(keys => graft.sources.SrpStore.batchBanding(s,
           graft.sources.SrpStore.storeFor(s, d), keys)))),
     // fully store-backed serve: seeds from pruned SrpStore buckets,
     // hops over the persisted refined edge table with embeddings

@@ -188,6 +188,39 @@ object SrpStore {
     pruned
   }
 
+  /** which source the last [[batchBanding]] call picked — spec hook */
+  @volatile var lastBatchBandingSource: String = ""
+
+  /** Adaptive banding source for the BATCHED stored serve (v27). A
+    * single query probes ≤ ~300 of the Bands·2^RowsPerBand = 2048
+    * buckets, so the per-bucket partition-pruned read
+    * ([[prunedBanding]]) is the right plan. A large query batch
+    * SATURATES the bucket space — the bench's 40-query batch probes
+    * 2046/2048 buckets — and "pruning" degenerates into a point-read
+    * of every bucket: the same rows as a scan, plus per-bucket
+    * scheduling/footer overhead ×2048 (measured 2.2 s warm vs 0.4 s
+    * for the compact artifact at sf0.1). Past a saturation threshold
+    * the compact `banding/` artifact — the same (vec_id, band, bk)
+    * rows in a handful of column-pruned files — is strictly cheaper:
+    * the bitmap-scan → sequential-scan crossover a cost-based
+    * optimizer makes for the same reason. Both sources feed the seed
+    * stage's equi-join against the probe set, which drops any row
+    * outside a probed bucket, so the pool (and the result) is
+    * bit-identical either way; at 100 TB the crossover holds because
+    * the bucket count is fixed while buckets grow — probing nearly
+    * all of them IS the full scan, however it's spelled. */
+  def batchBanding(spark: SparkSession, dir: String,
+                   keys: Seq[(Int, Long)]): DataFrame = {
+    val totalBuckets = SrpBanded.Bands << SrpBanded.RowsPerBand
+    if (keys.size * 4 <= totalBuckets) {
+      lastBatchBandingSource = "pruned"
+      prunedBanding(spark, dir, keys)
+    } else {
+      lastBatchBandingSource = "compact"
+      bandingFrame(spark, dir)
+    }
+  }
+
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val probe = bucketPred(SrpBanded.queryProbeKeys(queryVec, probeRadius))

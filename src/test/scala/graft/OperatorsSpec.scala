@@ -1503,18 +1503,28 @@ class OperatorsSpec extends AnyFunSuite {
   test("v27/v28 store-backed serving: batch over stored banding and cold-start serve match in-memory") {
     val q = graft.functions.FakeEmbedder.embed("fast vector search over spark tables")
     val dir = graft.sources.SrpStore.storeFor(spark, sf)
-    // v27: batched search over the persisted banding == in-memory batch
+    // v27: batched search over the persisted banding == in-memory
+    // batch, via the adaptive source the entry actually wires
     val stored = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50,
       bandedSource = Some(keys =>
-        graft.sources.SrpStore.prunedBanding(spark, dir, keys)))
+        graft.sources.SrpStore.batchBanding(spark, dir, keys)))
     val inMem = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50)
     assert(stored.collect().map(_.toSeq).toSeq == inMem.collect().map(_.toSeq).toSeq,
       "batch over stored banding diverged from in-memory batch")
-    // the seed-stage store read prunes to the probed bucket union in
-    // the file index — O(probed buckets), never an O(corpus) scan
+    // the 40-query batch probes ~all 2048 buckets — the crossover
+    // must pick the compact artifact, not 2048 bucket point-reads
+    assert(graft.sources.SrpStore.lastBatchBandingSource == "compact",
+      s"saturated batch picked ${graft.sources.SrpStore.lastBatchBandingSource}")
+    // below saturation the SAME entry point keeps the pruned
+    // point-read contract: O(probed buckets) in the file index,
+    // never an O(corpus) scan
+    val fewKeys = SrpBanded.queryProbeKeys(q, 1)
+    graft.sources.SrpStore.batchBanding(spark, dir, fewKeys).count()
+    assert(graft.sources.SrpStore.lastBatchBandingSource == "pruned",
+      s"sparse probe picked ${graft.sources.SrpStore.lastBatchBandingSource}")
     val seedPlan = graft.sources.SrpStore.lastPrunedBandingPlan
     assert(seedPlan.contains("PartitionFilters") && seedPlan.contains("bk"),
-      s"v27 seed read not partition-pruned:\n$seedPlan")
+      s"v27 sparse seed read not partition-pruned:\n$seedPlan")
     // v28: seeds from pruned buckets + persisted refined edges == the
     // in-memory refined path
     val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
