@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Isolated A/B of the graph-build bucket cap (VERDICT r9 item 3):
+  * replays v23's build — stored banding → capped banded self-join →
+  * scored per-source top-k — with and without the BucketCap window,
+  * and prints both plans' exchange counts. */
+object V23Probe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"$tag%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s"); a
+    }
+    val k = 5
+    val emb = graft.Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    val banded = graft.sources.SrpStore.bandingFrame(spark,
+      graft.sources.SrpStore.storeFor(spark, d))
+    def build(cap: Boolean): DataFrame = {
+      val a = banded.select(col("band"), col("bk"), col("vec_id").as("src"))
+      val b0 = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
+      val b =
+        if (!cap) b0
+        else b0.withColumn("__bi", row_number().over(
+            Window.partitionBy(col("band"), col("bk")).orderBy(col("dst"))))
+          .filter(col("__bi") <= graft.operators.SrpBanded.BucketCap).drop("__bi")
+      val cand = a.join(b, Seq("band", "bk"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      cand
+        .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          graft.functions.vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    }
+    Seq(true, false, true, false).foreach { cap =>
+      time(if (cap) "capped" else "uncapped")(build(cap).count())
+    }
+    Seq(true -> "capped", false -> "uncapped").foreach { case (cap, tag) =>
+      val plan = build(cap).queryExecution.executedPlan.toString
+      val nx = "Exchange".r.findAllIn(plan).size
+      println(s"$tag exchanges: $nx")
+    }
+  }
+}
