@@ -85,11 +85,11 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"passes":2,"aggregation":"per-query min over warm passes","build_total":$buildTotal,"builds":$buildQs,"cold_total":$coldTotal,"cold_queries":$coldQs,"queries":$qs,"sf":"$sfJson"}"""
     println(line)
     // the driver's bench artifact keeps only a tail of stdout, which
-    // truncates the per-query map — persist the full line in-repo so
-    // every timing survives the round. bench_green.json additionally
-    // keeps the last ALL-PASSING run: round-over-round diff tooling
-    // ratios against it, so a run with -1.0 failure sentinels never
-    // becomes the comparison baseline.
+    // truncates the ~6 KB per-query map mid-JSON — persist the full
+    // line in-repo so every timing survives the round.
+    // bench_green.json additionally keeps the last ALL-PASSING run:
+    // round-over-round diff tooling ratios against it, so a run with
+    // -1.0 failure sentinels never becomes the comparison baseline.
     try {
       val out = java.nio.file.Paths.get("docs/bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -99,6 +99,14 @@ object Bench {
           (line + "\n").getBytes("UTF-8")): Unit
       }
     } catch { case _: Throwable => () } // best-effort: never fail the bench
+    // LAST line: a compact totals-only record, short enough (~300 B)
+    // to survive ANY stdout-tail truncation intact — the machine-
+    // parseable per-round summary (full per-query map in the files
+    // above). Slowest-5 inline so the round artifact alone still
+    // names the perf outliers.
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":${f"$total%.3f"},"unit":"sec","failed":$nFailed,"build_total":${f"$buildTotal%.3f"},"cold_total":${f"$coldTotal%.3f"},"n_queries":${names.size},"slowest_warm":$top5,"full":"docs/bench_latest.json","sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -83,21 +83,35 @@ object ScaleBench {
     // once timed.
     val allNames = Seq("v1_knn_cosine", "v19_graph_search", "v25_graph_search_refined",
       "v28_graph_search_cold", "v26_graph_search_batch", "v27_graph_search_batch_stored",
-      "v31_hnsw_search", "v32_hnsw_stored", "v33_hnsw_batch", "v34_hnsw_batch_stored")
+      "v29_ivfpq_batch", "v31_hnsw_search", "v32_hnsw_stored", "v33_hnsw_batch",
+      "v34_hnsw_batch_stored", "v38_hamming_batch")
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(allNames)
+    // a typo'd name would otherwise record a silent -1.0 failure
+    // sentinel that reads as "query failed at scale"
+    val unknown = names.filterNot(allNames.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_QUERIES names not in ScaleBench set: ${unknown.mkString(",")}" +
+        s" (valid: ${allNames.mkString(",")})")
 
     // offline artifact builds, timed individually (the Bench split) —
-    // gated on what the selected serves actually consume
+    // gated on what the selected serves actually consume. Order
+    // matters: hnsw_store CONSUMES the layer graphs, so hnsw_layers
+    // lists the stored serves too — otherwise narrowing to v32/v34
+    // would silently fold the layer build into hnsw_store's timing.
     val buildDeps: Map[String, Set[String]] = Map(
       "knn_graph" -> Set("v19_graph_search", "v26_graph_search_batch",
         "v27_graph_search_batch_stored", "v31_hnsw_search", "v33_hnsw_batch"),
       "refined_graph" -> Set("v25_graph_search_refined", "v28_graph_search_cold"),
       "srp_store" -> Set("v27_graph_search_batch_stored", "v28_graph_search_cold"),
       "edge_store" -> Set("v25_graph_search_refined", "v28_graph_search_cold"),
-      "hnsw_layers" -> Set("v31_hnsw_search", "v33_hnsw_batch"),
-      "hnsw_store" -> Set("v32_hnsw_stored", "v34_hnsw_batch_stored"))
+      "hnsw_layers" -> Set("v31_hnsw_search", "v33_hnsw_batch",
+        "v32_hnsw_stored", "v34_hnsw_batch_stored"),
+      "hnsw_store" -> Set("v32_hnsw_stored", "v34_hnsw_batch_stored"),
+      "ivfpq_model" -> Set("v29_ivfpq_batch"),
+      "ivfpq_store" -> Set("v29_ivfpq_batch"),
+      "code_store" -> Set("v38_hamming_batch"))
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def build(name: String)(f: => Any): Unit =
       if (buildDeps(name).exists(names.contains)) {
@@ -113,6 +127,9 @@ object ScaleBench {
         .foreach(l => graft.operators.Hnsw.layerGraph(spark, dir, l))
     }
     build("hnsw_store") { graft.sources.HnswStore.storeFor(spark, dir) }
+    build("ivfpq_model") { graft.operators.IvfPqResidual.fitCached(spark, dir) }
+    build("ivfpq_store") { graft.sources.IvfPqStore.residualStoreFor(spark, dir) }
+    build("code_store") { graft.sources.CodeStore.storeFor(spark, dir) }
     def pass(): Seq[(String, Double)] = names.map { n =>
       val ok = try {
         Some(time(SparkEntry.queries(n)(spark, dir).count()))
@@ -122,10 +139,21 @@ object ScaleBench {
     pass() // warmup
     val warm = pass()
 
+    // per-query amortized cost for the batched serves: the query set
+    // is the vec_id % JoinQueryFilter slice, so it GROWS with the
+    // corpus — the sub-linear-per-query claim needs |Q| in the record
+    val batchQ = Set("v26_graph_search_batch", "v27_graph_search_batch_stored",
+      "v29_ivfpq_batch", "v33_hnsw_batch", "v34_hnsw_batch_stored",
+      "v38_hamming_batch")
+    val nQueries = spark.read.parquet(embPath)
+      .filter(col("vec_id") % SparkEntry.JoinQueryFilter === 0).count()
+
     val bj = builds.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val qj = warm.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    val aj = warm.collect { case (k, v) if batchQ(k) && v >= 0 =>
+      s""""$k":${f"${v * 1000.0 / math.max(nQueries, 1)}%.3f"}""" }.mkString(",")
     val total = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"builds":{$bj},"queries":{$qj}}""")
+    println(s"""{"metric":"scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"batch_queries":$nQueries,"builds":{$bj},"queries":{$qj},"batch_ms_per_query":{$aj}}""")
     spark.stop()
   }
 }

@@ -18,7 +18,7 @@ object SparkEntry {
       "fast vector search over spark tables", 10)
 
   private val SearchText = "fast vector search over spark tables"
-  private val JoinQueryFilter = 50 // query set = vec_id % 50 == 0
+  private[graft] val JoinQueryFilter = 50 // query set = vec_id % 50 == 0
 
   /** literal SQL array for the (deterministic) fake query embedding —
     * exact float→double widening so the oracle scores identical bits */

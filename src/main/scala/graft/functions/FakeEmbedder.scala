@@ -16,8 +16,18 @@ import org.apache.spark.sql.types._
   * buckets, L2-normalized. Pure JVM arithmetic — the same bytes on
   * driver (to inline a query literal into oracle SQL) and executors.
   */
-object FakeEmbedder {
+object FakeEmbedder extends Embedder {
   val Dim = 64
+  override def dim: Int = Dim
+
+  /** [[Embedder]] scalar form — the pinned-width corpus embedding */
+  override def embed(text: String): Array[Float] = embed(text, Dim)
+
+  /** [[Embedder]] column form — the native codegen'd [[EmbedText]]
+    * expression (stays inside whole-stage codegen; a real model's
+    * implementation batches inside mapPartitions instead) */
+  override def embedCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    vectors.embed_text(text)
 
   /** dim-parametrized so parity fixtures can run at the reference's
     * actual vector(768) width (sql/02_schema.sql:20); the corpus

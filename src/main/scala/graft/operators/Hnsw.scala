@@ -338,11 +338,13 @@ object Hnsw {
     val cols3 = Seq("query_id", "vec_id", "sim")
     // the entry embedding is a literal — the same floats the corpus
     // row holds, same cosine expression, so sims stay bit-identical
-    // to the former corpus-joined seed
+    // to the former corpus-joined seed. LAZY: one projection over the
+    // queries checkpoint — the first walk step references it twice
+    // (join + union), and recomputing a literal-cosine projection is
+    // cheaper than its own eager checkpoint job (r10 job-count cut)
     var state = queries.select(col("query_id"), lit(entryId).as("vec_id"),
         vectors.cosine_sim(typedLit(entryEmb), col("q_vec")).as("sim"))
-      .toDF(cols3: _*).localCheckpoint(true)
-    intermediates += state
+      .toDF(cols3: _*)
     var path = state
     for (l <- MaxLevel to 1 by -1; _ <- 1 to maxSteps) {
       val g = layerSource.map(_(l)).getOrElse(layerGraph(spark, d, l))
@@ -388,7 +390,7 @@ object Hnsw {
     // "frontier ∪ neighbors rescored" set assembles from checkpoint-
     // rooted frames only (same constraint-rewrite dodge as the walk)
     var frontierS = seed
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       // same in-row scoring as the walk: the layer-0 edge table
       // (in-memory materializedGraph or the stored EdgeStore) carries
       // dst_emb, so hops never re-join the corpus either
@@ -400,12 +402,19 @@ object Hnsw {
       // = scored(frontier ∪ neighbors) deduped WITH its per-query
       // rank, in one exchange (and, as in the walk, one checkpoint
       // per hop — the scoring join rides inline); the beam cut is
-      // then a plain filter
-      val cand = dedupRank(
+      // then a plain filter. The LAST hop is left lazy: it feeds only
+      // the final ranking pass, which consumes it inline from
+      // checkpoint-rooted inputs (r10 job-count cut, the v26 shape).
+      val candR = dedupRank(
           frontierS.select(col("query_id"), col("vec_id"), col("sim"))
             .unionByName(hopScored))
-        .toDF("query_id", "vec_id", "sim", "rn").localCheckpoint(true)
-      intermediates += cand
+        .toDF("query_id", "vec_id", "sim", "rn")
+      val cand =
+        if (i < iters) {
+          val c = candR.localCheckpoint(true)
+          intermediates += c
+          c
+        } else candR
       visited = visited.unionByName(cand.select(col("query_id"), col("vec_id"), col("sim")))
       frontierS = cand.filter(col("rn") <= beam)
         .select(col("query_id"), col("vec_id"), col("sim"))

@@ -761,13 +761,31 @@ object SrpBanded {
       .join(queries.hint("shuffle_hash"), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
-    // seed: per-query top-maxEntries of the scored pool; checkpointed —
-    // the banding join must not replay once per downstream reference.
+    // ONE exchange per hop instead of two (the v33 dedupRank shape):
+    // the union is hash-repartitioned on query_id once; the
+    // (query_id, vec_id) dedup and the per-query rank are then BOTH
+    // windows whose ClusteredDistribution that single partitioning
+    // satisfies. Duplicate (query_id, vec_id) rows carry bit-identical
+    // sims (same expression over the same floats), so keeping any one
+    // row per pair equals the former dropDuplicates.
+    val wd = Window.partitionBy(col("query_id"), col("vec_id"))
+      .orderBy(col("sim"))
+    def dedupRank(df: DataFrame): DataFrame = df
+      .repartition(col("query_id"))
+      .withColumn("__dup", row_number().over(wd))
+      .filter(col("__dup") === 1).drop("__dup")
+      .withColumn("rn", row_number().over(wq))
     // Intermediates are tracked and unpersisted once the final result
     // is checkpointed, so repeated batch calls pin only their k·|Q|
     // output rows, not the per-hop candidate sets.
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     intermediates += queries
+    // seed: per-query top-maxEntries of the scored pool; checkpointed —
+    // hop 1 references it twice (as its frontier and in its union), and
+    // the pool-scoring join behind it is the single most expensive
+    // stage, so it must materialize exactly once. (An r10 experiment
+    // folding it lazily into hop 1 cost +0.2–0.65 s at sf0.1: AQE's
+    // runtime stage reuse did not cover the doubled reference.)
     val seed = batchSeedScored(spark, d, queryMod, probeRadius, bandedSource,
         Some((emb, queries)))
       .withColumn("rn", row_number().over(wq))
@@ -776,38 +794,40 @@ object SrpBanded {
       .localCheckpoint(true)
     intermediates += seed
     // visited accumulates scored candidate sets with the dedup
-    // DEFERRED to the single final pass — duplicate (query_id, vec_id)
-    // rows carry bit-identical sims (same expression over the same
-    // floats), so one end dedup equals the former per-hop distinct()
-    // at two fewer exchanges per hop
-    var visited = seed
+    // DEFERRED to the single final pass — cand(hop 1) ⊇ seed (the
+    // seed IS hop 1's frontier and rides its union), so visited
+    // starts at hop 1's candidate set, not the seed.
+    var visited: DataFrame = seed
     var frontierS = seed
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val neigh = frontierS.select(col("query_id"), col("vec_id"))
         .join(graph, col("vec_id") === graph("src"))
         .select(col("query_id"), col("dst").as("vec_id"),
           col("dst_emb").as("c_vec"))
       val neighScored = scoreEdges(neigh)
         .toDF("query_id", "vec_id", "sim")
-      // = scored(frontier ∪ neighbors) deduped: the frontier is
-      // already scored, neighbors scored from their edge rows — the
-      // former cand = scorePairs(frontier ∪ neigh distinct) row set.
-      // ONE eager checkpoint per hop: the scoring join stays inline
-      // (its inputs — the frontier checkpoint and the edge table —
-      // are checkpoint-rooted, so nothing replays)
-      val cand = frontierS.unionByName(neighScored)
-        .dropDuplicates("query_id", "vec_id")
-        .localCheckpoint(true)
-      intermediates += cand
-      visited = visited.unionByName(cand)
-      frontierS = cand
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= beam)
+      // = scored(frontier ∪ neighbors) deduped WITH its per-query rank
+      // in one exchange: the frontier is already scored, neighbors
+      // scored from their edge rows — the former cand =
+      // scorePairs(frontier ∪ neigh distinct) row set.
+      // Checkpoint only INTERIOR hop boundaries: the last hop feeds
+      // nothing but the final ranking pass, which consumes it inline —
+      // its inputs (the prior hop's checkpoint, the edge table, the
+      // query slice) are all checkpoint-rooted, so nothing replays.
+      val candR = dedupRank(frontierS.unionByName(neighScored))
+      val cand =
+        if (i < iters) {
+          val c = candR.localCheckpoint(true)
+          intermediates += c
+          c
+        } else candR
+      val cand3 = cand.select(col("query_id"), col("vec_id"), col("sim"))
+      visited = if (i == 1) cand3 else visited.unionByName(cand3)
+      frontierS = cand.filter(col("rn") <= beam)
         .select(col("query_id"), col("vec_id"), col("sim"))
     }
-    val out = visited
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("rk", row_number().over(wq))
+    val out = dedupRank(visited)
+      .withColumnRenamed("rn", "rk")
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))

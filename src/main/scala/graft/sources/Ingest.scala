@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.vectors
+import graft.functions.{Embedder, FakeEmbedder}
 
 /** Document ingestion — the Spark batch form of the reference's
   * schema + seed + embed flow (sql/02_schema.sql, 03_seed_data.sql,
@@ -21,8 +21,15 @@ object Ingest {
   /** normalize + embed raw documents (expects a `text` column and the
     * named id column; extra metadata columns pass through). Rows
     * without an id are dropped — a keyless record can never be
-    * upserted or looked up downstream. */
-  def embedDocuments(raw: DataFrame, idCol: String): DataFrame = {
+    * upserted or looked up downstream.
+    *
+    * `embedder` is the model seam ([[graft.functions.Embedder]] — the
+    * reference's `embedding('text-embedding-005', $1)` slot,
+    * tools.yaml:23): the default deterministic [[FakeEmbedder]] keeps
+    * the pipeline oracle-checkable; a real deployment passes its own
+    * implementation and nothing downstream changes. */
+  def embedDocuments(raw: DataFrame, idCol: String,
+                     embedder: Embedder = FakeEmbedder): DataFrame = {
     require(raw.columns.contains(idCol),
       s"embedDocuments: id column '$idCol' not in ${raw.columns.mkString(",")}")
     raw
@@ -30,15 +37,18 @@ object Ingest {
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .withColumn("text", regexp_replace(col("text"), "\\s+", " "))
       .withColumn("n_chars", length(col("text")))
-      .withColumn("embedding", vectors.embed_text(col("text")))
+      .withColumn("embedding", embedder.embedCol(col("text")))
   }
 
-  def fromCsv(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame =
+  def fromCsv(spark: SparkSession, path: String, idCol: String = "doc_id",
+              embedder: Embedder = FakeEmbedder): DataFrame =
     embedDocuments(
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path), idCol)
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path),
+      idCol, embedder)
 
-  def fromJsonl(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame =
-    embedDocuments(spark.read.json(path), idCol)
+  def fromJsonl(spark: SparkSession, path: String, idCol: String = "doc_id",
+                embedder: Embedder = FakeEmbedder): DataFrame =
+    embedDocuments(spark.read.json(path), idCol, embedder)
 
   /** write the embedded store; optionally bucketed by id for
     * shuffle-free point lookups and co-located joins downstream */
@@ -189,11 +199,12 @@ object Ingest {
     * call merge-on-read; compaction = rewrite `currentView` as the
     * new base. */
   def streamIngest(spark: SparkSession, rawDir: String, stagingDir: String,
-                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpointDir: String,
+                   embedder: Embedder = FakeEmbedder): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema("doc_id LONG, text STRING")
       .json(rawDir)
-      .transform(embedDocuments(_, "doc_id"))
+      .transform(embedDocuments(_, "doc_id", embedder))
       .writeStream
       .option("checkpointLocation", checkpointDir) // file-source progress
       // tracking: restarts resume from the last committed batch, so a

@@ -42,9 +42,12 @@ object CodeProbeStream {
   }
 
   /** Drain a query-text stream through the store once (AvailableNow),
-    * returning all emitted (query, neighbor, rk, sim) rows. */
+    * returning all emitted (query, neighbor, rk, sim) rows. `embedder`
+    * is the model seam — queries embed driver-side per micro-batch
+    * (bounded by the trigger), [[FakeEmbedder]] by default. */
   def runOnce(spark: SparkSession, queriesDir: String, storeDir: String,
-              k: Int = 10): DataFrame = {
+              k: Int = 10,
+              embedder: graft.functions.Embedder = FakeEmbedder): DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
     val queries = spark.readStream
@@ -53,7 +56,7 @@ object CodeProbeStream {
     val q = queries.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val qs = batch.collect()
-          .map(r => (r.getLong(0), FakeEmbedder.embed(r.getString(1)))).toSeq
+          .map(r => (r.getLong(0), embedder.embed(r.getString(1)))).toSeq
         if (qs.nonEmpty) {
           val rows = probeBatch(spark, storeDir, qs, k).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
@@ -62,6 +65,8 @@ object CodeProbeStream {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    out.toSeq.toDF("query_id", "neighbor_id", "rk", "sim")
+    // read under the same lock the streaming thread appended under —
+    // awaitTermination alone gives no formal happens-before edge
+    out.synchronized(out.toSeq).toDF("query_id", "neighbor_id", "rk", "sim")
   }
 }

@@ -62,7 +62,8 @@ object IvfProbeStream {
     * (AvailableNow), returning all emitted (query, neighbor, score)
     * rows. */
   def runOnce(spark: SparkSession, queriesDir: String, storeDir: String,
-              k: Int = 5, nprobe: Int = 2): DataFrame = {
+              k: Int = 5, nprobe: Int = 2,
+              embedder: graft.functions.Embedder = FakeEmbedder): DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     val queries = spark.readStream
@@ -71,7 +72,7 @@ object IvfProbeStream {
     val q = queries.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val qs = batch.collect()
-          .map(r => (r.getLong(0), FakeEmbedder.embed(r.getString(1)))).toSeq
+          .map(r => (r.getLong(0), embedder.embed(r.getString(1)))).toSeq
         if (qs.nonEmpty) {
           val rows = probeBatch(spark, storeDir, qs, k, nprobe).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -80,6 +81,8 @@ object IvfProbeStream {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    out.toSeq.toDF("query_id", "neighbor_id", "score")
+    // read under the appender's lock — awaitTermination alone gives no
+    // formal happens-before edge for the buffer
+    out.synchronized(out.toSeq).toDF("query_id", "neighbor_id", "score")
   }
 }

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.{Embedder, FakeEmbedder}
+
+/** The serving-gateway loop in miniature (docs/SERVING.md) — what the
+  * reference's MCP layer (tools.yaml:12-39, agent/agent.py) would do
+  * against graft's persisted stores:
+  *
+  *   1. open the session + store handles ONCE (file index built once);
+  *   2. per request: embed the query text via the [[Embedder]] seam,
+  *      call the store's `search` — a pruned point read, never a
+  *      corpus scan;
+  *   3. collect the k-row result and hand it to the transport.
+  *
+  * Prints per-request latency per family: request 1 pays plan/codegen
+  * warmup, request 2+ is the steady-state an HTTP caller would see.
+  * Usage: runMain graft.tools.ServeGateway [sfDir]
+  */
+object ServeGateway {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-serve-gateway")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val embedder: Embedder = FakeEmbedder // the model seam — swap here
+
+    // ---- process start: build-or-open the persisted stores once ----
+    // (a real deployment wrote these at ingest; storeFor memoizes)
+    val codeDir = graft.sources.CodeStore.storeFor(spark, sfDir)
+    val hnswDir = graft.sources.HnswStore.storeFor(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+
+    val requests = Seq(
+      "fast vector search over spark tables",
+      "customer support policy for refunds",
+      "streaming ingestion with upserts")
+
+    def serve(tag: String)(f: String => Array[org.apache.spark.sql.Row]): Unit = {
+      println(s"== $tag")
+      requests.foreach { text =>
+        val t0 = System.nanoTime()
+        val rows = f(text)
+        val ms = (System.nanoTime() - t0) / 1e6
+        val top = rows.headOption.map(_.mkString("(", ", ", ")")).getOrElse("-")
+        println(f"  $ms%8.1f ms  k=${rows.length}%-3d top=$top  q=\"$text\"")
+      }
+    }
+
+    // tools.yaml:22-27 find_similar_customer_records — code-scan family
+    serve("search-customer-records via CodeStore.search") { text =>
+      graft.sources.CodeStore
+        .search(spark, codeDir, embedder.embed(text), k = 10).collect()
+    }
+    // same tool, hierarchical family — identical output contract
+    serve("search-customer-records via HnswStore.search") { text =>
+      graft.sources.HnswStore
+        .search(spark, hnswDir, embedder.embed(text), k = 10).collect()
+    }
+    // tools.yaml:36-39 lookup-customer-record — point lookup
+    serve("lookup-customer-record via recordById") { _ =>
+      graft.operators.SimilaritySearch.recordById(docs, "doc_id", 42L).collect()
+    }
+    spark.stop()
+  }
+}

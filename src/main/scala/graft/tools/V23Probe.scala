@@ -6,8 +6,11 @@ import org.apache.spark.sql.expressions.Window
 
 /** Isolated A/B of the graph-build bucket cap (VERDICT r9 item 3):
   * replays v23's build — stored banding → capped banded self-join →
-  * scored per-source top-k — with and without the BucketCap window,
-  * and prints both plans' exchange counts. */
+  * scored per-source top-k — under three cap forms: the shipped
+  * bounded top-k AGGREGATE (map-side partial cap, zero extra
+  * exchanges), the r9 WINDOW form it replaced (the regression's
+  * cause: row_number over (band, bk) forced an extra exchange of
+  * every banded row), and uncapped. Prints timings + exchange counts. */
 object V23Probe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,19 +27,27 @@ object V23Probe {
       println(f"$tag%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s"); a
     }
     val k = 5
+    val cap = graft.operators.SrpBanded.BucketCap
     val emb = graft.Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === graft.operators.SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
     val banded = graft.sources.SrpStore.bandingFrame(spark,
       graft.sources.SrpStore.storeFor(spark, d))
-    def build(cap: Boolean): DataFrame = {
+    def build(mode: String): DataFrame = {
       val a = banded.select(col("band"), col("bk"), col("vec_id").as("src"))
       val b0 = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
-      val b =
-        if (!cap) b0
-        else b0.withColumn("__bi", row_number().over(
+      val b = mode match {
+        case "uncapped" => b0
+        case "window" => b0.withColumn("__bi", row_number().over(
             Window.partitionBy(col("band"), col("bk")).orderBy(col("dst"))))
-          .filter(col("__bi") <= graft.operators.SrpBanded.BucketCap).drop("__bi")
+          .filter(col("__bi") <= cap).drop("__bi")
+        case "aggregate" => b0
+          .groupBy(col("band"), col("bk"))
+          .agg(graft.functions.TopKPairs.top_k_pairs(
+            col("dst"), col("dst").cast("double"), cap, asc = true).as("__tk"))
+          .select(col("band"), col("bk"),
+            explode(col("__tk").getField("neighbor_id")).as("dst"))
+      }
       val cand = a.join(b, Seq("band", "bk"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
@@ -49,13 +60,13 @@ object V23Probe {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
     }
-    Seq(true, false, true, false).foreach { cap =>
-      time(if (cap) "capped" else "uncapped")(build(cap).count())
-    }
-    Seq(true -> "capped", false -> "uncapped").foreach { case (cap, tag) =>
-      val plan = build(cap).queryExecution.executedPlan.toString
+    val modes = Seq("aggregate", "window", "uncapped")
+    modes.foreach(m => build(m).count()) // warmup
+    (1 to 2).foreach { _ => modes.foreach(m => time(m)(build(m).count())) }
+    modes.foreach { m =>
+      val plan = build(m).queryExecution.executedPlan.toString
       val nx = "Exchange".r.findAllIn(plan).size
-      println(s"$tag exchanges: $nx")
+      println(s"$m exchanges: $nx")
     }
   }
 }

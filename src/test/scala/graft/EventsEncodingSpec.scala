@@ -53,6 +53,11 @@ class EventsEncodingSpec extends AnyFunSuite {
     // A genuine TIMESTAMP(NANOS) column reads back as LongType under the
     // legacy flag; writing the nanos as a plain int64 exercises the same
     // read schema and normalize branch.
+    // LIMITATION (ADVICE r9): Spark's parquet writer cannot emit an
+    // annotated TIMESTAMP(NANOS) column, so this fixture guards ONLY
+    // eventsNormalize's LongType branch — the legacy nanosAsLong READ
+    // path itself (annotation → LongType mapping) is exercised only if
+    // a checked-in fixture produced by a nanos-writing engine is added.
     baseRows((col("us") * 1000L).cast(LongType))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Tables.invalidate(dir)

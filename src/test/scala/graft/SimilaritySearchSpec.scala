@@ -1068,6 +1068,57 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(after.get(newId).contains(1), s"retry did not serve the upsert: $after")
   }
 
+  test("CodeStore compact: folds the version chain to one copy, identical serves, superseded dirs GC'd") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("codecompact").toString
+    graft.sources.CodeStore.write(spark, sf, dir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    val tVec = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).as[Array[Float]].first()
+    val twin = tVec.updated(0, tVec(0) + 0.01f)
+    val twin2 = tVec.updated(1, tVec(1) + 0.01f)
+    // two committed deltas on top of v0 — the chain CompactAfter never
+    // reaches in the other specs, so the fold/GC path gets exercised
+    // directly here
+    graft.sources.CodeStore.upsert(spark, dir,
+      Seq((maxId + 1, twin)).toDF("vec_id", "embedding"))
+    graft.sources.CodeStore.upsert(spark, dir,
+      Seq((maxId + 2, twin2),
+        (maxId + 1, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(graft.sources.CodeStore.committedVers(spark, dir) == Seq(0, 1, 2))
+    val before = graft.sources.CodeStore.search(spark, dir, twin2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(before.exists(_.head == maxId + 2), "pre-compact serve missing upserted id")
+
+    graft.sources.CodeStore.compact(spark, dir)
+    // chain folded: exactly one committed version (max + 1), old
+    // markers and data partitions gone
+    assert(graft.sources.CodeStore.committedVers(spark, dir) == Seq(3),
+      "compact did not collapse the version chain")
+    Seq(0, 1, 2).foreach { v =>
+      assert(!new java.io.File(s"$dir/codes/data/__ver=$v").exists(),
+        s"superseded __ver=$v not garbage-collected")
+    }
+    // post-compact single-version reads: identical serve (the resolve
+    // window is skipped now — same rows either way), tombstone stays
+    // applied, and the next upsert keeps counting from the fold
+    val after = graft.sources.CodeStore.search(spark, dir, twin2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, s"compact changed serve results: $after vs $before")
+    assert(!graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(_.getLong(0)).contains(maxId + 1),
+      "tombstoned id resurrected by compact")
+    graft.sources.CodeStore.upsert(spark, dir,
+      Seq((maxId + 1, twin)).toDF("vec_id", "embedding"))
+    assert(graft.sources.CodeStore.committedVers(spark, dir) == Seq(3, 4),
+      "nextVer after compact should continue past the folded version")
+    val re = graft.sources.CodeStore.search(spark, dir, twin, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(re.get(maxId + 1).contains(1), s"post-compact upsert not served: $re")
+  }
+
   test("streaming code probe: equals the stored code scan per query") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("code_stream").toString
