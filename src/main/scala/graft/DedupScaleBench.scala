@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-step benchmark for the DEDUP/TEXT family — the second half
+  * of the 100 TB posture (ScaleBench covers the ANN serves). Times
+  * the d/t `queries()` entries on a corpus `SPARK_GRAFT_SCALE` times
+  * the sf0.1 documents table and reports per-1k-docs amortized cost:
+  * the claim under test is that every pipeline is LINEAR in the
+  * corpus (bucketed candidate generation, never all-pairs), so the
+  * per-doc cost must hold flat-to-falling across decades — a
+  * quadratic term would show up as ~copies× per-doc growth.
+  *
+  * Corpus construction: copy i shifts doc_id by i·(maxId+1) and
+  * prefixes EVERY whitespace token with "c<i>_" — token sets of
+  * different copies are DISJOINT, so cross-copy Jaccard/MinHash/
+  * SimHash similarity is ~0 and the within-copy duplicate structure
+  * replicates exactly. Result: dup density (dups per 1k docs) is
+  * scale-invariant while the corpus grows — the right construction
+  * for measuring throughput scaling, since a near-dup replica corpus
+  * (ScaleBench's, correct for ANN recall) would instead grow the
+  * TRUE output quadratically and measure answer size, not engine
+  * cost. Deterministic: pure function of (copy, text) — no RNG. */
+object DedupScaleBench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_dedup_scale_$copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docPath = s"$dir/documents.parquet"
+    if (!new java.io.File(docPath).exists()) {
+      val base = Tables.documents(spark, src)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val maxId = base.agg(max(col("doc_id"))).first().getLong(0) + 1
+      val copiesDf = (0 until copies).map { i =>
+        base.select(
+          (col("doc_id") + lit(i.toLong * maxId)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit(s"c${i}_"), t)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      copiesDf.repartition(32).write.mode("overwrite").parquet(docPath)
+    }
+    val rows = spark.read.parquet(docPath).count()
+
+    val allNames = Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
+      "d4_ngram_jaccard", "d6_dup_components", "d10_chunk_dedup",
+      "t3_token_count", "t7_tfidf_top_terms")
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(allNames)
+    val unknown = names.filterNot(allNames.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_QUERIES names not in DedupScaleBench set: ${unknown.mkString(",")}" +
+        s" (valid: ${allNames.mkString(",")})")
+
+    def pass(): Seq[(String, Double, Long)] = names.map { n =>
+      val ok = try {
+        val df = SparkEntry.queries(n)(spark, dir)
+        Some(time(df.count()))
+      } catch { case _: Throwable => None }
+      (n, ok.map(_._2).getOrElse(-1.0), ok.map(_._1).getOrElse(-1L))
+    }
+    pass() // warmup: codegen, session caches (d6 caches its component map)
+    graft.Tables.invalidate(dir) // drop caches so the timed pass is honest
+    val warm = pass()
+
+    val qj = warm.map { case (k, v, _) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    val oj = warm.map { case (k, _, c) => s""""$k":$c""" }.mkString(",")
+    val aj = warm.collect { case (k, v, _) if v >= 0 =>
+      s""""$k":${f"${v * 1000.0 / (rows / 1000.0)}%.3f"}""" }.mkString(",")
+    val total = warm.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"dedup_scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"queries":{$qj},"out_rows":{$oj},"ms_per_1k_docs":{$aj}}""")
+    spark.stop()
+  }
+}

@@ -22,7 +22,17 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset (comma list of query names): the driver never
+    // sets this, so its all-queries contract is untouched
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val bad = s.filterNot(SparkEntry.queries.contains)
+      require(bad.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY unknown: ${bad.mkString(",")}")
+    }
+    val selected = only.map(s => SparkEntry.queries.filter(kv => s(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    selected.foreach { case (name, fn) =>
       // drop any previous run's output FIRST: a query that now throws
       // before its write starts must not leave stale (green-looking)
       // parquet behind for the compare to read

@@ -698,9 +698,35 @@ object SrpBanded {
     .select(col("query_id"), col("vec_id"),
       vectors.cosine_sim(col("c_vec"), col("q_vec")).as("sim"))
 
+  /** Per-query SEED candidate budget for the batched graph serves.
+    * The radius-2 multi-probe union covers 37/2^RowsPerBand ≈ 14.5%
+    * of each band's keyspace, so across Bands=8 independent bands
+    * ~70% of the CORPUS lands in some probed bucket — measured pool
+    * per query: 1.4k at sf0.1, 14k at 10×, 139k at 100× (linear in
+    * corpus; docs/PERF.md round 10). Unbudgeted, the seed stage
+    * cosine-scores all of it — the one term of the batch serve that
+    * grows with corpus density rather than with beam·graphK. The
+    * budget keeps the `SeedBudget` most-promising candidates per
+    * query BEFORE any embedding is touched, ranked by the standard
+    * multi-probe probing-sequence signals (Lv et al., VLDB'07):
+    * lowest flip radius first (closer bucket ⇒ likelier neighbor),
+    * then most band collisions (LSH collision frequency), then
+    * vec_id for determinism. Scored pairs are then ≤ SeedBudget·|Q|
+    * at ANY corpus size. Never binds at the oracle SFs (max pool
+    * 374 at sf0.01 / 1474 at sf0.1 < 2048), so test-scale output is
+    * bit-identical with or without it — but the DuckDB twin mirrors
+    * the cut anyway ([[graphSearchBatchSql]]), keeping both engines
+    * aligned at every SF. At real 100 TB scale the budget composes
+    * with key width: radius-0 buckets alone hold ~N/2^RowsPerBand
+    * rows, so a production deployment would also widen RowsPerBand
+    * (more selective buckets) — the budget makes the serve's cost
+    * independent of that tuning. */
+  val SeedBudget = 2048
+
   /** The seed-stage scored pool (multi-probe buckets × corpus banding,
-    * exact-scored), LAZY — factored out so a plan spec can assert the
-    * no-query-broadcast contract without executing the batch.
+    * budget-cut, exact-scored), LAZY — factored out so a plan spec can
+    * assert the no-query-broadcast contract without executing the
+    * batch.
     *
     * `bandedSource` (v27) is a PRUNING function, not a frame: it
     * receives the union of probed (band, bk) buckets across the whole
@@ -712,17 +738,24 @@ object SrpBanded {
   private[graft] def batchSeedScored(spark: SparkSession, d: String, queryMod: Int,
                                      probeRadius: Int = 2,
                                      bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None,
-                                     inputs: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                                     inputs: Option[(DataFrame, DataFrame)] = None,
+                                     seedBudget: Int = SeedBudget): DataFrame = {
     import spark.implicits._
     val (emb, queries) = inputs.getOrElse(batchInputs(spark, d, queryMod))
     // multi-probe (query, band, key) set: each query's own band keys
-    // XOR every flip mask within the Hamming radius
+    // XOR every flip mask within the Hamming radius; pr = the mask's
+    // popcount (bucket's Hamming distance from the query's own key),
+    // the first-rank probing-sequence signal. Within a band mask↔key
+    // is bijective so min() never collapses anything — it replaces
+    // the former defensive distinct() with the same single exchange.
     val probes = bandedOf(queries
         .select(col("query_id").as("vec_id"), col("q_vec").as("embedding")))
       .withColumn("f", explode(typedLit(probeFlips(probeRadius))))
       .select(col("vec_id").as("query_id"), col("band"),
-        col("bk").bitwiseXOR(col("f")).as("bk"))
-      .distinct()
+        col("bk").bitwiseXOR(col("f")).as("bk"),
+        bit_count(col("f")).cast("int").as("pr"))
+      .groupBy(col("query_id"), col("band"), col("bk"))
+      .agg(min(col("pr")).as("pr"))
     // corpus banding: recomputed in-memory, or (v27) the persisted
     // SrpStore buckets pruned to the probed key union — per-row
     // hashing paid at ingest, seed IO bounded by the probe set
@@ -734,9 +767,29 @@ object SrpBanded {
       case None =>
         bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
     }
+    // per (query, candidate): best (lowest) flip radius + how many of
+    // the Bands independent probed buckets it collided in. Replaces
+    // the former pair-level distinct() — same single combine-friendly
+    // exchange, now carrying the two ranking signals (ids + 2 ints,
+    // never an embedding).
     val pool = probes.join(banded, Seq("band", "bk"))
-      .select(col("query_id"), col("vec_id")).distinct()
-    batchScorePairs(emb, queries)(pool)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
+    // budget cut via the bounded top-k aggregate (the BucketCap
+    // machinery): partial buffers cap map-side, so ≤ 2·budget ids per
+    // (map partition, query) ride the shuffle however large the pool.
+    // Priority pr·1000 − cnt (asc) = radius asc, collisions desc;
+    // ties on lower vec_id inside TopKBuffer — exactly the
+    // `row_number() OVER (ORDER BY pr*1000 - cnt, vec_id)` the oracle
+    // twin replays (all terms are small exact integers in a double).
+    val budgeted = pool
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("vec_id"), (col("pr") * lit(1000) - col("cnt")).cast("double"),
+        seedBudget, asc = true).as("__tk"))
+      .select(col("query_id"),
+        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
+    batchScorePairs(emb, queries)(budgeted)
   }
 
   def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
@@ -839,12 +892,16 @@ object SrpBanded {
 
   /** DuckDB twin of [[graphSearchBatch]]: the shared banding/graph
     * CTEs, the flip masks as a literal VALUES list XOR'd against each
-    * query's band rows, and the same per-query window cuts. `allscore`
-    * scores every (query, corpus) pair once — the oracle-side luxury
-    * the Spark path builds incrementally. */
+    * query's band rows, and the same per-query window cuts — including
+    * the [[SeedBudget]] probing-sequence cut (row_number over
+    * pr·1000 − cnt, vec_id), which never binds at the oracle SFs but
+    * is replayed anyway so both engines agree at EVERY scale.
+    * `allscore` scores every (query, corpus) pair once — the
+    * oracle-side luxury the Spark path builds incrementally. */
   def graphSearchBatchSql(queryMod: Int, k: Int = 5, beam: Int = 8,
                           iters: Int = 2, maxEntries: Int = 64,
-                          graphK: Int = 5, probeRadius: Int = 2): String = {
+                          graphK: Int = 5, probeRadius: Int = 2,
+                          seedBudget: Int = SeedBudget): String = {
     val flipValues = probeFlips(probeRadius).map(f => s"($f)").mkString(", ")
     val hops = (1 to iters).map { i =>
       val prevF = if (i == 1) "f0" else s"f${i - 1}"
@@ -866,11 +923,20 @@ object SrpBanded {
        |${rawGraphCtes(graphK)},
        |flips(f) AS (VALUES $flipValues),
        |probes AS MATERIALIZED (
-       |  SELECT DISTINCT b.vec_id AS query_id, b.band, xor(b.bk, f.f) AS bk
-       |  FROM bands b CROSS JOIN flips f WHERE b.vec_id % $queryMod = 0),
+       |  SELECT b.vec_id AS query_id, b.band, xor(b.bk, f.f) AS bk,
+       |    min(bit_count(CAST(f.f AS BIGINT))) AS pr
+       |  FROM bands b CROSS JOIN flips f WHERE b.vec_id % $queryMod = 0
+       |  GROUP BY 1, 2, 3),
        |pool AS MATERIALIZED (
-       |  SELECT DISTINCT p.query_id, b.vec_id
-       |  FROM probes p JOIN bands b ON b.band = p.band AND b.bk = p.bk),
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY pr * 1000 - cnt, vec_id) AS rs
+       |    FROM (
+       |      SELECT p.query_id, b.vec_id, min(p.pr) AS pr, count(*) AS cnt
+       |      FROM probes p JOIN bands b ON b.band = p.band AND b.bk = p.bk
+       |      GROUP BY 1, 2))
+       |  WHERE rs <= $seedBudget),
        |allscore AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, c.vec_id, list_cosine_similarity(c.v, q.v) AS sim
        |  FROM (SELECT vec_id, v FROM e WHERE vec_id IN (SELECT vec_id FROM qt)) c

@@ -1469,6 +1469,59 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected a shuffle-hash join for the query side:\n${planStr.take(4000)}")
   }
 
+  test("v26 seed budget: no-bind at test SF, binding cut replays the probing-sequence order") {
+    // (a) the default budget must NOT bind at the oracle SFs — that is
+    // the license for the twin to stay bit-identical. Prove it two
+    // ways: the max per-query pool is under budget, and the seed
+    // output equals an effectively-unbounded run.
+    val probes = SrpBanded.bandedOf(
+        Tables.embeddings(spark, sf)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === SrpBanded.Dim)
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("embedding")))
+      .withColumn("f", explode(typedLit(SrpBanded.probeFlips(2))))
+      .select(col("vec_id").as("query_id"), col("band"),
+        col("bk").bitwiseXOR(col("f")).as("bk"),
+        expr("bit_count(f)").cast("int").as("pr"))
+      .groupBy(col("query_id"), col("band"), col("bk"))
+      .agg(min(col("pr")).as("pr"))
+    val banded = SrpBanded.bandedOf(
+        Tables.embeddings(spark, sf).filter(col("embedding").isNotNull &&
+          size(col("embedding")) === SrpBanded.Dim)
+          .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("band"), col("bk"))
+    val pool = probes.join(banded, Seq("band", "bk"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
+    val maxPool = pool.groupBy(col("query_id")).count()
+      .agg(max(col("count"))).first().getLong(0)
+    assert(maxPool < SrpBanded.SeedBudget,
+      s"seed pool $maxPool reaches SeedBudget ${SrpBanded.SeedBudget} at test SF — " +
+        "oracle bit-parity license broken; raise the budget")
+    val deflt = SrpBanded.batchSeedScored(spark, sf, queryMod = 50)
+      .collect().map(_.toSeq).toSet
+    val unbounded = SrpBanded.batchSeedScored(spark, sf, queryMod = 50,
+      seedBudget = 1 << 20).collect().map(_.toSeq).toSet
+    assert(deflt == unbounded, "default seed budget binds at test SF")
+    // (b) a BINDING budget keeps exactly the top-B by (flip radius
+    // asc, band collisions desc, vec_id) — the window formulation the
+    // DuckDB twin replays, computed here independently of TopKPairs
+    val B = 3
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("pr") * lit(1000) - col("cnt"), col("vec_id"))
+    val expected = pool.withColumn("rs", row_number().over(w))
+      .filter(col("rs") <= B)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SrpBanded.batchSeedScored(spark, sf, queryMod = 50, seedBudget = B)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"binding seed cut diverged from the probing-sequence window: " +
+        s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
   test("v26 batched graph search: every query retrieves itself at rank 1, per-query recall holds") {
     val res = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50).collect()
     val byQuery = res.groupBy(_.getAs[Long]("query_id"))
