@@ -723,6 +723,22 @@ object SrpBanded {
     * independent of that tuning. */
   val SeedBudget = 2048
 
+  /** Batch-size crossover for the seed pool join's physical shape:
+    * ≤ this many queries broadcasts the ids-only probe set
+    * (|Q|·~296 rows ≈ 50 MB at the limit — bounded, embedding-free);
+    * above it, the join salts the 2048-value bucket key instead
+    * ([[SeedSalt]]) so neither side is ever collected. Plan-only:
+    * results are bit-identical either way (spec-asserted). */
+  val SeedProbeBroadcastMax = 8192L
+  /** Salt fan-out for the large-batch seed join: bucket keys spread
+    * over 2048·SeedSalt shuffle keys, bounding hot-bucket stragglers
+    * at any corpus skew; the probe side (the small one) replicates
+    * ×SeedSalt, the corpus side stays 1×. */
+  val SeedSalt = 32
+  /** which physical shape the last seed pool join took — spec hook,
+    * the [[graft.sources.SrpStore.lastBatchBandingSource]] convention */
+  @volatile var lastSeedJoinShape: String = ""
+
   /** The seed-stage scored pool (multi-probe buckets × corpus banding,
     * budget-cut, exact-scored), LAZY — factored out so a plan spec can
     * assert the no-query-broadcast contract without executing the
@@ -739,7 +755,8 @@ object SrpBanded {
                                      probeRadius: Int = 2,
                                      bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None,
                                      inputs: Option[(DataFrame, DataFrame)] = None,
-                                     seedBudget: Int = SeedBudget): DataFrame = {
+                                     seedBudget: Int = SeedBudget,
+                                     probeBroadcastMax: Long = SeedProbeBroadcastMax): DataFrame = {
     import spark.implicits._
     val (emb, queries) = inputs.getOrElse(batchInputs(spark, d, queryMod))
     // multi-probe (query, band, key) set: each query's own band keys
@@ -756,23 +773,67 @@ object SrpBanded {
         bit_count(col("f")).cast("int").as("pr"))
       .groupBy(col("query_id"), col("band"), col("bk"))
       .agg(min(col("pr")).as("pr"))
-    // corpus banding: recomputed in-memory, or (v27) the persisted
-    // SrpStore buckets pruned to the probed key union — per-row
-    // hashing paid at ingest, seed IO bounded by the probe set
-    val banded = bandedSource match {
-      case Some(pruned) =>
-        val keys = probes.select(col("band"), col("bk")).distinct()
-          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
-        pruned(keys)
-      case None =>
-        bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
+    // The probes⋈banding join key (band, bk) has only
+    // Bands·2^RowsPerBand = 2048 distinct values with skewed
+    // occupancy — a hash-shuffle on it is hot-bucket-bound (measured
+    // 3.5-4.5 s vs 1.4-1.9 s at the 10× step) and Catalyst's stats
+    // mislead it here: the stored banding's small on-disk size makes
+    // it broadcast the CORPUS side, the empirically slow build at
+    // scale (6-9 s at 10× — a 2048-key relation with ~80× chain
+    // duplication walked once per probe row; harmless only while the
+    // corpus is tiny). Pin the plan adaptively instead, the
+    // batchBanding crossover pattern: a small batch broadcasts the
+    // ids-only PROBES (|Q|·~296 rows, no embeddings — the
+    // no-query-broadcast contract bans q_vec, not bounded key sets);
+    // a large batch salts the bucket key (probes replicate ×SeedSalt,
+    // corpus rows take hash(vec_id) mod SeedSalt) so the shuffle
+    // spreads over 2048·SeedSalt balanced keys at ANY |Q| and corpus.
+    // Physical-plan-only switch: each (probe, corpus-row) match is
+    // found exactly once either way, so results are bit-identical.
+    //
+    // In the stored small-batch case the probe set is COLLECTED once
+    // and re-planted as a broadcast LocalRelation: the same rows
+    // drive the store's partition-pruning key union (previously a
+    // separate job) and the join build side, so the whole seed plan
+    // costs ONE probes computation and no driver re-execution.
+    val nQ = queries.count()
+    val joined = (bandedSource, nQ <= probeBroadcastMax) match {
+      case (Some(pruned), true) =>
+        lastSeedJoinShape = "broadcast-probes"
+        val local = probes.collect()
+        val keys = local.map(r => (r.getInt(1), r.getLong(2)))
+          .distinct.toSeq.sorted
+        val localDf = spark.createDataFrame(
+          java.util.Arrays.asList(local: _*), probes.schema)
+        broadcast(localDf).join(pruned(keys), Seq("band", "bk"))
+      case (None, true) =>
+        lastSeedJoinShape = "broadcast-probes"
+        broadcast(probes)
+          .join(bandedOf(emb).select(col("vec_id"), col("band"), col("bk")),
+            Seq("band", "bk"))
+      case (src, false) =>
+        lastSeedJoinShape = "salted-shj"
+        val banded = src match {
+          case Some(pruned) =>
+            val keys = probes.select(col("band"), col("bk")).distinct()
+              .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+            pruned(keys)
+          case None =>
+            bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
+        }
+        val salted = probes.withColumn("salt",
+          explode(typedLit((0 until SeedSalt).toArray)))
+        val bandedS = banded.withColumn("salt",
+          pmod(hash(col("vec_id")), lit(SeedSalt)).cast("int"))
+        salted.join(bandedS.hint("shuffle_hash"), Seq("band", "bk", "salt"))
+          .drop("salt")
     }
     // per (query, candidate): best (lowest) flip radius + how many of
     // the Bands independent probed buckets it collided in. Replaces
     // the former pair-level distinct() — same single combine-friendly
     // exchange, now carrying the two ranking signals (ids + 2 ints,
     // never an embedding).
-    val pool = probes.join(banded, Seq("band", "bk"))
+    val pool = joined
       .groupBy(col("query_id"), col("vec_id"))
       .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
     // budget cut via the bounded top-k aggregate (the BucketCap

@@ -50,17 +50,63 @@ class EventsEncodingSpec extends AnyFunSuite {
 
   test("nanos-as-long encoding normalizes to UTC timestamp") {
     val dir = freshDir()
-    // A genuine TIMESTAMP(NANOS) column reads back as LongType under the
-    // legacy flag; writing the nanos as a plain int64 exercises the same
-    // read schema and normalize branch.
-    // LIMITATION (ADVICE r9): Spark's parquet writer cannot emit an
-    // annotated TIMESTAMP(NANOS) column, so this fixture guards ONLY
-    // eventsNormalize's LongType branch — the legacy nanosAsLong READ
-    // path itself (annotation → LongType mapping) is exercised only if
-    // a checked-in fixture produced by a nanos-writing engine is added.
+    // Nanos written as a plain int64 exercise eventsNormalize's
+    // LongType branch; the genuinely ANNOTATED fixture below covers
+    // the legacy read mapping itself.
     baseRows((col("us") * 1000L).cast(LongType))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Tables.invalidate(dir)
+    assert(readMillis(dir) === expectedMillis)
+  }
+
+  test("annotated TIMESTAMP(NANOS) parquet (parquet-mr writer) normalizes to UTC timestamp") {
+    // Spark's writer cannot emit TIMESTAMP(NANOS), so build the fixture
+    // with parquet-mr directly (the library the driver-side generator
+    // used) — a REAL timestamp(isAdjustedToUTC=true, NANOS) annotation,
+    // exercising the full legacy `nanosAsLong` read mapping
+    // (annotation → LongType) plus the normalize branch, not just the
+    // plain-int64 stand-in above. Closes ADVICE r9's gap.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.io.api.Binary
+    val dir = freshDir()
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    new java.io.File(s"$dir/events.parquet").mkdirs()
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-00000.parquet"))
+      .withType(schema)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    microsVals.zipWithIndex.foreach { case (us, i) =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", us * 1000L) // nanos since epoch, UTC-adjusted
+      g.add("user_id", 1L)
+      g.add("event_type", Binary.fromString("view"))
+      g.add("value", 1.0)
+      g.add("props", Binary.fromString("{}"))
+      writer.write(g)
+    }
+    writer.close()
+    Tables.invalidate(dir)
+    // the raw legacy read must surface the annotated column as AN INT64
+    // (nanosAsLong), not a timestamp — that mapping is what the
+    // stand-in fixture above cannot reach
+    val rawType = Tables.eventsRaw(spark, dir).schema("ts").dataType
+    assert(rawType === LongType,
+      s"annotated TIMESTAMP(NANOS) must read as LongType under nanosAsLong, got $rawType")
     assert(readMillis(dir) === expectedMillis)
   }
 

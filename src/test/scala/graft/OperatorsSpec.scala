@@ -1520,6 +1520,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected,
       s"binding seed cut diverged from the probing-sequence window: " +
         s"got ${got.size} pairs, expected ${expected.size}")
+    // (c) the pool-join crossover is PHYSICAL only: the large-batch
+    // salted shuffle shape returns bit-identical rows to the
+    // small-batch broadcast-probes shape
+    assert(SrpBanded.lastSeedJoinShape == "broadcast-probes",
+      s"test-scale batch took ${SrpBanded.lastSeedJoinShape}")
+    val salted = SrpBanded.batchSeedScored(spark, sf, queryMod = 50,
+      probeBroadcastMax = 0L).collect().map(_.toSeq).toSet
+    assert(SrpBanded.lastSeedJoinShape == "salted-shj",
+      s"forced large-batch path took ${SrpBanded.lastSeedJoinShape}")
+    assert(salted == deflt, "salted seed join diverged from broadcast shape")
   }
 
   test("v26 batched graph search: every query retrieves itself at rank 1, per-query recall holds") {
