@@ -292,12 +292,9 @@ object SrpBanded {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
-    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val keysCol = org.apache.spark.sql.GraftBridge.column(
-      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("q"))))
-    val banded = qt.select(col("vec_id"),
-      posexplode(keysCol).as(Seq("band", "bk")))
-    knnGraphFromBanded(spark, d, banded, k)
+    // bandedOf keeps the embedding in-row, so rankedEdges scores the
+    // src side straight off the banded scan — no corpus join
+    knnGraphFromBanded(spark, d, bandedOf(emb), k)
   }
 
   /** The graph build over any `(vec_id, band, bk)` banding — computed
@@ -344,36 +341,64 @@ object SrpBanded {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
-    val a = banded.select(col("band"), col("bk"), col("vec_id").as("src"))
     // cap via a bounded top-k aggregate, not a window: row_number over
     // (band, bk) shuffled EVERY banded row through an extra exchange
     // (+0.3 s on v23 at sf0.1, and O(N·Bands) shuffle rows at scale).
     // The aggregate's partial stage caps map-side — ≤ cap ids per
     // bucket per map partition ride the shuffle however degenerate a
-    // bucket gets — and its hashpartitioning(band, bk) output is
-    // exactly the join's requirement, so the cap adds ZERO exchanges
-    // over the uncapped plan. Kept set is identical: the cap smallest
-    // dst per bucket (score = dst, ties on id — i.e. dst order even
-    // where the double cast collapses above 2^53).
-    val b = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
+    // bucket gets. Kept set is identical to the uncapped build at test
+    // SFs: the cap smallest dst per bucket (score = dst, ties on id —
+    // i.e. dst order even where the double cast collapses above 2^53).
+    //
+    // The capped set is ≤ Bands·2^RowsPerBand·BucketCap = 131k rows AT
+    // ANY CORPUS SIZE — bounded by construction, so it broadcasts
+    // (with dst embeddings attached on the tiny exploded set, ~36 MB).
+    // Candidate generation + exact scoring is then a broadcast-hash
+    // join projected straight to (src, dst, sim): ZERO pair-sized
+    // shuffles. The former plan shipped the O(N·Bands·cap) candidate
+    // pairs through a distinct THEN through two corpus-sized embedding
+    // joins (3 pair-sized exchanges — 102M rows each at the 100×
+    // step); now only the dedup+rank exchange ever carries pairs.
+    val bCap = banded.select(col("band"), col("bk"), col("vec_id").as("dst"))
       .groupBy(col("band"), col("bk"))
       .agg(graft.functions.TopKPairs.top_k_pairs(
         col("dst"), col("dst").cast("double"), BucketCap, asc = true).as("__tk"))
       .select(col("band"), col("bk"),
         explode(col("__tk").getField("neighbor_id")).as("dst"))
-    val cand = a.join(b, Seq("band", "bk"))
+    val b = broadcast(bCap)
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")),
+        Seq("dst"))
+    // src embeddings ride the banded rows: in-row when the caller's
+    // banding kept them (bandedOf — v18/materializedGraph), else one
+    // N·Bands-row join (v23's compact 12 B/row artifact) — never a
+    // candidate-pair-sized join
+    val a =
+      if (banded.columns.contains("embedding"))
+        banded.select(col("band"), col("bk"), col("vec_id").as("src"),
+          col("embedding").as("emb_s"))
+      else banded.select(col("band"), col("bk"), col("vec_id").as("src"))
+        .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")),
+          Seq("src"))
+    val cand = a.join(broadcast(b), Seq("band", "bk"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct()
+      .select(col("src"), col("dst"),
+        vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
+    // multi-band duplicates of a pair carry bit-identical sims (same
+    // expression over the same floats), so ONE exchange on src
+    // satisfies both the (src, dst) dedup and the per-src rank — the
+    // serve paths' dedupRank shape; dst embeddings for the output
+    // re-attach on the N·k result rows, not the candidate set
+    val wd = Window.partitionBy(col("src"), col("dst")).orderBy(col("sim"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
-    cand
-      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
-      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
-      .select(col("src"), col("dst"), col("emb_d"),
-        vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
+    cand.repartition(col("src"))
+      .withColumn("__dup", row_number().over(wd))
+      .filter(col("__dup") === 1).drop("__dup")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("emb_d"), col("sim"), col("rk"))
   }
 
   /** DuckDB twin: same pinned hyperplanes → same candidate set → same
@@ -513,8 +538,9 @@ object SrpBanded {
       val emb = Tables.embeddings(spark, d)
         .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
         .select(col("vec_id"), col("embedding"))
-      knnGraphWithEmb(spark, d, bandedOf(emb)
-          .select(col("vec_id"), col("band"), col("bk")), k)
+      // keep the embedding column: rankedEdges scores src from the
+      // banded rows in-row — no corpus join on the a-side at all
+      knnGraphWithEmb(spark, d, bandedOf(emb), k)
         .localCheckpoint(true)
     }
 
