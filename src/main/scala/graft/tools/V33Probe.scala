@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Where does v33's warm wall time go? Runs the batched HNSW serve
+  * once cold + once warm with a job listener, printing every Spark
+  * job's duration and first-stage name, plus the driver-side gaps
+  * between jobs (Catalyst planning / codegen / scheduling — anything
+  * that is wall time but not job time). */
+object V33Probe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        jobs.put(js.jobId, (js.time, desc)): Unit
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.get(je.jobId)).foreach { case (t0, desc) =>
+          done.add((je.jobId, t0, je.time, desc)): Unit
+        }
+      }
+    })
+    def run(tag: String): Unit = {
+      done.clear()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries("v33_hnsw_batch")(spark, d).count()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      Thread.sleep(500) // let listener drain
+      import scala.jdk.CollectionConverters._
+      val js = done.asScala.toSeq.sortBy(_._2)
+      val jobMs = js.map(j => j._3 - j._2).sum
+      println(f"== $tag: wall ${wallMs}%.0f ms, jobs ${js.size}, sum(job) $jobMs ms, driver-gap ${wallMs - jobMs}%.0f ms (rows $n)")
+      var prevEnd = 0L
+      js.foreach { case (id, s, e, desc) =>
+        val gap = if (prevEnd == 0) 0 else s - prevEnd
+        prevEnd = math.max(prevEnd, e)
+        println(f"  job $id%3d  ${e - s}%5d ms  gap-before $gap%5d ms  ${desc.take(80)}")
+      }
+    }
+    run("cold")
+    run("warm1")
+    run("warm2")
+    spark.stop()
+  }
+}
