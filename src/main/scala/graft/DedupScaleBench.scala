@@ -50,14 +50,19 @@ object DedupScaleBench {
       val base = Tables.documents(spark, src)
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       val maxId = base.agg(max(col("doc_id"))).first().getLong(0) + 1
-      val copiesDf = (0 until copies).map { i =>
-        base.select(
-          (col("doc_id") + lit(i.toLong * maxId)).as("doc_id"),
+      // one crossJoin plan, not a `copies`-way union (ScaleBench's
+      // r10 rationale: analysis cost of the union form grows with the
+      // copy count; this stays a 2-leaf plan at the 1000x decade).
+      // Token prefix `c<i>_` is the same string for the same copy.
+      val copiesDf = base.crossJoin(
+          spark.range(copies).select(col("id").as("__copy")))
+        .select(
+          (col("doc_id") + col("__copy") * lit(maxId)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"c${i}_"), t)), " ").as("text"),
+            t => concat(lit("c"), col("__copy").cast("string"), lit("_"), t)), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-      copiesDf.repartition(32).write.mode("overwrite").parquet(docPath)
+      copiesDf.repartition(math.max(32, copies / 4))
+        .write.mode("overwrite").parquet(docPath)
     }
     val rows = spark.read.parquet(docPath).count()
 

@@ -61,15 +61,22 @@ object ScaleBench {
       // patterns, so at 100 copies each vector had ~14 bit-exact
       // clones whose identical SRP keys degenerated every LSH bucket
       // (and, pre-BucketCap, OOM'd the quadratic banded build).
-      val copiesDf = (0 until copies).map { i =>
-        base.select(
-          (col("vec_id") + lit(i.toLong * maxId)).as("vec_id"),
+      // one crossJoin plan, not a `copies`-way union: the union form's
+      // analysis cost grows with the copy count (pathological at the
+      // 1000x decade), while this is a single 2-leaf plan at ANY
+      // scale. The perturbation expression is the same integer
+      // arithmetic with the copy index as a COLUMN, so the written
+      // rows are bit-identical to the union form's.
+      val copiesDf = base.crossJoin(
+          spark.range(copies).select(col("id").cast("int").as("__copy")))
+        .select(
+          (col("vec_id") + col("__copy").cast("long") * lit(maxId)).as("vec_id"),
           transform(col("embedding"), (x, j) =>
             x * (lit(1.0f) +
-              (((lit(i * 31) + j.cast("int") * lit(17)) % 101) - lit(50)).cast("float") * lit(2e-4f))
+              (((col("__copy") * lit(31) + j.cast("int") * lit(17)) % 101) - lit(50)).cast("float") * lit(2e-4f))
           ).cast("array<float>").as("embedding"))
-      }.reduce(_ unionByName _)
-      copiesDf.repartition(32).write.mode("overwrite").parquet(embPath)
+      copiesDf.repartition(math.max(32, copies / 4))
+        .write.mode("overwrite").parquet(embPath)
     }
 
     val rows = spark.read.parquet(embPath).count()
@@ -115,8 +122,13 @@ object ScaleBench {
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def build(name: String)(f: => Any): Unit =
       if (buildDeps(name).exists(names.contains)) {
+        // progress to stderr: a multi-decade run is minutes-long and
+        // otherwise silent until the final JSON line — phase markers
+        // let a stalled stage be attributed to its build
+        System.err.println(s"[scale] build $name ...")
         val ok = try { Some(time(f)) } catch { case _: Throwable => None }
         builds(name) = ok.map(_._2).getOrElse(-1.0)
+        System.err.println(f"[scale] build $name done ${builds(name)}%.1f s")
       }
     build("knn_graph") { graft.operators.SrpBanded.materializedGraph(spark, dir, 5) }
     build("refined_graph") { graft.operators.SrpBanded.materializedRefinedGraph(spark, dir) }
@@ -131,9 +143,11 @@ object ScaleBench {
     build("ivfpq_store") { graft.sources.IvfPqStore.residualStoreFor(spark, dir) }
     build("code_store") { graft.sources.CodeStore.storeFor(spark, dir) }
     def pass(): Seq[(String, Double)] = names.map { n =>
+      System.err.println(s"[scale] serve $n ...")
       val ok = try {
         Some(time(SparkEntry.queries(n)(spark, dir).count()))
       } catch { case _: Throwable => None }
+      System.err.println(f"[scale] serve $n done ${ok.map(_._2).getOrElse(-1.0)}%.1f s")
       n -> ok.map(_._2).getOrElse(-1.0)
     }
     pass() // warmup

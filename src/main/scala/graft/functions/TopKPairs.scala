@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * lower id), matching `row_number() OVER (ORDER BY score [DESC|ASC],
   * id)` so results are deterministic and oracle-comparable.
   */
-final class TopKBuffer(val k: Int, val asc: Boolean) {
+final class TopKBuffer(val k: Int, val asc: Boolean, val distinct: Boolean = false) {
   var ids = new Array[Long](math.max(4, 2 * k))
   var scores = new Array[Double](math.max(4, 2 * k))
   var size = 0
@@ -27,6 +27,20 @@ final class TopKBuffer(val k: Int, val asc: Boolean) {
     // NaN scores carry no rank: better() is not a strict weak order
     // over NaN and the compact sort's contract would break — drop them
     if (score.isNaN) return
+    // distinct mode: at most one slot per id. CONTRACT: duplicates of
+    // an id carry an IDENTICAL score (the graph build's multi-band
+    // pairs — same cosine expression over the same floats); with
+    // differing scores the kept one would be arrival-order-dependent.
+    // Scanning only the live buffer is exact under that contract: a
+    // duplicate of an id evicted by compact() ranks identically to
+    // its original, i.e. below the kept top-k of that moment, and the
+    // kept set only ever improves — the re-added copy can never reach
+    // the final top-k, so dropping-late-vs-keeping-early is
+    // indistinguishable in the result.
+    if (distinct) {
+      var i = 0
+      while (i < size) { if (ids(i) == id) return; i += 1 }
+    }
     if (size == ids.length) compact()
     // after compact() size == min(k, size) < capacity max(4, 2k), so
     // there is always room for the append
@@ -64,6 +78,7 @@ final class TopKBuffer(val k: Int, val asc: Boolean) {
   * shuffle, and nothing is fully sorted.
   */
 case class TopKPairs(idExpr: Expression, scoreExpr: Expression, k: Int, asc: Boolean,
+                     distinct: Boolean = false,
                      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
 
@@ -73,7 +88,7 @@ case class TopKPairs(idExpr: Expression, scoreExpr: Expression, k: Int, asc: Boo
     StructField("neighbor_id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, asc)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, asc, distinct)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val id = idExpr.eval(input)
@@ -123,7 +138,7 @@ case class TopKPairs(idExpr: Expression, scoreExpr: Expression, k: Int, asc: Boo
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new TopKBuffer(k, asc)
+    val buf = new TopKBuffer(k, asc, distinct)
     var i = 0
     while (i < n) { buf.add(in.readLong(), in.readDouble()); i += 1 }
     buf
@@ -144,5 +159,16 @@ object TopKPairs {
   def top_k_pairs(id: Column, score: Column, k: Int, asc: Boolean = false): Column =
     GraftBridge.column(
       TopKPairs(GraftBridge.expression(id), GraftBridge.expression(score), k, asc)
+        .toAggregateExpression())
+
+  /** Distinct-by-id variant — `row_number() <= k` over a stream whose
+    * duplicate ids carry identical scores (see [[TopKBuffer.add]]'s
+    * contract), without the pair-sized exchange+sort the window
+    * needs: partial buffers cap map-side, so only ≤ k rows per group
+    * per partition ride the shuffle. */
+  def top_k_pairs_distinct(id: Column, score: Column, k: Int, asc: Boolean = false): Column =
+    GraftBridge.column(
+      TopKPairs(GraftBridge.expression(id), GraftBridge.expression(score), k, asc,
+        distinct = true)
         .toAggregateExpression())
 }

@@ -337,7 +337,6 @@ object SrpBanded {
 
   private def rankedEdges(spark: SparkSession, d: String,
                           banded: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
@@ -384,18 +383,26 @@ object SrpBanded {
       .select(col("src"), col("dst"),
         vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
     // multi-band duplicates of a pair carry bit-identical sims (same
-    // expression over the same floats), so ONE exchange on src
-    // satisfies both the (src, dst) dedup and the per-src rank — the
-    // serve paths' dedupRank shape; dst embeddings for the output
-    // re-attach on the N·k result rows, not the candidate set
-    val wd = Window.partitionBy(col("src"), col("dst")).orderBy(col("sim"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("sim").desc, col("dst"))
-    cand.repartition(col("src"))
-      .withColumn("__dup", row_number().over(wd))
-      .filter(col("__dup") === 1).drop("__dup")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // expression over the same floats), so the (src, dst) dedup + the
+    // per-src (sim DESC, dst) rank collapse into ONE distinct-top-k
+    // AGGREGATE (r10: replaces the dedup+rank windows). The windows
+    // shuffled and sorted EVERY candidate pair — ~2B rows into 32
+    // post-shuffle sorts at the 1000× decade, a 30-minute spilling
+    // stage; the aggregate's partial stage caps map-side, so the
+    // exchange carries ≤ k rows per src per map partition (N·k-ish)
+    // and nothing ever sorts the pair set. Same ordering contract as
+    // `row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)`:
+    // best = (higher sim, lower dst), rank = position in the buffer's
+    // best-first output. dst embeddings for the output re-attach on
+    // the N·k result rows, not the candidate set.
+    cand.groupBy(col("src"))
+      .agg(graft.functions.TopKPairs.top_k_pairs_distinct(
+        col("dst"), col("sim"), k).as("__tk"))
+      .select(col("src"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("src"),
+        col("__e").getField("neighbor_id").as("dst"),
+        col("__e").getField("score").as("sim"),
+        (col("__pos") + 1).cast("int").as("rk"))
       .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")),
         Seq("dst"))
       .select(col("src"), col("dst"), col("emb_d"), col("sim"), col("rk"))

@@ -105,6 +105,35 @@ object KernelProperties extends Properties("graft.kernels") {
       a.result().toSeq == one.result().toSeq
     }
 
+  // distinct mode: scores are a pure function of the id (the
+  // identical-score-per-id contract TopKBuffer.add documents)
+  private def idScore(id: Long): Double = ((id * 2654435761L) % 1000).toDouble / 1000.0
+
+  property("TopKBuffer distinct equals dedup-sort-take-k under the per-id-score contract") =
+    forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.choose(1, 8), Gen.oneOf(true, false)) {
+      (ids, k, asc) =>
+        val buf = new TopKBuffer(k, asc, distinct = true)
+        ids.foreach(id => buf.add(id, idScore(id)))
+        val ref = ids.distinct.map(id => (id, idScore(id))).sortWith {
+          case ((i1, s1), (i2, s2)) =>
+            if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+        }.take(k)
+        buf.result().toSeq == ref
+    }
+
+  property("TopKBuffer distinct merge equals single-buffer result") =
+    forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.listOf(Gen.choose(0L, 30L)),
+      Gen.choose(1, 8)) { (xs, ys, k) =>
+      val one = new TopKBuffer(k, false, distinct = true)
+      (xs ++ ys).foreach(id => one.add(id, idScore(id)))
+      val a = new TopKBuffer(k, false, distinct = true)
+      xs.foreach(id => a.add(id, idScore(id)))
+      val b = new TopKBuffer(k, false, distinct = true)
+      ys.foreach(id => b.add(id, idScore(id)))
+      a.mergeIn(b)
+      a.result().toSeq == one.result().toSeq
+    }
+
   property("sorted-long intersect walk equals set intersection size") =
     forAll { (a: Set[Long], b: Set[Long]) =>
       val aa = new GenericArrayData(a.toArray.sorted.map(_.asInstanceOf[Any]))

@@ -481,6 +481,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Seq(2L, 4L, 6L)) // score ties broken by lowest id
   }
 
+  test("top_k_pairs distinct: duplicate ids take one slot, across partitions and merges") {
+    import spark.implicits._
+    // every duplicate of an id carries the identical score (the graph
+    // build's multi-band invariant the distinct mode contracts on)
+    val rows = for { i <- 1L to 300L; _ <- 1 to 3 } yield (1L, i, (i % 7).toDouble / 7.0)
+    val r = rows.toDF("q", "id", "s").repartition(11)
+      .groupBy($"q")
+      .agg(graft.functions.TopKPairs.top_k_pairs_distinct($"id", $"s", 5).as("topk"))
+      .select(posexplode($"topk").as(Seq("pos", "p")))
+      .select($"pos", $"p.neighbor_id", $"p.score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // best score 6/7 first held by ids 6,13,20,27,34 — each ONCE
+    assert(r == Seq(
+      (0, 6L, 6.0 / 7), (1, 13L, 6.0 / 7), (2, 20L, 6.0 / 7),
+      (3, 27L, 6.0 / 7), (4, 34L, 6.0 / 7)))
+  }
+
+  test("graph build plan: no window, no pair-sized exchange — distinct top-k aggregate") {
+    val g = graft.operators.SrpBanded.knnGraph(spark, sf, 5)
+    val plan = g.queryExecution.executedPlan.toString
+    // the dedup+rank pair windows are gone: ranking happens in the
+    // partial-aggregating distinct top-k, so the only pair-touching
+    // operator is the map-side aggregate — nothing sorts or shuffles
+    // the candidate-pair set
+    assert(!plan.contains("Window"), "graph build must not rank via window")
+    assert(plan.contains("top_k_pairs"), "graph build must rank via the top-k aggregate")
+  }
+
   test("custom as-of join matches window-function encoding") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
