@@ -933,11 +933,25 @@ object SrpBanded {
     // stage, so it must materialize exactly once. (An r10 experiment
     // folding it lazily into hop 1 cost +0.2–0.65 s at sf0.1: AQE's
     // runtime stage reuse did not cover the doubled reference.)
+    // the top-maxEntries cut is a bounded top-k AGGREGATE, not a rank
+    // window (r10): the window's group-limit SORTS each partition of
+    // the scored pool — the one O(N)-per-query frame in the serve —
+    // while the aggregate heaps it at O(n log k) with fixed memory and
+    // no spill. The pool carries duplicate (query, vec) rows (multi-
+    // probe collisions, bit-identical sims) and the window ranked
+    // THROUGH them; the non-distinct buffer keeps duplicate copies the
+    // same way, and because duplicates are indistinguishable rows, the
+    // boundary's survivor count (and thus the kept multiset) is
+    // deterministic — same rows as `row_number() <= maxEntries`.
     val seed = batchSeedScored(spark, d, queryMod, probeRadius, bandedSource,
         Some((emb, queries)))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= maxEntries)
-      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("vec_id"), col("sim"), maxEntries).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"),
+        col("__e").getField("neighbor_id").as("vec_id"),
+        col("__e").getField("score").as("sim"))
       .localCheckpoint(true)
     intermediates += seed
     // visited accumulates scored candidate sets with the dedup

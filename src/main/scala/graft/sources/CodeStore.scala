@@ -194,11 +194,18 @@ object CodeStore {
     val pairs = codesFrame(spark, dir).select(col("vec_id"), col("keys"))
       .crossJoin(broadcast(qCodes))
       .select(col("query_id"), col("vec_id"), ham.as("ham"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("ham").asc, col("vec_id").asc)
-    val short = pairs.withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
+    // shortlist cut as a bounded top-k AGGREGATE (r10, the IvfPqStore
+    // batch-cut rationale): the window's group-limit sorts the full
+    // |Q|·N hamming-pair stream; the aggregate's partial stage caps
+    // per (query, partition) map-side and nothing sorts pairs. Ids
+    // are unique per query (one code row per vec_id), ordering
+    // (ham ASC, vec_id) is the window's, and integer hamming casts
+    // exactly to the buffer's double score.
+    val short = pairs.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("vec_id"), col("ham"), shortlist, asc = true).as("__tk"))
+      .select(col("query_id"),
+        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     short

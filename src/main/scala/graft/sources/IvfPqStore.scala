@@ -160,7 +160,9 @@ object IvfPqStore {
     *    the quantized query rides in the row, the model rides as a
     *    broadcast ref — no per-query driver-built distance tables, so
     *    the plan holds at millions of queries;
-    *  - per-query `topK·rerank` cut (WindowGroupLimit), then the few
+    *  - per-query `topK·rerank` cut via the bounded top-k aggregate
+    *    (map-side partial cap — nothing sorts the probed candidate
+    *    mass), then the few
     *    survivors join embeddings for the exact-L2 rerank; the query
     *    side joins via SHUFFLE_HASH, never a driver broadcast of
     *    query embeddings (the v26 contract).
@@ -193,11 +195,21 @@ object IvfPqStore {
           GraftBridge.expression(col("qq")),
           GraftBridge.expression(col("codes")),
           GraftBridge.expression(col("list_id")), rc, pq.codebooks)).as("adc"))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc_nulls_last, col("id"))
-    val cand = adc.withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= topK * rerank)
-      .select(col("query_id"), col("id").as("vec_id"))
+    // per-query topK·rerank cut as a bounded top-k AGGREGATE, not a
+    // window (r10): the window's group-limit still SORTS the full
+    // (query × probed-codes) candidate mass map-side — O(|Q|·nprobe·
+    // N/nlists) rows, a disk-exhausting spill at the 1000× decade —
+    // while the aggregate's partial stage caps per (query, partition)
+    // and nothing sorts candidates. Ids are unique per query (a code
+    // row lives in exactly one list), so no distinct mode is needed;
+    // ordering (adc ASC, id) matches the window's; null ADC rows
+    // (defensive — codes are non-null in the store) drop rather than
+    // rank last, indistinguishable while non-null candidates ≥ the cut.
+    val cand = adc.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("id"), col("adc"), topK * rerank, asc = true).as("__tk"))
+      .select(col("query_id"),
+        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").asc_nulls_last, col("neighbor_id"))
     cand

@@ -1183,11 +1183,22 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "query embeddings materialized in a BroadcastExchange")
     assert(batch.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
       "expected a shuffle-hash join for the rerank query side")
-    // the per-query shortlist must plant a partial WindowGroupLimit
-    // map-side so the shuffle carries at most |Q|·shortlist rows per
-    // partition, never the full |Q|·N cross product
-    assert(batch.queryExecution.sparkPlan.toString.contains("WindowGroupLimit"),
-      "per-query shortlist missing the WindowGroupLimit cut")
+    // the per-query shortlist must cut via the bounded top-k AGGREGATE
+    // (partial stage caps map-side, nothing sorts the |Q|·N hamming
+    // stream — r10; the former WindowGroupLimit cut sorted each
+    // partition of it)
+    val shortPlan = batch.queryExecution.sparkPlan.toString
+    assert(shortPlan.contains("top_k_pairs"),
+      "per-query shortlist missing the top-k aggregate cut")
+    // the rerank's own group-limit (≤ shortlist rows per query) is
+    // fine — what must never exist is a rank-SORT over the |Q|·N
+    // hamming stream itself
+    val hamSorted = batch.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.orderSpec.exists(_.sql.contains("ham")) => w
+    }
+    assert(hamSorted.isEmpty,
+      "per-query shortlist must not rank-sort the hamming stream")
   }
 
   test("v34 stored batched HNSW: equals the in-memory batch, layers read only committed store files") {
