@@ -16,6 +16,10 @@ object V33Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // typed top-k partial aggregates (TopKPairs) must stay on the hash
+      // path: the 128-key default fallback re-SORTS (and at scale, spills)
+      // the candidate stream the aggregate exists to avoid sorting
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
