@@ -92,8 +92,15 @@ object ScaleBench {
     // builds at 100× would otherwise dominate the wall clock without
     // adding evidence. Run once untimed (codegen/file-index warmup),
     // once timed.
+    // the production keyspace for this corpus size (keyspace ∝ N,
+    // bucket occupancy ~constant — SrpBanded.rowsPerBandFor): the
+    // *_scaled graph serves run the SAME operator code at this width,
+    // the gate-pinned names keep the oracle default
+    val scaledRpb = graft.operators.SrpBanded.rowsPerBandFor(rows)
+
     val allNames = Seq("v1_knn_cosine", "v19_graph_search", "v25_graph_search_refined",
       "v28_graph_search_cold", "v26_graph_search_batch", "v27_graph_search_batch_stored",
+      "v26_graph_search_batch_scaled", "v27_graph_search_batch_stored_scaled",
       "v29_ivfpq_batch", "v31_hnsw_search", "v32_hnsw_stored", "v33_hnsw_batch",
       "v34_hnsw_batch_stored", "v38_hamming_batch")
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
@@ -113,9 +120,11 @@ object ScaleBench {
     // would silently fold the layer build into hnsw_store's timing.
     val buildDeps: Map[String, Set[String]] = Map(
       "knn_graph" -> Set("v19_graph_search", "v26_graph_search_batch",
-        "v27_graph_search_batch_stored", "v31_hnsw_search", "v33_hnsw_batch"),
+        "v27_graph_search_batch_stored", "v31_hnsw_search", "v33_hnsw_batch",
+        "v26_graph_search_batch_scaled", "v27_graph_search_batch_stored_scaled"),
       "refined_graph" -> Set("v25_graph_search_refined", "v28_graph_search_cold"),
       "srp_store" -> Set("v27_graph_search_batch_stored", "v28_graph_search_cold"),
+      "srp_store_scaled" -> Set("v27_graph_search_batch_stored_scaled"),
       "edge_store" -> Set("v25_graph_search_refined", "v28_graph_search_cold"),
       "hnsw_layers" -> Set("v31_hnsw_search", "v33_hnsw_batch",
         "v32_hnsw_stored", "v34_hnsw_batch_stored"),
@@ -137,6 +146,7 @@ object ScaleBench {
     build("knn_graph") { graft.operators.SrpBanded.materializedGraph(spark, dir, 5) }
     build("refined_graph") { graft.operators.SrpBanded.materializedRefinedGraph(spark, dir) }
     build("srp_store") { graft.sources.SrpStore.storeFor(spark, dir) }
+    build("srp_store_scaled") { graft.sources.SrpStore.storeFor(spark, dir, scaledRpb) }
     build("edge_store") { graft.sources.EdgeStore.refinedStoreFor(spark, dir) }
     build("hnsw_layers") {
       (1 to graft.operators.Hnsw.MaxLevel)
@@ -146,10 +156,27 @@ object ScaleBench {
     build("ivfpq_model") { graft.operators.IvfPqResidual.fitCached(spark, dir) }
     build("ivfpq_store") { graft.sources.IvfPqStore.residualStoreFor(spark, dir) }
     build("code_store") { graft.sources.CodeStore.storeFor(spark, dir) }
+    // scaled-keyspace graph serves: the same graphSearchBatch operator
+    // with the production key width for THIS corpus size — what a
+    // deployment would run (the pinned-width entries measure the
+    // oracle configuration; their gap is the keyspace lever's value)
+    val scaledServes: Map[String, () => DataFrame] = Map(
+      "v26_graph_search_batch_scaled" -> (() =>
+        graft.operators.SrpBanded.graphSearchBatch(spark, dir,
+          SparkEntry.JoinQueryFilter, rowsPerBand = scaledRpb)),
+      "v27_graph_search_batch_stored_scaled" -> (() =>
+        graft.operators.SrpBanded.graphSearchBatch(spark, dir,
+          SparkEntry.JoinQueryFilter,
+          bandedSource = Some(keys => graft.sources.SrpStore.batchBanding(spark,
+            graft.sources.SrpStore.storeFor(spark, dir, scaledRpb), keys)),
+          rowsPerBand = scaledRpb)))
     def pass(): Seq[(String, Double)] = names.map { n =>
       System.err.println(s"[scale] serve $n ...")
       val ok = try {
-        Some(time(SparkEntry.queries(n)(spark, dir).count()))
+        Some(time(scaledServes.get(n)
+          .map(_.apply())
+          .getOrElse(SparkEntry.queries(n)(spark, dir))
+          .count()))
       } catch { case _: Throwable => None }
       System.err.println(f"[scale] serve $n done ${ok.map(_._2).getOrElse(-1.0)}%.1f s")
       n -> ok.map(_._2).getOrElse(-1.0)
@@ -161,6 +188,7 @@ object ScaleBench {
     // is the vec_id % JoinQueryFilter slice, so it GROWS with the
     // corpus — the sub-linear-per-query claim needs |Q| in the record
     val batchQ = Set("v26_graph_search_batch", "v27_graph_search_batch_stored",
+      "v26_graph_search_batch_scaled", "v27_graph_search_batch_stored_scaled",
       "v29_ivfpq_batch", "v33_hnsw_batch", "v34_hnsw_batch_stored",
       "v38_hamming_batch")
     val nQueries = spark.read.parquet(embPath)
@@ -171,7 +199,7 @@ object ScaleBench {
     val aj = warm.collect { case (k, v) if batchQ(k) && v >= 0 =>
       s""""$k":${f"${v * 1000.0 / math.max(nQueries, 1)}%.3f"}""" }.mkString(",")
     val total = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"batch_queries":$nQueries,"builds":{$bj},"queries":{$qj},"batch_ms_per_query":{$aj}}""")
+    println(s"""{"metric":"scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"batch_queries":$nQueries,"scaled_rpb":$scaledRpb,"builds":{$bj},"queries":{$qj},"batch_ms_per_query":{$aj}}""")
     spark.stop()
   }
 }

@@ -13,9 +13,11 @@ object SparkEntry {
 
   /** The flagship: end-to-end semantic search (the reference's
     * find_similar_customer_records tool) on sf0.001. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    ensureScaleConfs(spark)
     SimilaritySearch.semanticSearch(spark, "/root/testdata/sf0.001",
       "fast vector search over spark tables", 10)
+  }
 
   private val SearchText = "fast vector search over spark tables"
   private[graft] val JoinQueryFilter = 50 // query set = vec_id % 50 == 0
@@ -25,7 +27,66 @@ object SparkEntry {
   private def queryVecSql: String =
     FakeEmbedder.embed(SearchText).map(f => f.toDouble.toString).mkString("[", ", ", "]")
 
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Engine-contract session conf: typed top-k partial aggregates
+    * (TopKPairs — every batched-serve candidate cut and the graph
+    * build's bucket cap) must stay on the ObjectHashAggregate HASH
+    * path. Spark's default falls back to sort-based aggregation at
+    * 128 distinct keys per task, which re-sorts (and at scale spills)
+    * the exact candidate stream the bounded aggregate exists to avoid
+    * sorting — measured 3.3× slower at the 1000× decade (PERF.md r10).
+    *
+    * `queries` runs against a CALLER-built session, so an embedder
+    * who builds a default-conf session would silently lose the hash
+    * path. Every entry therefore asserts the conf on the way in: the
+    * conf is runtime-mutable, so a session still at Spark's default
+    * is raised in place (logged); a session where the user PINNED a
+    * lower value is respected but loudly warned.
+    *
+    * Implied heap budget (why the raise is safe, and what a caller
+    * who raises `k` must re-check): a partial ObjectHashAggregate
+    * holds one TopKBuffer per distinct group key per task — capacity
+    * 2k (id, score) entries = 16·2k bytes + ~48 B overhead, so ~2 KB
+    * at the serve/build k≤64 and ~64 KB at the seed-budget k=2048.
+    * Distinct keys per task are bounded by the repartitioning feeding
+    * each aggregate (query_id or src hash-spread over the shuffle
+    * partitions): at the benched 1000× decade that is ≤ ~500k keys ×
+    * 2 KB ≈ 1 GB/task — inside executor memory with the 4 GiB-key
+    * ceiling never reached. The ceiling is a guard rail against
+    * unbounded group growth, not a target. */
+  private[graft] val HashAggFallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  private[graft] val HashAggFallbackMin = 4194304L
+  private val SparkDefaultFallback = 128L
+  /** what [[ensureScaleConfs]] last did — spec hook */
+  @volatile private[graft] var lastConfContractAction: String = ""
+  private[graft] def ensureScaleConfs(spark: SparkSession): Unit = {
+    val cur = spark.conf.get(HashAggFallbackKey, SparkDefaultFallback.toString).toLong
+    if (cur >= HashAggFallbackMin) lastConfContractAction = "ok"
+    else if (cur == SparkDefaultFallback) {
+      // Spark's own default — the caller never chose it; raise in place
+      spark.conf.set(HashAggFallbackKey, HashAggFallbackMin.toString)
+      lastConfContractAction = s"raised:$cur"
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft: raised $HashAggFallbackKey $cur -> $HashAggFallbackMin " +
+          "(engine contract: TopKPairs partial aggregates must stay on the " +
+          "hash path; see SparkEntry.ensureScaleConfs)")
+    } else {
+      // user-pinned value: respect it, but the scale contract is void
+      lastConfContractAction = s"warned:$cur"
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft: $HashAggFallbackKey=$cur is below the engine contract " +
+          s"($HashAggFallbackMin) — top-k aggregates will fall back to " +
+          "sort-based aggregation and the batched-serve scale posture " +
+          "does not hold (see SparkEntry.ensureScaleConfs)")
+    }
+  }
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesImpl.map { case (n, f) =>
+      n -> ((s: SparkSession, d: String) => { ensureScaleConfs(s); f(s, d) })
+    }
+
+  private lazy val queriesImpl: Map[String, (SparkSession, String) => DataFrame] = Map(
     // core SQL
     "q1_pricing_summary" -> CoreQueries.q1PricingSummary _,
     "q2_topn_revenue" -> CoreQueries.q2TopNRevenue _,

@@ -34,16 +34,20 @@ import graft.functions.vectors
 /** `srp_band_keys(q)` → array<long> of [[SrpBanded.Bands]] band keys
   * from one codegen'd pass over the quantized components (see
   * [[SrpBanded.bandKeysJ]]). `dim` selects the hyperplane set — the
-  * corpus tables use the default 64; parity fixtures run 768. */
-case class SrpBandKeysExpr(child: Expression, dim: Int = SrpBanded.Dim)
+  * corpus tables use the default 64; parity fixtures run 768.
+  * `rowsPerBand` is the key WIDTH in bits — the production scale lever
+  * (see [[SrpBanded.rowsPerBandFor]]); the pinned default is what
+  * every oracle replays. */
+case class SrpBandKeysExpr(child: Expression, dim: Int = SrpBanded.Dim,
+                           rowsPerBand: Int = SrpBanded.RowsPerBand)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override val nullIntolerant: Boolean = true
   override def prettyName: String = "srp_band_keys"
   override def nullSafeEval(v: Any): Any =
-    SrpBanded.bandKeysJ(v.asInstanceOf[ArrayData], dim)
+    SrpBanded.bandKeysJ(v.asInstanceOf[ArrayData], dim, rowsPerBand)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, q => s"graft.operators.SrpBanded.bandKeysJ($q, $dim)")
+    defineCodeGen(ctx, ev, q => s"graft.operators.SrpBanded.bandKeysJ($q, $dim, $rowsPerBand)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -53,17 +57,37 @@ object SrpBanded {
   val Bands = 8
   val RowsPerBand: Int = Bits / Bands
 
+  /** Production keyspace policy: the narrowest key width (bits per
+    * band) that keeps EXPECTED bucket occupancy N/2^rpb at or below
+    * [[TargetBucketOccupancy]], floored at the pinned oracle default.
+    * Keyspace ∝ N ⇒ per-bucket row count ~constant ⇒ the batched
+    * serve's seed-pool term (probed-bucket occupancy × probe count)
+    * stops growing linearly with the corpus — the one serve-side term
+    * the SeedBudget cannot cap, because it is READ cost, not scoring
+    * cost. The default stays pinned so every oracle replays the same
+    * 8-bit keys; deployments (and the scale bench) pick the width at
+    * store-build time from the corpus row count. */
+  val TargetBucketOccupancy = 64
+  def rowsPerBandFor(n: Long): Int = {
+    var rpb = RowsPerBand
+    while (rpb < 24 && (n >> rpb) > TargetBucketOccupancy) rpb += 1
+    rpb
+  }
+
   // pinned seed → the same hyperplanes in every session and in the
-  // SQL; one set per dimensionality (the 64-wide set is what the
-  // corpus oracles embed as literals — signsFor(64) must keep
-  // generating it bit-for-bit)
+  // SQL; one set per (dimensionality, plane count). The 64-plane set
+  // is what the corpus oracles embed as literals — signsFor(64) must
+  // keep generating it bit-for-bit. Wider keyspaces draw MORE planes
+  // from the same seeded stream (Array.fill is row-major, so the
+  // first 64 planes of a wider set are the oracle set verbatim).
   private val signsCache =
-    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Int]]]
-  private[graft] def signsFor(dim: Int): Array[Array[Int]] =
-    signsCache.getOrElseUpdate(dim, {
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Int]]]
+  private[graft] def signsFor(dim: Int, bits: Int): Array[Array[Int]] =
+    signsCache.getOrElseUpdate((dim, bits), {
       val rng = new scala.util.Random(20260812L)
-      Array.fill(Bits, dim)(if (rng.nextBoolean()) 1 else -1)
+      Array.fill(bits, dim)(if (rng.nextBoolean()) 1 else -1)
     })
+  private[graft] def signsFor(dim: Int): Array[Array[Int]] = signsFor(dim, Bits)
   private[graft] def signs: Array[Array[Int]] = signsFor(Dim)
 
   /** Integer-quantized component array: exact in both engines (the
@@ -80,16 +104,18 @@ object SrpBanded {
     * oracle compare. */
   def bandKeysJ(q: ArrayData): ArrayData = bandKeysJ(q, Dim)
 
-  def bandKeysJ(q: ArrayData, dim: Int): ArrayData = {
-    val sg = signsFor(dim)
+  def bandKeysJ(q: ArrayData, dim: Int): ArrayData = bandKeysJ(q, dim, RowsPerBand)
+
+  def bandKeysJ(q: ArrayData, dim: Int, rowsPerBand: Int): ArrayData = {
+    val sg = signsFor(dim, Bands * rowsPerBand)
     val n = math.min(dim, q.numElements())
     val keys = new Array[Long](Bands)
     var b = 0
     while (b < Bands) {
       var key = 0L
       var k = 0
-      while (k < RowsPerBand) {
-        val row = sg(b * RowsPerBand + k)
+      while (k < rowsPerBand) {
+        val row = sg(b * rowsPerBand + k)
         var dot = 0L
         var j = 0
         while (j < n) { dot += q.getLong(j) * row(j); j += 1 }
@@ -395,6 +421,15 @@ object SrpBanded {
     // best = (higher sim, lower dst), rank = position in the buffer's
     // best-first output. dst embeddings for the output re-attach on
     // the N·k result rows, not the candidate set.
+    // BEHAVIOR NOTE vs the replaced window: TopKBuffer EXCLUDES NaN
+    // scores, where `ORDER BY sim DESC` sorted NaN as the greatest
+    // double and would have admitted (even topped) such edges. For
+    // THIS pipeline the cases coincide: cosine_sim maps zero-norm
+    // vectors to 0.0 (never NaN — VectorExpressions kernel, property-
+    // tested), so no candidate here can carry NaN; the buffer's drop
+    // is a defensive invariant, not a reachable divergence. A caller
+    // feeding the aggregate a score column that CAN be NaN gets
+    // exclusion, not NaN-first — by design.
     cand.groupBy(col("src"))
       .agg(graft.functions.TopKPairs.top_k_pairs_distinct(
         col("dst"), col("sim"), k).as("__tk"))
@@ -554,14 +589,18 @@ object SrpBanded {
   /** Driver-side twin of [[bandKeysJ]] for a query vector — the same
     * integer-quantized hyperplane signs, so a query lands in exactly
     * the buckets its equal corpus vector would. */
-  def queryBandKeys(queryVec: Array[Float], dim: Int = Dim): Seq[(Int, Long)] = {
-    val sg = signsFor(dim)
+  def queryBandKeys(queryVec: Array[Float], dim: Int = Dim): Seq[(Int, Long)] =
+    queryBandKeys(queryVec, dim, RowsPerBand)
+
+  def queryBandKeys(queryVec: Array[Float], dim: Int,
+                    rowsPerBand: Int): Seq[(Int, Long)] = {
+    val sg = signsFor(dim, Bands * rowsPerBand)
     val q = queryVec.take(dim).map(x => math.floor(x * 1e6).toLong)
     (0 until Bands).map { b =>
       var key = 0L
       var k = 0
-      while (k < RowsPerBand) {
-        val row = sg(b * RowsPerBand + k)
+      while (k < rowsPerBand) {
+        val row = sg(b * rowsPerBand + k)
         var dot = 0L
         var j = 0
         while (j < q.length) { dot += q(j) * row(j); j += 1 }
@@ -576,11 +615,13 @@ object SrpBanded {
     * the multi-probe expansion set, shared by the per-query driver
     * path ([[queryProbeKeys]]) and the batched set-based path
     * ([[graphSearchBatch]] explodes them as a literal column). */
-  private[graft] def probeFlips(radius: Int): Seq[Long] = {
-    require(radius >= 0 && radius <= RowsPerBand,
-      s"probeRadius must be in [0, $RowsPerBand], got $radius")
+  private[graft] def probeFlips(radius: Int): Seq[Long] = probeFlips(radius, RowsPerBand)
+
+  private[graft] def probeFlips(radius: Int, rowsPerBand: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= rowsPerBand,
+      s"probeRadius must be in [0, $rowsPerBand], got $radius")
     (0 to radius).flatMap(r =>
-      (0 until RowsPerBand).combinations(r)
+      (0 until rowsPerBand).combinations(r)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i)))
         .toSeq)
   }
@@ -593,9 +634,13 @@ object SrpBanded {
     * when exact-key collisions are rare (a low-similarity query on a
     * random corpus collides exactly in a band with prob ~2^-RowsPerBand).
     * Deterministic, sorted — interpolated verbatim into the oracle SQL. */
-  def queryProbeKeys(queryVec: Array[Float], radius: Int = 2): Seq[(Int, Long)] = {
-    val exact = queryBandKeys(queryVec)
-    val flips = probeFlips(radius)
+  def queryProbeKeys(queryVec: Array[Float], radius: Int = 2): Seq[(Int, Long)] =
+    queryProbeKeys(queryVec, radius, RowsPerBand)
+
+  def queryProbeKeys(queryVec: Array[Float], radius: Int,
+                     rowsPerBand: Int): Seq[(Int, Long)] = {
+    val exact = queryBandKeys(queryVec, Dim, rowsPerBand)
+    val flips = probeFlips(radius, rowsPerBand)
     (for { (b, key) <- exact; f <- flips } yield (b, key ^ f)).distinct.sorted
   }
 
@@ -625,11 +670,13 @@ object SrpBanded {
     * not data-dependent. */
   /** The (vec_id, embedding, band, bk) banding of a corpus — the
     * in-memory form of what [[graft.sources.SrpStore]] persists. */
-  private[graft] def bandedOf(emb: DataFrame, dim: Int = Dim): DataFrame = {
+  private[graft] def bandedOf(emb: DataFrame, dim: Int = Dim,
+                              rowsPerBand: Int = RowsPerBand): DataFrame = {
     val qt = emb.select(col("vec_id"), col("embedding"),
       quantized(col("embedding")).as("qv"))
     val keysCol = org.apache.spark.sql.GraftBridge.column(
-      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv")), dim))
+      SrpBandKeysExpr(org.apache.spark.sql.GraftBridge.expression(col("qv")), dim,
+        rowsPerBand))
     qt.select(col("vec_id"), col("embedding"),
       posexplode(keysCol).as(Seq("band", "bk")))
   }
@@ -639,10 +686,12 @@ object SrpBanded {
     * separate so no engine ever composes a value past int64 range).
     * Bit-compatible with [[bandedOf]]/[[queryBandKeys]] by
     * construction: same quantization, same pinned hyperplanes. */
-  private[graft] def bandKeysCol(emb: Column, dim: Int = Dim): Column =
+  private[graft] def bandKeysCol(emb: Column, dim: Int = Dim,
+                                 rowsPerBand: Int = RowsPerBand): Column =
     org.apache.spark.sql.GraftBridge.column(
       SrpBandKeysExpr(
-        org.apache.spark.sql.GraftBridge.expression(quantized(emb)), dim))
+        org.apache.spark.sql.GraftBridge.expression(quantized(emb)), dim,
+        rowsPerBand))
 
   /** Exact-scored multi-probe seed pool over the in-memory banding —
     * the seeding stage [[graphSearch]] and [[graphSearchRefined]]
@@ -789,7 +838,8 @@ object SrpBanded {
                                      bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None,
                                      inputs: Option[(DataFrame, DataFrame)] = None,
                                      seedBudget: Int = SeedBudget,
-                                     probeBroadcastMax: Long = SeedProbeBroadcastMax): DataFrame = {
+                                     probeBroadcastMax: Long = SeedProbeBroadcastMax,
+                                     rowsPerBand: Int = RowsPerBand): DataFrame = {
     import spark.implicits._
     val (emb, queries) = inputs.getOrElse(batchInputs(spark, d, queryMod))
     // multi-probe (query, band, key) set: each query's own band keys
@@ -799,8 +849,9 @@ object SrpBanded {
     // is bijective so min() never collapses anything — it replaces
     // the former defensive distinct() with the same single exchange.
     val probes = bandedOf(queries
-        .select(col("query_id").as("vec_id"), col("q_vec").as("embedding")))
-      .withColumn("f", explode(typedLit(probeFlips(probeRadius))))
+        .select(col("query_id").as("vec_id"), col("q_vec").as("embedding")),
+        Dim, rowsPerBand)
+      .withColumn("f", explode(typedLit(probeFlips(probeRadius, rowsPerBand))))
       .select(col("vec_id").as("query_id"), col("band"),
         col("bk").bitwiseXOR(col("f")).as("bk"),
         bit_count(col("f")).cast("int").as("pr"))
@@ -842,7 +893,8 @@ object SrpBanded {
       case (None, true) =>
         lastSeedJoinShape = "broadcast-probes"
         broadcast(probes)
-          .join(bandedOf(emb).select(col("vec_id"), col("band"), col("bk")),
+          .join(bandedOf(emb, Dim, rowsPerBand)
+              .select(col("vec_id"), col("band"), col("bk")),
             Seq("band", "bk"))
       case (src, false) =>
         lastSeedJoinShape = "salted-shj"
@@ -852,12 +904,25 @@ object SrpBanded {
               .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
             pruned(keys)
           case None =>
-            bandedOf(emb).select(col("vec_id"), col("band"), col("bk"))
+            bandedOf(emb, Dim, rowsPerBand)
+              .select(col("vec_id"), col("band"), col("bk"))
         }
+        // salt fan-out is a HOT-BUCKET remedy, sized to the keyspace:
+        // the pinned 2048-key default needs the full ×SeedSalt spread
+        // (~80× chain duplication per bucket), while a keyspace scaled
+        // to the corpus (rowsPerBandFor) already bounds occupancy at
+        // ~TargetBucketOccupancy — there the bucket-key cardinality
+        // alone exceeds the partition count and extra salt would only
+        // replicate the probe side for nothing. Keep the SPREAD
+        // (keyspace·salt) ~constant: salt halves per extra key bit,
+        // floored at 1 (no salt) once keys are wide enough.
+        val keyspace = Bands.toLong << rowsPerBand
+        val salt = math.max(1L,
+          (Bands.toLong << RowsPerBand) * SeedSalt / keyspace).toInt
         val salted = probes.withColumn("salt",
-          explode(typedLit((0 until SeedSalt).toArray)))
+          explode(typedLit((0 until salt).toArray)))
         val bandedS = banded.withColumn("salt",
-          pmod(hash(col("vec_id")), lit(SeedSalt)).cast("int"))
+          pmod(hash(col("vec_id")), lit(salt)).cast("int"))
         salted.join(bandedS.hint("shuffle_hash"), Seq("band", "bk", "salt"))
           .drop("salt")
     }
@@ -890,7 +955,8 @@ object SrpBanded {
                        k: Int = 5, beam: Int = 8, iters: Int = 2,
                        maxEntries: Int = 64, graphK: Int = 5,
                        probeRadius: Int = 2,
-                       bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None): DataFrame = {
+                       bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None,
+                       rowsPerBand: Int = RowsPerBand): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (emb, queriesRaw) = batchInputs(spark, d, queryMod)
     // the query slice is materialized ONCE (O(|Q|) rows) — every
@@ -943,8 +1009,10 @@ object SrpBanded {
     // same way, and because duplicates are indistinguishable rows, the
     // boundary's survivor count (and thus the kept multiset) is
     // deterministic — same rows as `row_number() <= maxEntries`.
+    // (NaN sims cannot reach the buffer: cosine_sim maps zero-norm
+    // vectors to 0.0 — see rankedEdges' behavior note.)
     val seed = batchSeedScored(spark, d, queryMod, probeRadius, bandedSource,
-        Some((emb, queries)))
+        Some((emb, queries)), rowsPerBand = rowsPerBand)
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.top_k_pairs(
         col("vec_id"), col("sim"), maxEntries).as("__tk"))

@@ -189,12 +189,20 @@ object IvfPqStore {
         ivf.centroids, nprobe))).as("list_id"))
     val codes = spark.read.parquet(s"$dir/lists")
       .withColumn("list_id", col("list_id").cast("int"))
+    // codes are contractually non-null in the store — and a null code
+    // row would silently SHRINK the candidate set below the topK·rerank
+    // cut (the aggregate drops null scores where the old window ranked
+    // them last), so a store regression must surface loudly here, not
+    // as quietly-worse recall: the cheap isNull check guards the row,
+    // the expensive ADC walk still evaluates once in the else branch.
     val adc = codes.join(probes, Seq("list_id"))
       .select(col("query_id"), col("id"),
-        GraftBridge.column(graft.operators.PqAdcResidualQ(
-          GraftBridge.expression(col("qq")),
-          GraftBridge.expression(col("codes")),
-          GraftBridge.expression(col("list_id")), rc, pq.codebooks)).as("adc"))
+        when(col("codes").isNull, raise_error(lit(
+          "IvfPqStore: null codes row in list partition — store contract violated")))
+          .otherwise(GraftBridge.column(graft.operators.PqAdcResidualQ(
+            GraftBridge.expression(col("qq")),
+            GraftBridge.expression(col("codes")),
+            GraftBridge.expression(col("list_id")), rc, pq.codebooks))).as("adc"))
     // per-query topK·rerank cut as a bounded top-k AGGREGATE, not a
     // window (r10): the window's group-limit still SORTS the full
     // (query × probed-codes) candidate mass map-side — O(|Q|·nprobe·
@@ -202,9 +210,7 @@ object IvfPqStore {
     // while the aggregate's partial stage caps per (query, partition)
     // and nothing sorts candidates. Ids are unique per query (a code
     // row lives in exactly one list), so no distinct mode is needed;
-    // ordering (adc ASC, id) matches the window's; null ADC rows
-    // (defensive — codes are non-null in the store) drop rather than
-    // rank last, indistinguishable while non-null candidates ≥ the cut.
+    // ordering (adc ASC, id) matches the window's.
     val cand = adc.groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.top_k_pairs(
         col("id"), col("adc"), topK * rerank, asc = true).as("__tk"))

@@ -70,14 +70,45 @@ object SrpStore {
     f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
   }
 
-  def write(spark: SparkSession, d: String, dir: String): Unit = {
+  /** Key width (bits per band) the store at `dir` was written with —
+    * recorded as a marker file at [[write]] time so every read path
+    * probes with the same hyperplane set. Absent marker = the pinned
+    * oracle default (stores written before the keyspace was
+    * parameterized). */
+  private val rpbCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def storeRpb(spark: SparkSession, dir: String): Int =
+    rpbCache.getOrElseUpdate(dir, {
+      val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
+      val f = hadoopFs(spark, dir)
+      if (!f.exists(kd)) SrpBanded.RowsPerBand
+      else f.listStatus(kd).toSeq.map(_.getPath.getName)
+        .collectFirst { case s if s.startsWith("rpb=") => s.drop(4).toInt }
+        .getOrElse(SrpBanded.RowsPerBand)
+    })
+
+  /** Partition-dir granularity of the `banded/` layout: the pinned
+    * default keyspace (2048 buckets) partitions by the exact bucket
+    * key; a WIDE keyspace ([[SrpBanded.rowsPerBandFor]] — keyspace ∝
+    * corpus) would explode into 2^rpb·Bands dirs, so it partitions by
+    * the bucket GROUP `bg = bk >> (rpb − defaultRpb)` — the dir count
+    * stays pinned at 2048 at ANY key width, each dir holding
+    * 2^(rpb−8) adjacent buckets, clustered by `bk` at write time so
+    * parquet row-group stats prune WITHIN the dir. Probe reads then
+    * prune twice: (band, bg) in the file index (static partition
+    * pruning, zero IO), bk against row-group min/max (footer-level). */
+  private def groupShift(rpb: Int): Int = rpb - SrpBanded.RowsPerBand
+
+  def write(spark: SparkSession, d: String, dir: String): Unit =
+    write(spark, d, dir, SrpBanded.RowsPerBand)
+
+  def write(spark: SparkSession, d: String, dir: String, rowsPerBand: Int): Unit = {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
     // cached for the duration of the two writes below — the banding
     // (quantize + Bits hyperplane dots per row) is computed once
-    val banded = SrpBanded.bandedOf(emb)
+    val banded = SrpBanded.bandedOf(emb, SrpBanded.Dim, rowsPerBand)
       .select(col("vec_id"), col("embedding"), col("band"), col("bk"))
       .cache()
     // co-locate each bucket before the partitioned write: without
@@ -85,10 +116,24 @@ object SrpStore {
     // dir (task_count × 2048 files — the probe path then pays a
     // file-open per sliver). At larger corpora add a salt column to
     // this repartition to split hot buckets across several writers.
-    banded.repartition(col("band"), col("bk"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("band", "bk")
-      .parquet(s"$dir/banded")
+    val shift = groupShift(rowsPerBand)
+    if (shift == 0)
+      banded.repartition(col("band"), col("bk"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band", "bk")
+        .parquet(s"$dir/banded")
+    else
+      banded.withColumn("bg", shiftright(col("bk"), shift))
+        .repartition(col("band"), col("bg"))
+        .sortWithinPartitions(col("bk"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band", "bg")
+        .parquet(s"$dir/banded")
+    val fsK = hadoopFs(spark, dir)
+    val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
+    fsK.delete(kd, true): Unit
+    fsK.mkdirs(kd)
+    fsK.create(new org.apache.hadoop.fs.Path(kd, s"rpb=$rowsPerBand"), false).close()
     // compact copy of the key assignment for BULK consumers (graph
     // builds, analytics): (vec_id, band, bk) is 12 B/row, and a
     // full-graph rebuild reading 2048 bucket dirs of point-probe-
@@ -116,6 +161,8 @@ object SrpStore {
   private val frameCache = new graft.SessionCache[String, DataFrame](8)
   graft.Tables.onInvalidate { p =>
     frameCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+    rpbCache.keys.filter(k => k.startsWith(p) || p.startsWith(k))
+      .foreach(rpbCache.remove)
   }
   private def bandedFrame(spark: SparkSession, dir: String): DataFrame =
     frameCache.getOrElseUpdate(spark, dir)(spark.read.parquet(s"$dir/banded"))
@@ -163,6 +210,21 @@ object SrpStore {
   private def bucketPred(keys: Seq[(Int, Long)]): org.apache.spark.sql.Column =
     balancedOr(keys.map { case (b, bk) => col("band") === b && col("bk") === bk })
 
+  /** The probed-bucket predicate for a store's layout: exact (band,
+    * bk) terms for the default layout (both partition columns →
+    * static pruning), plus the (band, bg) GROUP terms for a wide
+    * store — there bg is the partition column (file-index pruning)
+    * and the exact-bk conjunct pushes to parquet row-group stats. */
+  private def layoutPred(rpb: Int, keys: Seq[(Int, Long)]): org.apache.spark.sql.Column = {
+    val shift = groupShift(rpb)
+    if (shift == 0) bucketPred(keys)
+    else {
+      val groups = keys.map { case (b, bk) => (b, bk >> shift) }.distinct
+      balancedOr(groups.map { case (b, g) => col("band") === b && col("bg") === g }) &&
+        bucketPred(keys)
+    }
+  }
+
   /** executed plan of the last pruned bulk banding read — spec hook */
   @volatile var lastPrunedBandingPlan: String = ""
 
@@ -181,7 +243,7 @@ object SrpStore {
   def prunedBanding(spark: SparkSession, dir: String,
                     keys: Seq[(Int, Long)]): DataFrame = {
     val pruned = bandedFrame(spark, dir)
-      .filter(bucketPred(keys))
+      .filter(layoutPred(storeRpb(spark, dir), keys))
       .select(col("vec_id"), col("band").cast("int").as("band"),
         col("bk").cast("long").as("bk"))
     lastPrunedBandingPlan = pruned.queryExecution.executedPlan.toString
@@ -211,7 +273,7 @@ object SrpStore {
     * all of them IS the full scan, however it's spelled. */
   def batchBanding(spark: SparkSession, dir: String,
                    keys: Seq[(Int, Long)]): DataFrame = {
-    val totalBuckets = SrpBanded.Bands << SrpBanded.RowsPerBand
+    val totalBuckets = SrpBanded.Bands.toLong << storeRpb(spark, dir)
     if (keys.size * 4 <= totalBuckets) {
       lastBatchBandingSource = "pruned"
       prunedBanding(spark, dir, keys)
@@ -223,7 +285,9 @@ object SrpStore {
 
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
-    val probe = bucketPred(SrpBanded.queryProbeKeys(queryVec, probeRadius))
+    val rpb = storeRpb(spark, dir)
+    val probe = layoutPred(rpb,
+      SrpBanded.queryProbeKeys(queryVec, probeRadius, rpb))
     // score BEFORE the per-id dedup: each band copy of a vector
     // yields the same IEEE sim, so the dedup shuffle carries
     // (vec_id, sim) — 16 bytes — instead of the embedding
@@ -283,22 +347,33 @@ object SrpStore {
     * after [[CompactAfter]] commits. Returns the touched (band, bk)
     * pairs. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame): Seq[(Int, Long)] = {
+    val rpb = storeRpb(spark, dir)
+    val shift = groupShift(rpb)
+    // partition key of the touched-bucket rewrite: the exact bucket
+    // key for the default layout, the bucket GROUP for a wide store
+    // (see [[groupShift]] — the dir granularity IS the rewrite
+    // granularity, so touched keys are partition keys either way)
+    val pk = if (shift == 0) "bk" else "bg"
     val upd = updates
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
-    val newBanded = SrpBanded.bandedOf(upd)
+    val newBanded0 = SrpBanded.bandedOf(upd, SrpBanded.Dim, rpb)
       .select(col("vec_id"), col("embedding"), col("band"), col("bk"))
+    val newBanded = if (shift == 0) newBanded0
+      else newBanded0.withColumn("bg", shiftright(col("bk"), shift))
     // partition-column types are inferred on read (bk fits int at
     // this key width); normalize to the written long/int shape
     val store = bandedFrame(spark, dir)
       .withColumn("band", col("band").cast("int"))
       .withColumn("bk", col("bk").cast("long"))
+      .transform(df => if (shift == 0) df
+        else df.withColumn("bg", col("bg").cast("long")))
     val updIds = upd.select(col("vec_id")).distinct()
     val oldKeys = store.join(broadcast(updIds), Seq("vec_id"))
-      .select(col("band"), col("bk")).distinct()
+      .select(col("band"), col(pk)).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val newKeys = newBanded.select(col("band"), col("bk")).distinct()
+    val newKeys = newBanded.select(col("band"), col(pk)).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val touched = (oldKeys ++ newKeys).distinct.sorted.toSeq
     if (touched.nonEmpty) {
@@ -320,25 +395,28 @@ object SrpStore {
       // 2. bucket rewrites — survivors: touched-bucket rows minus
       //    stale copies of updated ids; lineage broken before
       //    overwriting the files it reads
-      val survivors = store.filter(bucketPred(touched))
+      val touchedPred = balancedOr(touched.map { case (b, v) =>
+        col("band") === b && col(pk) === v })
+      val survivors = store.filter(touchedPred)
         .join(broadcast(updIds), Seq("vec_id"), "left_anti")
       val merged = survivors.unionByName(newBanded)
-        .repartition(col("band"), col("bk"))
+        .repartition(col("band"), col(pk))
+        .transform(df => if (shift == 0) df else df.sortWithinPartitions(col("bk")))
         .localCheckpoint(true)
       try {
         merged.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("band", "bk")
+          .partitionBy("band", pk)
           .parquet(s"$dir/banded")
         // a bucket emptied by a move appears in no output row and
         // dynamic overwrite would leave its stale file — delete it
-        val present = merged.select(col("band"), col("bk")).distinct()
+        val present = merged.select(col("band"), col(pk)).distinct()
           .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
         val emptied = touched.filterNot(present)
         if (emptied.nonEmpty) {
-          emptied.foreach { case (b, bk) =>
+          emptied.foreach { case (b, v) =>
             f.delete(new org.apache.hadoop.fs.Path(
-              s"$dir/banded/band=$b/bk=$bk"), true): Unit
+              s"$dir/banded/band=$b/$pk=$v"), true): Unit
           }
         }
       } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
@@ -395,17 +473,21 @@ object SrpStore {
     SrpBanded.knnGraphFromBanded(spark, d,
       bandingFrame(spark, storeFor(spark, d)), k)
 
-  // one store per corpus dir, built lazily for the queries() entry —
-  // a real deployment writes it once at ingest time (like IvfStore)
-  private val storeCache = new graft.SessionCache[String, String](
+  // one store per (corpus dir, key width), built lazily for the
+  // queries() entry — a real deployment writes it once at ingest time
+  // (like IvfStore), picking the width from the corpus row count
+  // ([[SrpBanded.rowsPerBandFor]])
+  private val storeCache = new graft.SessionCache[(String, Int), String](
     4, (_: String) => ())
   graft.Tables.onInvalidate { p =>
-    storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+    storeCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
   def storeFor(spark: SparkSession, d: String): String =
-    storeCache.getOrElseUpdate(spark, d) {
+    storeFor(spark, d, SrpBanded.RowsPerBand)
+  def storeFor(spark: SparkSession, d: String, rowsPerBand: Int): String =
+    storeCache.getOrElseUpdate(spark, (d, rowsPerBand)) {
       val dir = java.nio.file.Files.createTempDirectory("srpstore").toString
-      write(spark, d, dir)
+      write(spark, d, dir, rowsPerBand)
       dir
     }
 }

@@ -1825,4 +1825,97 @@ class OperatorsSpec extends AnyFunSuite {
     // exceeds its codepoint count
     assert(rows.map(_.getAs[Long]("sq_norm")).forall(_ > 0))
   }
+
+  test("engine conf contract: default-conf session is raised onto the hash path; a pinned session is warned, not overridden") {
+    // an external embedder's session at Spark's own default (128):
+    // ensureScaleConfs raises it in place — the caller never chose it
+    val s2 = spark.newSession()
+    s2.conf.set(SparkEntry.HashAggFallbackKey, "128")
+    SparkEntry.queries("q1_pricing_summary")(s2, sf)
+    assert(SparkEntry.lastConfContractAction == "raised:128",
+      s"default-conf session took '${SparkEntry.lastConfContractAction}'")
+    assert(s2.conf.get(SparkEntry.HashAggFallbackKey).toLong ==
+      SparkEntry.HashAggFallbackMin)
+    // idempotent: the raised session now satisfies the contract
+    SparkEntry.queries("q1_pricing_summary")(s2, sf)
+    assert(SparkEntry.lastConfContractAction == "ok")
+    // a session where the user PINNED a lower value: warned, respected
+    val s3 = spark.newSession()
+    s3.conf.set(SparkEntry.HashAggFallbackKey, "64")
+    SparkEntry.queries("q1_pricing_summary")(s3, sf)
+    assert(SparkEntry.lastConfContractAction == "warned:64",
+      s"pinned session took '${SparkEntry.lastConfContractAction}'")
+    assert(s3.conf.get(SparkEntry.HashAggFallbackKey).toLong == 64L)
+  }
+
+  test("scaled LSH keyspace: width policy, wide-store parity, wide batch serve") {
+    import graft.sources.SrpStore
+    // (a) the policy: pinned floor at small corpora, keyspace ∝ N
+    // (expected bucket occupancy N/2^rpb capped at TargetBucketOccupancy)
+    assert(SrpBanded.rowsPerBandFor(100L) == SrpBanded.RowsPerBand)
+    assert(SrpBanded.rowsPerBandFor(2000L) == SrpBanded.RowsPerBand)
+    assert(SrpBanded.rowsPerBandFor(20000L) == 9)
+    assert(SrpBanded.rowsPerBandFor(200000L) == 12)
+    assert(SrpBanded.rowsPerBandFor(2000000L) == 15)
+    // (b) wide keys live in the widened keyspace; the banding is still
+    // one row per (vector, band)
+    val rpb = 10
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    val nEmb = emb.count()
+    val wide = SrpBanded.bandedOf(emb, SrpBanded.Dim, rpb)
+      .select(col("vec_id"), col("band"), col("bk"))
+    assert(wide.count() == nEmb * SrpBanded.Bands)
+    val maxBk = wide.agg(max(col("bk"))).first().getLong(0)
+    assert(maxBk < (1L << rpb), s"wide key $maxBk outside 2^$rpb keyspace")
+    assert(maxBk >= (1L << SrpBanded.RowsPerBand),
+      "no key used the widened bits — width parameter not reaching the kernel")
+    // (c) a wide store round-trips: grouped layout (≤ 2048 partition
+    // dirs at ANY width), recorded width, pruned read == in-memory
+    val dir = java.nio.file.Files.createTempDirectory("srpwide").toString
+    SrpStore.write(spark, sf, dir, rpb)
+    assert(SrpStore.storeRpb(spark, dir) == rpb)
+    val bandDirs = new java.io.File(s"$dir/banded").listFiles()
+      .filter(_.getName.startsWith("band=")).toSeq
+    val groupDirs = bandDirs.flatMap(_.listFiles().toSeq)
+      .filter(_.getName.startsWith("bg="))
+    assert(groupDirs.nonEmpty &&
+      groupDirs.size <= (SrpBanded.Bands << SrpBanded.RowsPerBand),
+      s"wide layout has ${groupDirs.size} dirs — group partitioning not applied")
+    val qv = graft.functions.FakeEmbedder.embed("fast vector search over spark tables")
+    val keys = SrpBanded.queryProbeKeys(qv, 1, rpb)
+    val got = SrpStore.prunedBanding(spark, dir, keys)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val keySet = keys.toSet
+    val want = wide.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter { case (_, b, bk) => keySet((b, bk)) }.toSet
+    assert(got == want, "wide-store pruned read diverged from in-memory banding")
+    assert(SrpStore.lastPrunedBandingPlan.contains("PartitionFilters: [") &&
+      SrpStore.lastPrunedBandingPlan.contains("bg"),
+      "wide pruned read is not statically pruning on the bucket group")
+    // (d) the wide batched serve: in-memory and stored sources agree
+    // bit-for-bit, the salted pool-join shape agrees with broadcast,
+    // and every query still retrieves itself at rank 1
+    val mem = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50,
+      rowsPerBand = rpb).collect()
+    val stored = SrpBanded.graphSearchBatch(spark, sf, queryMod = 50,
+      bandedSource = Some(ks => SrpStore.batchBanding(spark, dir, ks)),
+      rowsPerBand = rpb).collect()
+    assert(mem.map(_.toSeq).toSeq == stored.map(_.toSeq).toSeq,
+      "wide stored serve diverged from in-memory")
+    mem.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val top = rows.minBy(_.getAs[Int]("rk"))
+      assert(top.getAs[Long]("neighbor_id") == qid,
+        s"wide serve: query $qid rank-1 is ${top.getAs[Long]("neighbor_id")}")
+    }
+    val seedB = SrpBanded.batchSeedScored(spark, sf, queryMod = 50,
+      rowsPerBand = rpb).collect().map(_.toSeq).toSet
+    assert(SrpBanded.lastSeedJoinShape == "broadcast-probes")
+    val seedS = SrpBanded.batchSeedScored(spark, sf, queryMod = 50,
+      probeBroadcastMax = 0L, rowsPerBand = rpb).collect().map(_.toSeq).toSet
+    assert(SrpBanded.lastSeedJoinShape == "salted-shj")
+    assert(seedB == seedS, "wide salted seed join diverged from broadcast shape")
+  }
 }
