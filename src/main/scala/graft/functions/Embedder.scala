@@ -40,4 +40,18 @@ trait Embedder extends Serializable {
     * batched inference inside mapPartitions) — never a per-row
     * interpreted UDF on the hot path. */
   def embedCol(text: Column): Column
+
+  /** Frame form — what batch ingest actually calls: append an
+    * `embedding` column equal to [[embed]] of `textCol`, row-wise.
+    * The default is the map-only column form; a HEAVYWEIGHT encoder
+    * overrides this with partition-level batched inference
+    * (`mapPartitions` with a per-partition model handle, feeding the
+    * model row BATCHES — the m3 decode pattern; see
+    * [[FileEmbedder]]), which no `Column => Column` contract can
+    * express. Either way the plan stays map-only: no shuffle, no
+    * per-row model setup. */
+  def embedFrame(df: org.apache.spark.sql.DataFrame,
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.withColumn("embedding",
+      embedCol(org.apache.spark.sql.functions.col(textCol)))
 }

@@ -475,11 +475,6 @@ object SrpBanded {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding"))
-    val scoreOf: DataFrame => DataFrame = cand => cand
-      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
-      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     // refine at DOUBLE the output degree (standard NN-Descent move:
@@ -487,55 +482,100 @@ object SrpBanded {
     // the top k at the end
     val workK = 2 * k
     // refined edges are built once per (d, params) and cached like the
-    // v18 graph — graph construction is offline, serving reuses it
+    // v18 graph — graph construction is offline, serving reuses it.
+    // Cached WITH their sims: every round's survivors were scored to
+    // be ranked, so the final top-k needs no re-scoring join.
     val g = refinedCache.getOrElseUpdate(spark, (d, k, graphK, rounds)) {
       var cur = materializedGraph(spark, d, graphK).select(col("src"), col("dst"))
+      var curScored: DataFrame = null
       (1 to rounds).foreach { r =>
         // reverse-degree cap (Dong et al. WWW'11 §2.3's ρ-sampling,
         // here at ρ·K = workK): forward degree is bounded by the
         // top-workK cut, but a hub vector collected as a neighbor by
         // thousands of sources would re-enter with unbounded degree
-        // through the reverse direction, making the hop2 self-join
-        // quadratic in its in-degree on skewed corpora. Keep only
-        // workK reverse neighbors per node, ranked by a deterministic
-        // integer hash (replayed verbatim in the DuckDB twin) so the
-        // sample is pseudo-random yet engine-exact.
+        // through the reverse direction, making the neighborhood
+        // pair expansion quadratic in its in-degree on skewed
+        // corpora. Keep only workK reverse neighbors per node, ranked
+        // by a deterministic integer hash (replayed verbatim in the
+        // DuckDB twin) so the sample is pseudo-random yet engine-
+        // exact. The cut is the bounded top-k aggregate, not a rank
+        // window (r11): same (hash asc, dst) order — hash values are
+        // exact integers < 2^30 in a double, ties break on lower id —
+        // but partial buffers cap map-side and nothing sorts the
+        // reversed edge list.
         // operands reduced mod P BEFORE the multiply so the hash never
         // overflows Int64 (pmod(src,P) < 2^30, ×1000003 < 2^50) — and
         // is therefore engine-identical at any id range (the DuckDB
         // twin in refineCtes spells the same reduced form). For ids
         // where src*1000003+dst fits, this equals the unreduced hash
         // mod P, so small-corpus graphs are unchanged.
-        val wrev = Window.partitionBy(col("src")).orderBy(
-          pmod(pmod(col("src"), lit(1000000007L)) * lit(1000003L) +
-            pmod(col("dst"), lit(1000000007L)), lit(1000000007L)),
-          col("dst"))
+        val revHash = pmod(pmod(col("src"), lit(1000000007L)) * lit(1000003L) +
+          pmod(col("dst"), lit(1000000007L)), lit(1000000007L))
         val revSampled = cur.select(col("dst").as("src"), col("src").as("dst"))
-          .withColumn("rrk", row_number().over(wrev))
-          .filter(col("rrk") <= workK)
-          .select(col("src"), col("dst"))
+          .groupBy(col("src"))
+          .agg(graft.functions.TopKPairs.top_k_pairs(
+            col("dst"), revHash.cast("double"), workK, asc = true).as("__tk"))
+          .select(col("src"),
+            explode(col("__tk").getField("neighbor_id")).as("dst"))
         val und = cur.union(revSampled).distinct()
-        val hop2 = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
-          .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        // candidate generation + scoring fused PER PIVOT (r11 — the
+        // standard distributed-NNDescent shape: score inside each
+        // node's neighborhood). The former spelling materialized the
+        // two-hop pair list (≤ N·(2·workK)² rows), distinct'd it, and
+        // joined it against the corpus TWICE to attach embeddings —
+        // at the 1000× decade that second join shuffles the pair set
+        // with an embedding on every row (~100 GB) and the rank
+        // window then sorts it. Here each und edge (s, w) contributes
+        // its src to pivot w's in-list and its dst to pivot s's
+        // out-list, embeddings attach to the N·2·workK EDGE rows
+        // (never to pairs), and the pivot equi-join emits each
+        // two-hop pair (x.src → y.dst) already scored — the pair set
+        // exists only streaming inside the join, never in a shuffle.
+        // Self in-rows (pivot u, id u) make the und edges themselves
+        // emit as (u → v) pairs, so emitted = hop2 ∪ und exactly,
+        // modulo duplicates from shared pivots — which carry
+        // bit-identical sims (same kernel over the same floats) and
+        // collapse in the distinct top-k aggregate, the same
+        // `row_number() <= workK over DISTINCT pairs` contract the
+        // replaced distinct()+window computed (and the DuckDB twin
+        // still replays).
+        val embA = emb.select(col("vec_id").as("id"), col("embedding").as("emb"))
+        val eIn = und.select(col("dst").as("pivot"), col("src").as("id"))
+          .join(embA, Seq("id"))
+          .select(col("pivot"), col("id"), col("emb"))
+        val selfIn = und.select(col("src").as("id")).distinct()
+          .join(embA, Seq("id"))
+          .select(col("id").as("pivot"), col("id"), col("emb"))
+        val eOut = und.select(col("src").as("pivot"), col("dst").as("id"))
+          .join(embA, Seq("id"))
+          .select(col("pivot"), col("id"), col("emb"))
+        val scored = eIn.unionByName(selfIn).toDF("pivot", "src", "emb_s")
+          .join(eOut.toDF("pivot", "dst", "emb_d"), Seq("pivot"))
           .filter(col("src") =!= col("dst"))
-        val cand = hop2.union(und).distinct()
-        val next = scoreOf(cand)
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= workK)
-          .select(col("src"), col("dst"))
+          .select(col("src"), col("dst"),
+            vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
+        val next = scored.groupBy(col("src"))
+          .agg(graft.functions.TopKPairs.top_k_pairs_distinct(
+            col("dst"), col("sim"), workK).as("__tk"))
+          .select(col("src"), explode(col("__tk")).as("__e"))
+          .select(col("src"),
+            col("__e").getField("neighbor_id").as("dst"),
+            col("__e").getField("score").as("sim"))
         // each round's graph feeds n·k² candidates to the next — break
         // lineage so round r+1 doesn't replay rounds 1..r, and release
         // the previous round's blocks once the new checkpoint is live
         // (localCheckpoint is eager). Round 1's `cur` is the shared
         // materializedGraph — never unpersist that one.
         val prev = cur
-        cur = next.localCheckpoint(true)
+        curScored = next.localCheckpoint(true)
+        cur = curScored.select(col("src"), col("dst"))
         if (r > 1) org.apache.spark.sql.GraftBridge.unpersistPlanRdds(prev)
       }
-      cur
+      curScored
     }
-    scoreOf(g)
-      .withColumn("rk", row_number().over(w))
+    // final cut over the pre-scored workK survivors — N·2k rows, no
+    // corpus join (the sims are the very values each round ranked on)
+    g.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"), col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("src"), col("rk"))

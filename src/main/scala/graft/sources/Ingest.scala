@@ -37,7 +37,7 @@ object Ingest {
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .withColumn("text", regexp_replace(col("text"), "\\s+", " "))
       .withColumn("n_chars", length(col("text")))
-      .withColumn("embedding", embedder.embedCol(col("text")))
+      .transform(df => embedder.embedFrame(df, "text"))
   }
 
   def fromCsv(spark: SparkSession, path: String, idCol: String = "doc_id",

@@ -75,6 +75,61 @@ class EmbedderSpec extends AnyFunSuite {
     assert(FakeEmbedder.dim == FakeEmbedder.Dim)
   }
 
+  test("model-file-backed embedder: loads once per JVM, batches via mapPartitions, serves a probe stream") {
+    import graft.functions.FileEmbedder
+    val dir = java.nio.file.Files.createTempDirectory("femodel").toString
+    val mPath = s"$dir/encoder.grft"
+    // "training export": a deterministic weight artifact on disk
+    FileEmbedder.writeModel(mPath, dim = 64, vocab = 1024, seed = 42L)
+    FileEmbedder.dropCached(mPath)
+    FileEmbedder.loads.set(0)
+    val fe = FileEmbedder(mPath)
+    // ingest through the seam: multi-partition input, so a per-
+    // partition (or worse, per-row) model read would count > 1
+    val out = Ingest.embedDocuments(docs.repartition(4), "doc_id", fe)
+    // the batch hook must plan as partition-level inference (a
+    // MapPartitions node), still map-only — no shuffle anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"file embedder did not take the mapPartitions batch path:\n$plan")
+    // no shuffle introduced ABOVE the inference node (the test's own
+    // repartition sits below it): embedding stays map-only
+    assert(!plan.split("MapPartitions")(0).contains("Exchange"),
+      s"embed ingest shuffles after inference:\n$plan")
+    val rows = out.select("doc_id", "text", "embedding").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val got = r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val want = fe.embed(r.getAs[String]("text")).toSeq
+      assert(got == want, s"doc ${r.getLong(0)}: frame path diverged from embed()")
+      assert(got.length == 64)
+    }
+    assert(FileEmbedder.loads.get() == 1,
+      s"model file read ${FileEmbedder.loads.get()} times — per-JVM memoization broken")
+    // scalar column contract (embedCol) agrees with embed() too
+    val viaCol = docs.select(fe.embedCol(col("text")).as("e")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("e").toSeq)
+    val direct = docs.collect().map(r => fe.embed(r.getString(1)).toSeq)
+    assert(viaCol.toSeq == direct.toSeq)
+    // and the heavyweight model serves a probe STREAM: queries embed
+    // through the injected file-backed encoder per micro-batch
+    val sf = "/root/testdata/sf0.001"
+    val storeDir = graft.sources.CodeStore.storeFor(spark, sf)
+    val qDir = java.nio.file.Files.createTempDirectory("feq").toString
+    val qText = "fast vector search over spark tables"
+    java.nio.file.Files.write(java.nio.file.Paths.get(qDir, "q.json"),
+      s"""{"query_id": 11, "query_text": "$qText"}\n""".getBytes("UTF-8"))
+    val viaStream = graft.streaming.CodeProbeStream
+      .runOnce(spark, qDir, storeDir, k = 5, embedder = fe)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    val want = graft.sources.CodeStore
+      .search(spark, storeDir, fe.embed(qText), 5)
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaStream == want,
+      s"stream with file-backed embedder diverged: $viaStream vs $want")
+    assert(FileEmbedder.loads.get() == 1, "stream re-read the model file")
+  }
+
   test("probe stream embeds queries through the injected Embedder") {
     // a wrapper model that embeds the REVERSED text — distinguishable
     // from the default, but dim-compatible with the 64-dim store
