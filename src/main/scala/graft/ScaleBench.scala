@@ -37,15 +37,36 @@ object ScaleBench {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale_$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // at the 1000× decade the batched-graph seed pool is ~2.4G rows;
+    // cpus-many shuffle partitions puts ~75M aggregate keys in one
+    // task's hash state — size the shuffle so per-task state stays
+    // executor-memory-shaped (AQE still coalesces the small stages)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // typed top-k partial aggregates (TopKPairs) must stay on the hash
       // path: the 128-key default fallback re-SORTS (and at scale, spills)
       // the candidate stream the aggregate exists to avoid sorting
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // multi-decade serve passes each write tens of GB of shuffle;
+      // without a periodic driver GC the ContextCleaner only reclaims
+      // those files when the shuffle objects happen to be collected,
+      // and back-to-back warm passes can exhaust the disk first
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // the 1000×-decade pool shuffle writes ~10M+ rows per map task;
+      // unbounded, the shuffle sorter's pointer array doubles to
+      // hundreds of MB and the auto page size reaches 64 MB — both
+      // are G1 humongous allocations whose churn across 32 concurrent
+      // tasks fragments the old gen into a heap OOM (observed: 512 MB
+      // /58 MB allocation failures in stage-137 shuffle writes with
+      // 20+ GB nominally free). Bound both: spill every 4M records
+      // (32 MB pointer array, reused across spills) and keep pages at
+      // 8 MB (sub-humongous at any region size ≥ 16 MB)
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "4194304")
+      .config("spark.buffer.pageSize", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -179,6 +200,9 @@ object ScaleBench {
           .count()))
       } catch { case _: Throwable => None }
       System.err.println(f"[scale] serve $n done ${ok.map(_._2).getOrElse(-1.0)}%.1f s")
+      // release the pass's checkpoint/shuffle references eagerly so
+      // the cleaner can drop their disk files before the next pass
+      System.gc()
       n -> ok.map(_._2).getOrElse(-1.0)
     }
     pass() // warmup

@@ -16,9 +16,24 @@ import org.apache.spark.sql.types._
   * id)` so results are deterministic and oracle-comparable.
   */
 final class TopKBuffer(val k: Int, val asc: Boolean, val distinct: Boolean = false) {
-  var ids = new Array[Long](math.max(4, 2 * k))
-  var scores = new Array[Double](math.max(4, 2 * k))
+  // capacity grows ×2 toward the 2k working bound instead of being
+  // allocated eagerly: an aggregation holds ONE buffer per live group
+  // key, and at a large-k call site (the 2048-entry seed budget) the
+  // eager 2·k arrays cost ~64 KB per group BEFORE any row arrives —
+  // 40k query groups per task = 2.6 GB of empty arrays, the measured
+  // 1000×-decade OOM. Growth changes only allocation timing: compact
+  // (and therefore the kept multiset) still happens exactly at the
+  // 2k bound, so results are bit-identical.
+  private val cap = math.max(4, 2 * k)
+  var ids = new Array[Long](math.min(cap, 16))
+  var scores = new Array[Double](math.min(cap, 16))
   var size = 0
+
+  private def grow(): Unit = {
+    val n = math.min(cap, ids.length * 2)
+    ids = java.util.Arrays.copyOf(ids, n)
+    scores = java.util.Arrays.copyOf(scores, n)
+  }
 
   @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
@@ -41,9 +56,11 @@ final class TopKBuffer(val k: Int, val asc: Boolean, val distinct: Boolean = fal
       var i = 0
       while (i < size) { if (ids(i) == id) return; i += 1 }
     }
-    if (size == ids.length) compact()
-    // after compact() size == min(k, size) < capacity max(4, 2k), so
-    // there is always room for the append
+    if (size == ids.length) {
+      if (ids.length < cap) grow() else compact()
+    }
+    // after grow() capacity doubled; after compact() (only at the full
+    // 2k bound) size == min(k, size) < cap — room either way
     ids(size) = id; scores(size) = score; size += 1
   }
 

@@ -511,7 +511,14 @@ object SrpBanded {
         // mod P, so small-corpus graphs are unchanged.
         val revHash = pmod(pmod(col("src"), lit(1000000007L)) * lit(1000003L) +
           pmod(col("dst"), lit(1000000007L)), lit(1000000007L))
+        // repartition on the reversed src before aggregating: the
+        // reversed roles scatter every group key across all input
+        // partitions, so a map-side partial would hold ~N live
+        // buffers per task; pinning the partitioning first keeps
+        // aggregate state partition-local (N/partitions groups) for
+        // the cost of one ids-only exchange
         val revSampled = cur.select(col("dst").as("src"), col("src").as("dst"))
+          .repartition(col("src"))
           .groupBy(col("src"))
           .agg(graft.functions.TopKPairs.top_k_pairs(
             col("dst"), revHash.cast("double"), workK, asc = true).as("__tk"))
@@ -554,7 +561,10 @@ object SrpBanded {
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"),
             vectors.cosine_sim(col("emb_s"), col("emb_d")).as("sim"))
-        val next = scored.groupBy(col("src"))
+        // same partition-local-state discipline: the pivot join's
+        // output is pivot-partitioned, so src groups span every task
+        val next = scored.repartition(col("src"))
+          .groupBy(col("src"))
           .agg(graft.functions.TopKPairs.top_k_pairs_distinct(
             col("dst"), col("sim"), workK).as("__tk"))
           .select(col("src"), explode(col("__tk")).as("__e"))
@@ -967,20 +977,28 @@ object SrpBanded {
           .drop("salt")
     }
     // per (query, candidate): best (lowest) flip radius + how many of
-    // the Bands independent probed buckets it collided in. Replaces
-    // the former pair-level distinct() — same single combine-friendly
-    // exchange, now carrying the two ranking signals (ids + 2 ints,
-    // never an embedding).
+    // the Bands independent probed buckets it collided in — then the
+    // budget cut, BOTH under ONE query_id hash partitioning (the v26
+    // dedupRank move applied to the seed stage, r11): HashPartitioning
+    // on query_id satisfies the (query_id, vec_id) ClusteredDistribution
+    // as a subset, so the pair-level dedup aggregate plans exchange-free
+    // on top of the explicit repartition, and the budget aggregate's
+    // state is bounded by the PARTITION's queries. The former shape
+    // (hash on (query_id, vec_id), then a second exchange into the
+    // budget cut) ran the budget PARTIAL over every partition — one
+    // live TopKBuffer per (task × query) = |Q|·~66 KB per task at the
+    // 2048-entry budget, the measured 1000×-decade OOM; here a task
+    // only ever holds |Q|/partitions groups.
     val pool = joined
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
     // budget cut via the bounded top-k aggregate (the BucketCap
-    // machinery): partial buffers cap map-side, so ≤ 2·budget ids per
-    // (map partition, query) ride the shuffle however large the pool.
-    // Priority pr·1000 − cnt (asc) = radius asc, collisions desc;
-    // ties on lower vec_id inside TopKBuffer — exactly the
-    // `row_number() OVER (ORDER BY pr*1000 - cnt, vec_id)` the oracle
-    // twin replays (all terms are small exact integers in a double).
+    // machinery). Priority pr·1000 − cnt (asc) = radius asc,
+    // collisions desc; ties on lower vec_id inside TopKBuffer —
+    // exactly the `row_number() OVER (ORDER BY pr*1000 - cnt,
+    // vec_id)` the oracle twin replays (all terms are small exact
+    // integers in a double).
     val budgeted = pool
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.top_k_pairs(
