@@ -194,21 +194,36 @@ object SrpStore {
     }
 
   /** Pruned multi-probe read: distinct (vec_id, embedding) across the
-    * probed buckets, exact-scored against the query. The OR-of-
-    * equalities predicate is static partition pruning — evaluated
-    * against the partition listing, not the data. */
-  // balanced OR tree: a left-deep reduce of ~300 terms builds a
-  // depth-300 Column tree and the recursive plan conversion can blow
-  // the thread stack; balancing keeps it at depth ~9. Still a
-  // literal predicate on partition columns → static pruning.
+    * probed buckets, exact-scored against the query. The predicate is
+    * static partition pruning — evaluated against the partition
+    * listing, not the data. */
+  // balanced OR tree over the ≤ Bands per-band terms: a left-deep
+  // reduce builds a deep Column tree the recursive plan conversion
+  // walks per node; balancing keeps the depth logarithmic.
   private def balancedOr(ps: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
     if (ps.length == 1) ps.head
     else {
       val (l, r) = ps.splitAt(ps.length / 2)
       balancedOr(l) || balancedOr(r)
     }
+  /** band = b && c ∈ keys(b), OR'd over the ≤ Bands distinct bands —
+    * ONE In/InSet membership node per band instead of a boolean node
+    * per probed key. Semantically identical to the OR-of-equalities
+    * it replaced, but constant-size: the per-key OR tree generated
+    * one `bk = X` node per probed bucket, and at a corpus-scaled
+    * keyspace (~38k probed buckets for the 1000×-decade batch) the
+    * generated filter method crossed janino's 64 KB limit — Spark
+    * disabled whole-stage codegen for the scan stage and evaluated
+    * the 38k-node tree INTERPRETED per banded row (measured: the
+    * stored batch serve at 4× its in-memory twin). InSet is a hash
+    * lookup at any key count, in codegen, in the file-index pruning,
+    * and in the parquet pushdown translation alike. */
+  private def perBandIn(c: String, keys: Seq[(Int, Long)]): org.apache.spark.sql.Column =
+    balancedOr(keys.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ks) =>
+      col("band") === b && col(c).isin(ks.map(_._2).distinct: _*)
+    })
   private def bucketPred(keys: Seq[(Int, Long)]): org.apache.spark.sql.Column =
-    balancedOr(keys.map { case (b, bk) => col("band") === b && col("bk") === bk })
+    perBandIn("bk", keys)
 
   /** The probed-bucket predicate for a store's layout: exact (band,
     * bk) terms for the default layout (both partition columns →
@@ -218,11 +233,9 @@ object SrpStore {
   private def layoutPred(rpb: Int, keys: Seq[(Int, Long)]): org.apache.spark.sql.Column = {
     val shift = groupShift(rpb)
     if (shift == 0) bucketPred(keys)
-    else {
-      val groups = keys.map { case (b, bk) => (b, bk >> shift) }.distinct
-      balancedOr(groups.map { case (b, g) => col("band") === b && col("bg") === g }) &&
+    else
+      perBandIn("bg", keys.map { case (b, bk) => (b, bk >> shift) }) &&
         bucketPred(keys)
-    }
   }
 
   /** executed plan of the last pruned bulk banding read — spec hook */
@@ -395,8 +408,7 @@ object SrpStore {
       // 2. bucket rewrites — survivors: touched-bucket rows minus
       //    stale copies of updated ids; lineage broken before
       //    overwriting the files it reads
-      val touchedPred = balancedOr(touched.map { case (b, v) =>
-        col("band") === b && col(pk) === v })
+      val touchedPred = perBandIn(pk, touched)
       val survivors = store.filter(touchedPred)
         .join(broadcast(updIds), Seq("vec_id"), "left_anti")
       val merged = survivors.unionByName(newBanded)
