@@ -187,12 +187,23 @@ object CodeStore {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     val qCodes = queries.select(col("query_id"),
       SrpBanded.bandKeysCol(col("q_vec")).as("q_keys"))
+    // band keys flattened to Bands primitive LONG columns on BOTH
+    // sides BEFORE the cross product: element_at on ArrayData inside
+    // the |Q|·N pair stream was the dominant per-pair cost (generic
+    // array access + null branch, 16× per pair); flat columns are
+    // fixed-offset row reads and the hamming sum stays whole-stage-
+    // codegen'd integer ops. element_at now runs N + |Q| times
+    // instead of 2·Bands·|Q|·N. Same integers, same rows.
+    val qFlat = qCodes.select(col("query_id") +:
+      (0 until SrpBanded.Bands).map(b =>
+        element_at(col("q_keys"), b + 1).as(s"q$b")): _*)
+    val cFlat = codesFrame(spark, dir).select(col("vec_id") +:
+      (0 until SrpBanded.Bands).map(b =>
+        element_at(col("keys"), b + 1).as(s"c$b")): _*)
     val ham = (0 until SrpBanded.Bands).map { b =>
-      bit_count(element_at(col("keys"), b + 1)
-        .bitwiseXOR(element_at(col("q_keys"), b + 1)))
+      bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
     }.reduce(_ + _).cast("int")
-    val pairs = codesFrame(spark, dir).select(col("vec_id"), col("keys"))
-      .crossJoin(broadcast(qCodes))
+    val pairs = cFlat.crossJoin(broadcast(qFlat))
       .select(col("query_id"), col("vec_id"), ham.as("ham"))
     // shortlist cut as a bounded top-k AGGREGATE (r10, the IvfPqStore
     // batch-cut rationale): the window's group-limit sorts the full
