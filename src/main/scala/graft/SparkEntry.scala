@@ -258,6 +258,12 @@ object SparkEntry {
     // soft dedup: every doc kept, near-dup cluster members share one
     // document's sampling mass (weight = 1/cluster_size)
     "d12_dup_weight" -> ((s, d) => Dedup.dupWeights(s, d)),
+    // end-to-end curation funnel: quality gate → exact dedup →
+    // near-dup canonicalization, one disposition row per document
+    "p1_curation_pipeline" -> ((s, d) => Pipeline.curationPipeline(s, d)),
+    // the funnel report: per-(lang, source) stage counts + kept token
+    // mass — the training-mix table the pipeline feeds
+    "p2_curation_summary" -> ((s, d) => Pipeline.curationSummary(s, d)),
     "v18_knn_graph" -> ((s, d) => SrpBanded.knnGraph(s, d)),
     "v19_graph_search" -> ((s, d) =>
       SrpBanded.graphSearch(s, d, FakeEmbedder.embed(SearchText))),
@@ -458,6 +464,8 @@ object SparkEntry {
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
     "d11_semdedup" -> Dedup.semDedupSql(),
     "d12_dup_weight" -> Dedup.dupWeightsSql(),
+    "p1_curation_pipeline" -> Pipeline.curationPipelineSql,
+    "p2_curation_summary" -> Pipeline.curationSummarySql,
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
     "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),

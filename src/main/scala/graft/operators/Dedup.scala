@@ -369,15 +369,32 @@ object Dedup {
     }
 
   private def dupComponentsUncached(spark: SparkSession, d: String, threshold: Double,
-                                    maxIters: Int): DataFrame = {
-    // materialize the pair generation once — the union below consumes
-    // it twice (forward + reversed), and every iteration reads it.
-    // Memoized per (dataset, threshold): the pair graph is d4's output
-    // and d6's input — a pipeline materializes it once.
-    val pairs = Dedup.pairsCache.getOrElseUpdate(spark, (d, threshold)) {
+                                    maxIters: Int): DataFrame =
+    componentsOfPairs(cachedPairs(spark, d, threshold), maxIters)
+
+  /** The memoized near-dup pair graph (d4's output): forward
+    * (id_a < id_b) pairs at `threshold`, checkpointed once per
+    * (dataset, threshold) — d6, d8, d12 and the p1 curation pipeline
+    * all consume this single materialization. */
+  private[graft] def cachedPairs(spark: SparkSession, d: String,
+                                 threshold: Double): DataFrame =
+    // materialize the pair generation once — components consume it
+    // twice per iteration (forward + reversed), and every iteration
+    // reads it. Memoized per (dataset, threshold): the pair graph is
+    // d4's output and d6's input — a pipeline materializes it once.
+    Dedup.pairsCache.getOrElseUpdate(spark, (d, threshold)) {
       ngramJaccard(spark, d, threshold)
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
     }
+
+  /** Connected components over an arbitrary (id_a, id_b) pair frame —
+    * the label-propagation loop of d6, factored out so callers can
+    * induce a subgraph first (the p1 curation pipeline restricts the
+    * full pair graph to its exact-dedup survivors). Returns
+    * (doc_id, cluster_id = component-min id); only ids that appear in
+    * a pair come back — singletons are the caller's business. */
+  private[graft] def componentsOfPairs(pairs: DataFrame,
+                                       maxIters: Int = 20): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()

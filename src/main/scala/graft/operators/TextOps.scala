@@ -12,7 +12,7 @@ import graft.Tables
   */
 object TextOps {
 
-  private val StopWords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "data")
+  private[graft] val StopWords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "data")
 
   /** t1: per-language corpus profile. */
   def langProfile(spark: SparkSession, d: String): DataFrame = {

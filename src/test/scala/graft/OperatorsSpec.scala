@@ -1918,4 +1918,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SrpBanded.lastSeedJoinShape == "salted-shj")
     assert(seedB == seedS, "wide salted seed join diverged from broadcast shape")
   }
+
+  test("p1/p2 curation pipeline: disposition partitions the corpus, keepers are live, funnel sums agree") {
+    import spark.implicits._
+    val disp = Pipeline.curationPipeline(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    // every document gets exactly one disposition row
+    assert(disp.length == docs.count())
+    assert(disp.map(_.getAs[Long]("doc_id")).distinct.length == disp.length)
+    val byStage = disp.groupBy(_.getAs[String]("stage"))
+    assert(byStage.keySet.subsetOf(Set("quality", "exact_dup", "near_dup", "kept")))
+    // the test corpus exercises the gate and the near-dup stage
+    assert(byStage.getOrElse("quality", Array.empty).nonEmpty, "no quality-dropped docs")
+    assert(byStage.getOrElse("near_dup", Array.empty).nonEmpty, "no near-dup-dropped docs")
+    assert(byStage.getOrElse("kept", Array.empty).nonEmpty, "empty final corpus")
+    // keeper contract per stage: quality rows have no keeper; kept rows
+    // keep themselves; a dup's keeper is a surviving document that was
+    // not itself dropped at an earlier-or-same stage
+    val stageOf = disp.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    disp.foreach { r =>
+      val (id, st) = (r.getAs[Long]("doc_id"), r.getAs[String]("stage"))
+      st match {
+        case "quality" => assert(r.isNullAt(r.fieldIndex("keeper_id")))
+        case "kept"    => assert(r.getAs[Long]("keeper_id") == id)
+        case "exact_dup" =>
+          val k = r.getAs[Long]("keeper_id")
+          assert(k < id, s"exact keeper $k is not the min doc_id of $id's group")
+          assert(Set("kept", "near_dup")(stageOf(k)),
+            s"exact keeper $k of $id was dropped at stage ${stageOf(k)}")
+        case "near_dup" =>
+          val k = r.getAs[Long]("keeper_id")
+          assert(k != id && stageOf(k) == "kept",
+            s"near-dup keeper $k of $id has stage ${stageOf(k)}")
+      }
+    }
+    // a near-dup loser never out-lengths its canonical (keep-the-longest
+    // policy, doc_id tiebreak)
+    val nChars = docs.select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byStage.getOrElse("near_dup", Array.empty).foreach { r =>
+      val (id, k) = (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"))
+      assert(nChars(k) > nChars(id) || (nChars(k) == nChars(id) && k < id),
+        s"canonical $k does not dominate member $id")
+    }
+    // p2 is exactly p1's funnel, re-counted per (lang, source)
+    val sums = Pipeline.curationSummary(spark, sf)
+      .agg(sum($"docs_in"), sum($"after_quality"), sum($"after_exact"),
+        sum($"docs_kept"), sum($"kept_tokens")).first()
+    assert(sums.getLong(0) == disp.length)
+    assert(sums.getLong(1) == disp.count(_.getAs[String]("stage") != "quality"))
+    assert(sums.getLong(2) == disp.count(r =>
+      !Set("quality", "exact_dup")(r.getAs[String]("stage"))))
+    assert(sums.getLong(3) == byStage("kept").length)
+    assert(sums.getLong(4) > 0L)
+  }
 }
