@@ -86,22 +86,64 @@ object SrpStore {
         .getOrElse(SrpBanded.RowsPerBand)
     })
 
-  /** Partition-dir granularity of the `banded/` layout: the pinned
-    * default keyspace (2048 buckets) partitions by the exact bucket
-    * key; a WIDE keyspace ([[SrpBanded.rowsPerBandFor]] — keyspace ∝
-    * corpus) would explode into 2^rpb·Bands dirs, so it partitions by
-    * the bucket GROUP `bg = bk >> (rpb − defaultRpb)` — the dir count
-    * stays pinned at 2048 at ANY key width, each dir holding
-    * 2^(rpb−8) adjacent buckets, clustered by `bk` at write time so
-    * parquet row-group stats prune WITHIN the dir. Probe reads then
-    * prune twice: (band, bg) in the file index (static partition
-    * pruning, zero IO), bk against row-group min/max (footer-level). */
-  private def groupShift(rpb: Int): Int = rpb - SrpBanded.RowsPerBand
+  /** Target rows per partition dir of the `banded/` layout. The write
+    * cost of a partitioned store is PER DIR, not per row (measured
+    * ~8 ms/dir on local fs — graft.tools.StoreWriteProbe: 8 dirs
+    * 0.5 s, 64 dirs 1.1 s, 2048 dirs 16.4 s for the same 48k rows),
+    * so the dir count must scale with the corpus the way the keyspace
+    * does, or a small store pays a 2048-file tax for 23-row files. */
+  private val DirRowTarget = 128L
+
+  /** Partition-dir granularity of the `banded/` layout: buckets are
+    * grouped into dirs by `bg = bk >> shift`, with the shift chosen
+    * at write time so a dir holds ~[[DirRowTarget]] rows and the dir
+    * count never exceeds Bands·2^defaultRpb = 2048:
+    *
+    *   shift = rpb − min(rpb, 8, floor(log2(max(1, n/DirRowTarget))))
+    *
+    * At corpus scale this reproduces the r10 layouts exactly — a
+    * pinned 8-bit store with ≥ 32k rows gets shift 0 (exact-bucket
+    * dirs), a policy-width store gets shift rpb−8 (2048 dirs) — and
+    * only SMALL corpora group harder (fewer, larger dirs). Rows are
+    * clustered by `bk` at write time so parquet row-group stats prune
+    * WITHIN a dir; probe reads prune twice: (band, bg) in the file
+    * index (static partition pruning, zero IO), bk against row-group
+    * min/max (footer-level) plus the post-scan row filter. The shift
+    * is recorded as a `_keyspace/shift=` marker; every read path
+    * follows the recorded layout. */
+  private[graft] def layoutShift(rpb: Int, nPerBand: Long): Int = {
+    val bits =
+      if (nPerBand <= DirRowTarget) 0
+      else 63 - java.lang.Long.numberOfLeadingZeros(nPerBand / DirRowTarget)
+    rpb - math.min(rpb, math.min(SrpBanded.RowsPerBand, bits))
+  }
+
+  /** recorded dir-group shift of a store; legacy stores without the
+    * marker fall back to the r10 rule (wide ⇒ rpb−8, pinned ⇒ 0) */
+  private val shiftCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def storeShift(spark: SparkSession, dir: String): Int =
+    shiftCache.getOrElseUpdate(dir, {
+      val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
+      val f = hadoopFs(spark, dir)
+      val marker =
+        if (!f.exists(kd)) None
+        else f.listStatus(kd).toSeq.map(_.getPath.getName)
+          .collectFirst { case s if s.startsWith("shift=") => s.drop(6).toInt }
+      marker.getOrElse(math.max(0, storeRpb(spark, dir) - SrpBanded.RowsPerBand))
+    })
 
   def write(spark: SparkSession, d: String, dir: String): Unit =
     write(spark, d, dir, SrpBanded.RowsPerBand)
 
-  def write(spark: SparkSession, d: String, dir: String, rowsPerBand: Int): Unit = {
+  def write(spark: SparkSession, d: String, dir: String, rowsPerBand: Int): Unit =
+    write(spark, d, dir, rowsPerBand, None)
+
+  /** `shiftOverride` pins the dir-group shift instead of the
+    * [[layoutShift]] budget — spec hook for exercising a specific
+    * layout (e.g. exact-bucket dirs for the rewrite-minimality
+    * contract) independent of corpus size. */
+  def write(spark: SparkSession, d: String, dir: String, rowsPerBand: Int,
+            shiftOverride: Option[Int]): Unit = {
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
@@ -113,10 +155,12 @@ object SrpStore {
       .cache()
     // co-locate each bucket before the partitioned write: without
     // this every input task writes its own sliver into every bucket
-    // dir (task_count × 2048 files — the probe path then pays a
+    // dir (task_count × dirs files — the probe path then pays a
     // file-open per sliver). At larger corpora add a salt column to
     // this repartition to split hot buckets across several writers.
-    val shift = groupShift(rowsPerBand)
+    // (the count also materializes the cache the two writes reuse)
+    val shift = shiftOverride.getOrElse(
+      layoutShift(rowsPerBand, banded.count() / SrpBanded.Bands))
     if (shift == 0)
       banded.repartition(col("band"), col("bk"))
         .write.mode(SaveMode.Overwrite)
@@ -134,6 +178,9 @@ object SrpStore {
     fsK.delete(kd, true): Unit
     fsK.mkdirs(kd)
     fsK.create(new org.apache.hadoop.fs.Path(kd, s"rpb=$rowsPerBand"), false).close()
+    fsK.create(new org.apache.hadoop.fs.Path(kd, s"shift=$shift"), false).close()
+    rpbCache.remove(dir): Unit
+    shiftCache.remove(dir): Unit
     // compact copy of the key assignment for BULK consumers (graph
     // builds, analytics): (vec_id, band, bk) is 12 B/row, and a
     // full-graph rebuild reading 2048 bucket dirs of point-probe-
@@ -163,6 +210,8 @@ object SrpStore {
     frameCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
     rpbCache.keys.filter(k => k.startsWith(p) || p.startsWith(k))
       .foreach(rpbCache.remove)
+    shiftCache.keys.filter(k => k.startsWith(p) || p.startsWith(k))
+      .foreach(shiftCache.remove)
   }
   private def bandedFrame(spark: SparkSession, dir: String): DataFrame =
     frameCache.getOrElseUpdate(spark, dir)(spark.read.parquet(s"$dir/banded"))
@@ -230,13 +279,11 @@ object SrpStore {
     * static pruning), plus the (band, bg) GROUP terms for a wide
     * store — there bg is the partition column (file-index pruning)
     * and the exact-bk conjunct pushes to parquet row-group stats. */
-  private def layoutPred(rpb: Int, keys: Seq[(Int, Long)]): org.apache.spark.sql.Column = {
-    val shift = groupShift(rpb)
+  private def layoutPred(shift: Int, keys: Seq[(Int, Long)]): org.apache.spark.sql.Column =
     if (shift == 0) bucketPred(keys)
     else
       perBandIn("bg", keys.map { case (b, bk) => (b, bk >> shift) }) &&
         bucketPred(keys)
-  }
 
   /** executed plan of the last pruned bulk banding read — spec hook */
   @volatile var lastPrunedBandingPlan: String = ""
@@ -256,7 +303,7 @@ object SrpStore {
   def prunedBanding(spark: SparkSession, dir: String,
                     keys: Seq[(Int, Long)]): DataFrame = {
     val pruned = bandedFrame(spark, dir)
-      .filter(layoutPred(storeRpb(spark, dir), keys))
+      .filter(layoutPred(storeShift(spark, dir), keys))
       .select(col("vec_id"), col("band").cast("int").as("band"),
         col("bk").cast("long").as("bk"))
     lastPrunedBandingPlan = pruned.queryExecution.executedPlan.toString
@@ -299,7 +346,7 @@ object SrpStore {
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val rpb = storeRpb(spark, dir)
-    val probe = layoutPred(rpb,
+    val probe = layoutPred(storeShift(spark, dir),
       SrpBanded.queryProbeKeys(queryVec, probeRadius, rpb))
     // score BEFORE the per-id dedup: each band copy of a vector
     // yields the same IEEE sim, so the dedup shuffle carries
@@ -357,14 +404,14 @@ object SrpStore {
     * rewritten or torn, and a crash at any step leaves readers on the
     * old committed state with the upsert safely re-runnable. The
     * version chain folds back to one full copy via [[compactBanding]]
-    * after [[CompactAfter]] commits. Returns the touched (band, bk)
-    * pairs. */
+    * after [[CompactAfter]] commits. Returns the touched (band, dir
+    * key) pairs — exact bk for an ungrouped layout, bg otherwise. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame): Seq[(Int, Long)] = {
     val rpb = storeRpb(spark, dir)
-    val shift = groupShift(rpb)
+    val shift = storeShift(spark, dir)
     // partition key of the touched-bucket rewrite: the exact bucket
-    // key for the default layout, the bucket GROUP for a wide store
-    // (see [[groupShift]] — the dir granularity IS the rewrite
+    // key for an ungrouped layout, the bucket GROUP otherwise (see
+    // [[layoutShift]] — the dir granularity IS the rewrite
     // granularity, so touched keys are partition keys either way)
     val pk = if (shift == 0) "bk" else "bg"
     val upd = updates

@@ -401,7 +401,11 @@ class SimilaritySearchSpec extends AnyFunSuite {
   test("SRP store upsert: new vector searchable, moved id leaves no stale copy, only touched buckets rewritten") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("srp_upsert").toString
-    graft.sources.SrpStore.write(spark, sf, dir)
+    // pin exact-bucket dirs (shift 0): this spec's rewrite-minimality
+    // contract is per BUCKET; the default dir budget would group the
+    // tiny test corpus into per-band dirs and make the check vacuous
+    graft.sources.SrpStore.write(spark, sf, dir,
+      graft.operators.SrpBanded.RowsPerBand, Some(0))
     val emb = Tables.embeddings(spark, sf)
       .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
 
