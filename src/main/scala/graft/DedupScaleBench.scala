@@ -73,13 +73,14 @@ object DedupScaleBench {
     // Order matters for cost attribution: d4 materializes the shared
     // pair graph, so d6/d8/d12/p1 measure their OWN marginal work on
     // top of it — the one-materialization pipeline contract, not a
-    // benchmark artifact. d5/d11 need an embeddings table the copied
-    // corpus doesn't have (their scale posture is ScaleBench's job).
+    // benchmark artifact.
     val allNames = Seq("d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
       "d4_ngram_jaccard", "d6_dup_components", "d7_contamination",
       "d8_canonical_docs", "d10_chunk_dedup", "d12_dup_weight",
       "p1_curation_pipeline", "p2_curation_summary",
-      "t3_token_count", "t7_tfidf_top_terms")
+      "t3_token_count", "t7_tfidf_top_terms",
+      "d5_embedding_neardup", "d11_semdedup", "d11_semdedup_scaled",
+      "d13_incremental_neardup")
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(allNames)
@@ -88,9 +89,70 @@ object DedupScaleBench {
       s"SPARK_GRAFT_SCALE_QUERIES names not in DedupScaleBench set: ${unknown.mkString(",")}" +
         s" (valid: ${allNames.mkString(",")})")
 
+    // Embedding-family decades (d5/d11) read an embeddings table the
+    // documents copies can't provide; synthesize it with the
+    // SIGN-FLIP construction: copy i multiplies component j by
+    // s(i,j) = ±1 from an integer hash — within-copy inner products
+    // (and so the dup structure) replicate EXACTLY, cross-copy
+    // cosines are ~N(0, 1/Dim) noise. Labels are made copy-DISJOINT
+    // (label + copy·1000): d5's blocking key partitions the corpus
+    // into bounded groups at any scale, which is its production
+    // posture — per-group quadratic cost, group size scale-invariant.
+    val embPath = s"$dir/embeddings.parquet"
+    val needEmb = names.exists(n =>
+      n.startsWith("d5_") || n.startsWith("d11_"))
+    if (needEmb && !new java.io.File(embPath).exists()) {
+      val base = Tables.embeddings(spark, src)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1
+      base.crossJoin(
+          spark.range(copies).select(col("id").cast("int").as("__copy")))
+        .select(
+          (col("vec_id") + col("__copy").cast("long") * lit(maxId)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) - lit(2.0f) *
+              pmod(xxhash64(col("__copy"), j), lit(2)).cast("float")))
+            .cast("array<float>").as("embedding"),
+          (col("label") + col("__copy") * lit(1000)).as("label"))
+        .repartition(math.max(32, copies / 4))
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val nEmb = if (needEmb) spark.read.parquet(embPath).count() else 0L
+
+    // d13 serves a batch against a PREBUILT store — the store build
+    // is the one-time O(corpus) cost (timed separately below), the
+    // serve is the recurring O(batch) one the decade table measures
+    val sigDir = s"$dir/sigstore"
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (names.contains("d13_incremental_neardup")) {
+      val corpus = spark.read.parquet(docPath)
+        .filter(col("doc_id") % graft.sources.SigStore.BatchMod =!= 0)
+        .select(col("doc_id"), col("text"))
+      if (!new java.io.File(s"$sigDir/_commits").exists()) {
+        val (_, s) = time(graft.sources.SigStore.write(spark, corpus, sigDir))
+        builds += "sig_store" -> s
+      }
+    }
+    def d13Batch() = spark.read.parquet(docPath)
+      .filter(col("doc_id") % graft.sources.SigStore.BatchMod === 0)
+      .select(col("doc_id"), col("text"))
+
+    // SemDeDup's production posture holds CLUSTER SIZE ~constant
+    // (k ∝ N/target) so the within-cluster quadratic stays bounded
+    // per doc; the pinned k=16 gate posture is also measured so the
+    // divergence between the two is visible in the same table
+    val scaledK = math.max(16, (nEmb / 4096L).toInt)
+
+    val special: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "d11_semdedup_scaled" -> (() =>
+        graft.operators.Dedup.semDedup(spark, dir, k = scaledK)),
+      "d13_incremental_neardup" -> (() =>
+        graft.sources.SigStore.incrementalNearDup(spark, sigDir, d13Batch())))
+
     def pass(): Seq[(String, Double, Long)] = names.map { n =>
       val ok = try {
-        val df = SparkEntry.queries(n)(spark, dir)
+        val df = special.get(n).map(_())
+          .getOrElse(SparkEntry.queries(n)(spark, dir))
         Some(time(df.count()))
       } catch { case _: Throwable => None }
       (n, ok.map(_._2).getOrElse(-1.0), ok.map(_._1).getOrElse(-1L))
@@ -101,10 +163,18 @@ object DedupScaleBench {
 
     val qj = warm.map { case (k, v, _) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val oj = warm.map { case (k, _, c) => s""""$k":$c""" }.mkString(",")
+    // embedding-family entries amortize over the embeddings rows,
+    // document entries over the documents rows (d13 over its batch
+    // slice — the serve's own unit)
+    def unitRows(k: String): Double =
+      if (k.startsWith("d5_") || k.startsWith("d11_")) nEmb / 1000.0
+      else if (k.startsWith("d13_")) rows / 3.0 / 1000.0
+      else rows / 1000.0
     val aj = warm.collect { case (k, v, _) if v >= 0 =>
-      s""""$k":${f"${v * 1000.0 / (rows / 1000.0)}%.3f"}""" }.mkString(",")
+      s""""$k":${f"${v * 1000.0 / unitRows(k)}%.3f"}""" }.mkString(",")
+    val bj = builds.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val total = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"dedup_scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"queries":{$qj},"out_rows":{$oj},"ms_per_1k_docs":{$aj}}""")
+    println(s"""{"metric":"dedup_scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"emb_rows":$nEmb,"scaled_k":$scaledK,"queries":{$qj},"out_rows":{$oj},"ms_per_1k_docs":{$aj},"builds":{$bj}}""")
     spark.stop()
   }
 }

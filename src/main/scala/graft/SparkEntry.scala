@@ -258,6 +258,11 @@ object SparkEntry {
     // soft dedup: every doc kept, near-dup cluster members share one
     // document's sampling mass (weight = 1/cluster_size)
     "d12_dup_weight" -> ((s, d) => Dedup.dupWeights(s, d)),
+    // incremental near-dup: a new batch (doc_id % 3 == 0) deduped
+    // against the persisted band-signature store of the rest of the
+    // corpus — probed buckets only, the corpus is never re-banded
+    "d13_incremental_neardup" -> ((s, d) =>
+      graft.sources.SigStore.incrementalNearDupEntry(s, d)),
     // end-to-end curation funnel: quality gate → exact dedup →
     // near-dup canonicalization, one disposition row per document
     "p1_curation_pipeline" -> ((s, d) => Pipeline.curationPipeline(s, d)),
@@ -464,6 +469,7 @@ object SparkEntry {
     "d10_chunk_dedup" -> Dedup.chunkDedupSql(),
     "d11_semdedup" -> Dedup.semDedupSql(),
     "d12_dup_weight" -> Dedup.dupWeightsSql(),
+    "d13_incremental_neardup" -> graft.sources.SigStore.incrementalNearDupSql,
     "p1_curation_pipeline" -> Pipeline.curationPipelineSql,
     "p2_curation_summary" -> Pipeline.curationSummarySql,
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),

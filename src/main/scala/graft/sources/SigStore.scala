@@ -1,0 +1,350 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.text
+
+/** On-disk MinHash band-signature store — incremental near-dup
+  * ("dedup-as-a-service"). The batch operator d2 re-bands the whole
+  * corpus per run; at 100 TB a new crawl snapshot must instead be
+  * deduped against the EXISTING corpus by probing a persisted
+  * signature index and reading only the buckets the new docs touch —
+  * the same always-on-index contract the reference keeps for vectors
+  * (`sql/05_vector_index.sql:3-6` holds an ivfflat index resident so
+  * queries never scan the corpus; this is that role for d2's LSH).
+  *
+  * Layout (all artifacts merge-on-read, one commit-marker chain):
+  * {{{
+  *   <dir>/sigs/__ver=N/band=<b>/bg=<g>/  (doc_id, band_key) rows,
+  *                                        clustered by band_key
+  *   <dir>/docs/__ver=N/                  (doc_id, text) verify texts
+  *   <dir>/_commits/vN                    version N readable iff present
+  *   <dir>/_meta/groups=<G>               bucket-group count (layout)
+  * }}}
+  * `bg = band_key & (G−1)` groups buckets into partition dirs under a
+  * per-dir row budget (the [[SrpStore]] dir-cost lesson: partitioned
+  * writes cost ~8 ms/DIR on local fs, so dir count must follow the
+  * corpus, not the keyspace). Probe reads prune twice: (band, bg)
+  * statically in the file index, the exact band_key set against
+  * row-group stats + the row filter — and the predicate is ONE
+  * membership node per band (`band_key IN <set>`), never a per-key OR
+  * tree (the r11 64 KB-codegen lesson, [[SrpStore.layoutPred]]).
+  *
+  * [[upsert]] appends an O(batch) delta version (sigs + texts) and
+  * publishes it with a marker AFTER all writes succeed — a crash
+  * mid-upsert leaves the committed store intact and the re-run safe
+  * (the uncommitted `__ver` partitions are deleted before rewriting).
+  */
+object SigStore {
+
+  /** d2's parameters — the store IS d2's banding, persisted, so the
+    * incremental serve's pair set matches the batch operator's. */
+  val NumHashes = 32
+  val Bands = 4
+  val Shingle = 5
+  val Threshold = 0.7
+  val MaxBucket = 64
+  private val RowsPerBand = NumHashes / Bands
+
+  /** per-partition-dir row budget for the sigs layout */
+  private val DirRowTarget = 128L
+  private val MaxGroups = 256
+
+  /** Above this many distinct probed (band, band_key) values the
+    * serve switches from a collected, partition-pruned point read to
+    * a full shuffle join against the store — a batch that saturates
+    * the bucket space reads the whole index anyway, and the join
+    * needs no driver-side key set (the [[SrpStore.batchBanding]]
+    * crossover shape). */
+  val ProbeCollectMax = 8192L
+
+  private def fs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    val f = fs(spark, dir)
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
+  }
+
+  private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
+    val f = fs(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    f.mkdirs(cd)
+    f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
+  }
+
+  private val groupsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def storeGroups(spark: SparkSession, dir: String): Int =
+    groupsCache.getOrElseUpdate(dir, {
+      val md = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+      val f = fs(spark, dir)
+      require(f.exists(md), s"SigStore at $dir has no _meta marker")
+      f.listStatus(md).toSeq.map(_.getPath.getName)
+        .collectFirst { case s if s.startsWith("groups=") => s.drop(7).toInt }
+        .getOrElse(1)
+    })
+
+  /** bucket-group count: power of two, sized so a (band, bg) dir
+    * holds ~[[DirRowTarget]] rows — [[MaxGroups]]-capped so the dir
+    * count never exceeds Bands·256 = 1024 at any corpus. */
+  private[graft] def groupsFor(nDocs: Long): Int = {
+    val target = math.max(1L, nDocs / DirRowTarget)
+    math.min(MaxGroups, java.lang.Long.highestOneBit(target)).toInt
+  }
+
+  /** (doc_id, band, band_key) — the d2 banding, shared verbatim by
+    * the store write, the upsert delta and the serve's batch side
+    * (operators/Dedup.scala:76's expression, factored). */
+  private[graft] def bandedSigs(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= Shingle)
+      .select(col("doc_id"),
+        text.minhash_sig(col("text"), Shingle, NumHashes).as("sig"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+          .as(Seq("band", "band_key")))
+
+  private def writeVer(spark: SparkSession, dir: String, v: Int,
+                       docs: DataFrame, groups: Int): Unit = {
+    val f = fs(spark, dir)
+    // a re-run after a crash may find uncommitted leftovers — remove
+    // them before writing so the version is never torn
+    Seq(s"$dir/sigs/__ver=$v", s"$dir/docs/__ver=$v").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (f.exists(hp)) f.delete(hp, true): Unit
+    }
+    val sigs = bandedSigs(docs)
+      .withColumn("bg", col("band_key").bitwiseAND(lit((groups - 1).toLong)))
+    // cluster rows by band_key inside each (band, bg) dir so probe
+    // reads prune at row-group granularity below the dir level
+    sigs.repartition(col("band"), col("bg"))
+      .sortWithinPartitions(col("band"), col("bg"), col("band_key"))
+      .write.partitionBy("band", "bg")
+      .mode("overwrite").parquet(s"$dir/sigs/__ver=$v")
+    docs.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$dir/docs/__ver=$v")
+    commitVer(spark, dir, v)
+  }
+
+  /** build the store from `docs` (doc_id, text) as version 0 */
+  def write(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val n = docs.count()
+    val groups = groupsFor(n)
+    val f = fs(spark, dir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_meta/groups=$groups"))
+    groupsCache.put(dir, groups): Unit
+    writeVer(spark, dir, 0, docs, groups)
+  }
+
+  /** append a new batch as an O(batch) delta version — the layout
+    * (groups) is pinned by the base store so probe pruning stays
+    * uniform across versions. Publishes the commit marker only after
+    * both artifacts are fully written. */
+  def upsert(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val vers = committedVers(spark, dir)
+    require(vers.nonEmpty, s"SigStore.upsert: no committed store at $dir")
+    writeVer(spark, dir, vers.max + 1, docs, storeGroups(spark, dir))
+  }
+
+  /** committed signature rows (doc_id, band, band_key, bg) */
+  private[graft] def sigFrame(spark: SparkSession, dir: String): DataFrame = {
+    val vers = committedVers(spark, dir)
+    require(vers.nonEmpty, s"SigStore at $dir has no committed version")
+    spark.read.parquet(s"$dir/sigs")
+      .filter(col("__ver").isin(vers: _*))
+      .select(col("doc_id"), col("band"), col("band_key"), col("bg"))
+  }
+
+  /** committed verify texts (doc_id, text) */
+  private[graft] def docsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val vers = committedVers(spark, dir)
+    spark.read.parquet(s"$dir/docs")
+      .filter(col("__ver").isin(vers: _*))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** probed-bucket predicate: ONE `IN` membership node per band over
+    * the batch's band_key set (never a per-key OR tree — a predicate
+    * whose size grows with the probe set must be a collection node;
+    * see the r11 codegen entry in docs/PERF.md), with the derived
+    * (band, bg) conjunct pruning partitions statically. */
+  private def probePred(keysByBand: Map[Int, Seq[Long]], groups: Int): Column =
+    keysByBand.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val gs = ks.map(_ & (groups - 1).toLong).distinct
+      col("band") === b &&
+        col("bg").isin(gs: _*) &&
+        col("band_key").isin(ks: _*)
+    }.reduce(_ || _)
+
+  /** Near-dup pairs of `batch` against the stored corpus AND within
+    * the batch itself — d2's pipeline with the corpus side read from
+    * the store. Stages:
+    *
+    *  1. band the batch (O(batch) rows shuffle — texts never ride);
+    *  2. read the store's probed buckets: a partition-pruned point
+    *     read while the batch's distinct key set is collectable
+    *     (≤ [[ProbeCollectMax]]), a full shuffle join once the batch
+    *     saturates the bucket space — physical-plan-only switch, the
+    *     matched rows are identical;
+    *  3. cap each bucket at [[MaxBucket]] over stored+batch occupancy
+    *     (the store holds every non-batch doc, so combined occupancy
+    *     equals d2's whole-corpus bucket count — cap semantics are
+    *     bit-identical to the batch operator's);
+    *  4. pair within capped buckets, keeping pairs with ≥1 batch side
+    *     (old×old pairs were the store build's job);
+    *  5. exact-Jaccard verify on the paired texts only — batch texts
+    *     from the batch frame, stored texts point-joined from the
+    *     store's docs artifact (the serve never reads the corpus
+    *     table).
+    */
+  /** last serve's probe-read shape ("pruned" | "joined") and the
+    * pruned scan's physical plan — observability for the crossover
+    * and PartitionFilters specs (the [[SrpStore.lastBatchBandingSource]]
+    * pattern) */
+  private[graft] var lastProbeSource: String = ""
+  private[graft] var lastPrunedPlan: String = ""
+
+  def incrementalNearDup(spark: SparkSession, storeDir: String,
+                         batch: DataFrame,
+                         probeCollectMax: Long = ProbeCollectMax): DataFrame = {
+    val groups = storeGroups(spark, storeDir)
+    val batchDocs = batch.select(col("doc_id"), col("text"))
+    val batchSigs = bandedSigs(batchDocs).localCheckpoint(true)
+
+    val distinctKeys = batchSigs.select(col("band"), col("band_key")).distinct()
+    val nKeys = distinctKeys.count()
+    val storedRows =
+      if (nKeys <= probeCollectMax) {
+        val keysByBand = distinctKeys.collect()
+          .map(r => (r.getInt(0), r.getLong(1)))
+          .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).toSeq }
+        val pruned = sigFrame(spark, storeDir).filter(probePred(keysByBand, groups))
+        lastProbeSource = "pruned"
+        lastPrunedPlan = pruned.queryExecution.executedPlan.toString
+        pruned
+      } else {
+        // saturated batch: one shuffle join, no driver-side key set
+        lastProbeSource = "joined"
+        sigFrame(spark, storeDir)
+          .join(distinctKeys.hint("shuffle_hash"), Seq("band", "band_key"),
+            "left_semi")
+      }
+
+    val tagged = storedRows.select(col("doc_id"), col("band"), col("band_key"))
+      .withColumn("is_new", lit(false))
+      .unionByName(batchSigs.withColumn("is_new", lit(true)))
+    // combined bucket occupancy — the window mirrors d2's cap exactly
+    val capped = tagged
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
+
+    val a = capped.select(col("band"), col("band_key"),
+      col("doc_id").as("id_a"), col("is_new").as("new_a"))
+    val b = capped.select(col("band"), col("band_key"),
+      col("doc_id").as("id_b"), col("is_new").as("new_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val texts = docsFrame(spark, storeDir).unionByName(batchDocs)
+    candidates
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(text.shingle_jaccard(col("text_a"), col("text_b"), Shingle), 4).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** the d13 gate entry: corpus docs with `doc_id % 3 != 0` persisted
+    * as the store, the `% 3 == 0` slice served as the incoming batch */
+  val BatchMod = 3
+
+  def incrementalNearDupEntry(spark: SparkSession, d: String): DataFrame = {
+    val batch = Tables.documents(spark, d)
+      .filter(col("doc_id") % BatchMod === 0)
+      .select(col("doc_id"), col("text"))
+    incrementalNearDup(spark, storeFor(spark, d), batch)
+  }
+
+  /** DuckDB twin: d2's full replay (the store holds exactly the
+    * non-batch docs, so stored+batch banding ≡ whole-corpus banding —
+    * every stage matches the batch operator's SQL bit for bit), cut
+    * to the pairs the incremental serve emits: ≥1 batch side. */
+  def incrementalNearDupSql: String = {
+    val full = graft.operators.Dedup.minhashLshSql(
+      NumHashes, Bands, Threshold, MaxBucket)
+    // the final SELECT ends in "ORDER BY id_a, id_b"; inject the pair
+    // cut as an outer query so the inner replay stays verbatim-shared
+    s"""SELECT * FROM (
+       |$full
+       |) WHERE id_a % $BatchMod = 0 OR id_b % $BatchMod = 0
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** fold the committed version chain back into one full copy — the
+    * [[SrpStore.compactBanding]] contract: the fold is written and
+    * committed as a NEW version (never in place), then the old
+    * versions' markers and data are GC'd; a crash between commit and
+    * GC leaves extra-but-consistent state (readers prefer nothing —
+    * versions hold disjoint doc sets, so the union is unchanged
+    * until the deletes land, and a re-run finishes them). Versions
+    * hold disjoint doc_ids by the upsert contract (each batch is new
+    * documents; the crash-rerun path deletes its uncommitted version
+    * before rewriting, so no doc is ever committed twice). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val vers = committedVers(spark, dir)
+    if (vers.size <= 1) return
+    val next = vers.max + 1
+    val groups = storeGroups(spark, dir)
+    val f = fs(spark, dir)
+    Seq(s"$dir/sigs/__ver=$next", s"$dir/docs/__ver=$next").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (f.exists(hp)) f.delete(hp, true): Unit
+    }
+    sigFrame(spark, dir)
+      .withColumn("bg", col("band_key").bitwiseAND(lit((groups - 1).toLong)))
+      .repartition(col("band"), col("bg"))
+      .sortWithinPartitions(col("band"), col("bg"), col("band_key"))
+      .write.partitionBy("band", "bg")
+      .mode("overwrite").parquet(s"$dir/sigs/__ver=$next")
+    docsFrame(spark, dir)
+      .write.mode("overwrite").parquet(s"$dir/docs/__ver=$next")
+    commitVer(spark, dir, next)
+    vers.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/v$v"), false): Unit
+    }
+    vers.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/__ver=$v"), true): Unit
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/docs/__ver=$v"), true): Unit
+    }
+    graft.Tables.invalidate(dir)
+  }
+
+  // memoized store of the non-batch corpus slice, keyed by corpus dir
+  private val storeCache = new graft.SessionCache[String, String](
+    4, (_: String) => ())
+  graft.Tables.onInvalidate { p =>
+    storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+    groupsCache.filterInPlace((k, _) => !(k.startsWith(p) || p.startsWith(k)))
+  }
+  def storeFor(spark: SparkSession, d: String): String =
+    storeCache.getOrElseUpdate(spark, d) {
+      val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      write(spark,
+        Tables.documents(spark, d)
+          .filter(col("doc_id") % BatchMod =!= 0)
+          .select(col("doc_id"), col("text")),
+        dir)
+      dir
+    }
+}

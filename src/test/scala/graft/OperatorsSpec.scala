@@ -1972,4 +1972,143 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sums.getLong(3) == byStage("kept").length)
     assert(sums.getLong(4) > 0L)
   }
+
+  test("SigStore incremental near-dup equals the batch operator restricted to batch pairs") {
+    import graft.sources.SigStore
+    // the contract the store exists for: serving a new batch against
+    // the persisted corpus signatures finds EXACTLY the pairs the
+    // whole-corpus d2 run finds that touch the batch — no recall lost
+    // to the store layout, the cap, or the pruned read
+    val inc = SigStore.incrementalNearDupEntry(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLsh(spark, sf)
+      .filter(col("id_a") % SigStore.BatchMod === 0 ||
+        col("id_b") % SigStore.BatchMod === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"incremental=${inc.size} batch-restricted=${full.size}")
+    assert(inc.nonEmpty)
+  }
+
+  test("SigStore probe read: pruned InSet point read, joined crossover, identical pairs") {
+    import graft.sources.SigStore
+    val dir = SigStore.storeFor(spark, sf)
+    val batch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % SigStore.BatchMod === 0)
+      .select(col("doc_id"), col("text"))
+    val pruned = SigStore.incrementalNearDup(spark, dir, batch)
+      .collect().map(_.toSeq).toSet
+    assert(SigStore.lastProbeSource == "pruned")
+    // static partition pruning on (band, bg) in the file index, and
+    // the key predicate as membership nodes — at a 1000×-scale probe
+    // set an OR tree would blow janino's method limit and fall out of
+    // codegen (docs/PERF.md r11); InSet is constant-size at any count
+    assert(SigStore.lastPrunedPlan.contains("PartitionFilters: [") &&
+      SigStore.lastPrunedPlan.contains("bg"),
+      s"no (band, bg) partition pruning in:\n${SigStore.lastPrunedPlan.take(800)}")
+    assert(!SigStore.lastPrunedPlan.contains("band_key = "),
+      "probed keys spelled as per-key equalities, not a membership node")
+    val joined = SigStore.incrementalNearDup(spark, dir, batch, probeCollectMax = 0)
+      .collect().map(_.toSeq).toSet
+    assert(SigStore.lastProbeSource == "joined")
+    assert(pruned == joined, "crossover changed the served pair set")
+  }
+
+  test("SigStore upsert: delta-only append, crash-invisible uncommitted version, union serve") {
+    import spark.implicits._
+    import graft.sources.SigStore
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 1)
+    val delta = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("sigstore_up").toString
+    SigStore.write(spark, base, dir)
+    def files(sub: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub")).map(_.getPath).toSet
+    }
+    val before = files("sigs")
+    SigStore.upsert(spark, dir, delta)
+    // rewrite minimality: the base version's files are untouched —
+    // the upsert cost is O(batch), never O(corpus)
+    assert(files("sigs").intersect(before) == before, "upsert rewrote base files")
+    assert((files("sigs") -- before).forall(_.contains("__ver=1")),
+      "upsert wrote outside its delta version")
+    // union serve: the committed store's signature rows equal a fresh
+    // banding of base ∪ delta
+    val got = SigStore.sigFrame(spark, dir)
+      .select($"doc_id", $"band", $"band_key")
+      .collect().map(_.toSeq).toSet
+    val want = SigStore.bandedSigs(base.unionByName(delta))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // crash contract: a version with data but no commit marker is
+    // invisible to every reader; re-running the upsert then succeeds
+    val more = docs.filter(col("doc_id") % 3 === 0)
+    val vDir = new java.io.File(s"$dir/sigs/__ver=2")
+    SigStore.bandedSigs(more)
+      .withColumn("bg", lit(0L))
+      .write.partitionBy("band", "bg").parquet(vDir.getPath)
+    new java.io.File(s"$dir/docs/__ver=2").mkdirs()
+    assert(SigStore.sigFrame(spark, dir)
+      .select($"doc_id", $"band", $"band_key")
+      .collect().map(_.toSeq).toSet == want,
+      "uncommitted version leaked into the served signature set")
+    SigStore.upsert(spark, dir, more)
+    assert(SigStore.sigFrame(spark, dir).count() ==
+      SigStore.bandedSigs(docs).count())
+  }
+
+  test("SigStore compaction: version chain folds to one committed copy, readers unchanged") {
+    import spark.implicits._
+    import graft.sources.SigStore
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("sigstore_cp").toString
+    SigStore.write(spark, docs.filter($"doc_id" % 3 === 1), dir)
+    SigStore.upsert(spark, dir, docs.filter($"doc_id" % 3 === 2))
+    SigStore.upsert(spark, dir, docs.filter($"doc_id" % 3 === 0))
+    val sigsBefore = SigStore.sigFrame(spark, dir)
+      .select($"doc_id", $"band", $"band_key").collect().map(_.toSeq).toSet
+    val docsBefore = SigStore.docsFrame(spark, dir).count()
+    SigStore.compact(spark, dir)
+    assert(SigStore.committedVers(spark, dir).size == 1, "chain not folded")
+    assert(SigStore.sigFrame(spark, dir)
+      .select($"doc_id", $"band", $"band_key").collect().map(_.toSeq).toSet
+      == sigsBefore, "compaction changed the signature set")
+    assert(SigStore.docsFrame(spark, dir).count() == docsBefore)
+    // old versions GC'd: exactly one __ver dir remains per artifact
+    Seq("sigs", "docs").foreach { sub =>
+      val vers = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.startsWith("__ver=")).map(_.getName).toSeq
+      assert(vers.size == 1, s"$sub left ${vers.mkString(",")}")
+    }
+  }
+
+  test("SigProbeStream: micro-batched ingest dedup equals the one-shot incremental serve") {
+    import spark.implicits._
+    import graft.sources.SigStore
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("sigstore_st").toString
+    SigStore.write(spark, docs.filter($"doc_id" % 3 =!= 0), dir)
+    // the d13 batch arrives as TWO micro-batches (file-per-trigger);
+    // each probes the store and is then upserted, so cross-batch
+    // pairs surface via the later batch's probe — exactly once
+    val arrivals = docs.filter($"doc_id" % 3 === 0)
+    val streamDir = java.nio.file.Files.createTempDirectory("sig_stream").toString
+    arrivals.filter($"doc_id" % 2 === 0).toJSON.coalesce(1)
+      .write.mode("overwrite").text(s"$streamDir/f0")
+    arrivals.filter($"doc_id" % 2 === 1).toJSON.coalesce(1)
+      .write.mode("append").text(s"$streamDir/f0")
+    val got = graft.streaming.SigProbeStream
+      .runOnce(spark, s"$streamDir/f0", dir, upsertEach = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = SigStore.incrementalNearDupEntry(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ⊇ always (bucket occupancy only grows — see the class doc);
+    // equality unless a bucket crossed the cap mid-stream, which this
+    // corpus does not do
+    assert(got == oneShot, s"stream=${got.size} one-shot=${oneShot.size} " +
+      s"missing=${(oneShot -- got).take(3)} extra=${(got -- oneShot).take(3)}")
+    // the upserts really landed: the store now serves the full corpus
+    assert(SigStore.docsFrame(spark, dir).count() == docs.count())
+  }
 }
