@@ -178,16 +178,36 @@ object Hnsw {
     var state: Seq[(Long, Double)] = Seq((entryId, entrySim))
     val path = scala.collection.mutable.LinkedHashMap(entryId -> entrySim)
     for (l <- MaxLevel to 1 by -1) {
+      // per-layer fetch cache: a source's layer-l out-edges are
+      // immutable within the walk, so each source is READ at most
+      // once per layer — repeat frontier members, and the
+      // convergence-confirming step (whose frontier is by definition
+      // already fetched), merge from the cache with NO Spark job.
+      // Identical rows reach the same merge (duplicate dsts carry
+      // bit-identical sims), so the walk is unchanged; only the
+      // redundant reads — each one a full plan+schedule round, the
+      // single-query floor V32Probe measured — disappear.
+      val fetched = scala.collection.mutable.Map.empty[Long, Array[(Long, Double)]]
       var converged = false
       var step = 0
       while (!converged && step < maxSteps) {
         step += 1
         // neighbors scored from the edge rows' in-row embeddings —
         // the step IS the pruned edge read, no corpus join
-        val nb = edgesFor(l, state.map(_._1))
-          .select(col("dst").as("vec_id"),
-            vectors.cosine_sim(col("dst_emb"), q).as("sim"))
-          .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+        val need = state.map(_._1).filterNot(fetched.contains)
+        if (need.nonEmpty) {
+          val bySrc = edgesFor(l, need)
+            .select(col("src"), col("dst").as("vec_id"),
+              vectors.cosine_sim(col("dst_emb"), q).as("sim"))
+            .collect()
+            .map(r => (r.getAs[Long]("src"),
+              (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))))
+            .groupBy(_._1)
+          need.foreach { s =>
+            fetched(s) = bySrc.get(s).map(_.map(_._2)).getOrElse(Array.empty)
+          }
+        }
+        val nb = state.map(_._1).flatMap(fetched(_))
         val merged = (state ++ nb).groupBy(_._1).map(_._2.head).toSeq
           .sortWith { case ((ida, sa), (idb, sb)) => better(sa, ida, sb, idb) }
           .take(descentBeam)

@@ -1243,7 +1243,7 @@ object SrpBanded {
     val edgesOf: Seq[Long] => DataFrame = edgesFor.getOrElse { frontier =>
       graphOverride.getOrElse(materializedGraph(spark, d, graphK))
         .filter(col("src").isin(frontier: _*))
-        .select(col("dst"), col("dst_emb"))
+        .select(col("src"), col("dst"), col("dst_emb"))
     }
     val q = typedLit(queryVec)
     // seed cut: keep the best maxEntries of the scored pool — the one
@@ -1267,16 +1267,33 @@ object SrpBanded {
         if (c != 0) c > 0 else ida < idb
     }
     var frontier: Seq[Long] = seed.map(_._1).toSeq
+    // per-search fetch cache: a source's out-edges are immutable
+    // within the serve, so each frontier member is READ at most once
+    // across the beam hops — carried-over members (a converging beam
+    // keeps most of its frontier) and fully-repeated hops merge from
+    // the cache with no Spark job. Duplicate dsts carry bit-identical
+    // sims (same in-row embedding bytes, same expression), so merging
+    // cached rows equals the former per-hop re-read + dropDuplicates.
+    val fetched = scala.collection.mutable.Map.empty[Long, Array[(Long, Double)]]
     (1 to iters).foreach { _ =>
       // frontier sims are already known (seeds, or last hop's scores):
       // only the NEW neighbors need scoring, from their in-row
       // embeddings — same IEEE floats as the corpus column, so results
       // are bit-identical to the former corpus-join form
-      val nb = edgesOf(frontier)
-        .select(col("dst").as("vec_id"),
-          vectors.cosine_sim(col("dst_emb"), q).as("sim"))
-        .dropDuplicates("vec_id")
-        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+      val need = frontier.filterNot(fetched.contains)
+      if (need.nonEmpty) {
+        val bySrc = edgesOf(need)
+          .select(col("src"), col("dst").as("vec_id"),
+            vectors.cosine_sim(col("dst_emb"), q).as("sim"))
+          .collect()
+          .map(r => (r.getAs[Long]("src"),
+            (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))))
+          .groupBy(_._1)
+        need.foreach { s =>
+          fetched(s) = bySrc.get(s).map(_.map(_._2)).getOrElse(Array.empty)
+        }
+      }
+      val nb = frontier.flatMap(fetched(_))
       val candMap = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
       frontier.foreach(id => candMap.update(id, visited(id)))
       nb.foreach { case (id, s) => candMap.update(id, s) }

@@ -132,7 +132,7 @@ object EdgeStore {
     val pbs = frontier.map(Math.floorMod(_, EdgePartitions.toLong)).distinct
     val step = resolvedFrame(spark, dir)
       .filter(col("pb").isin(pbs: _*) && col("src").isin(frontier: _*))
-      .select(col("dst"), col("dst_emb"))
+      .select(col("src"), col("dst"), col("dst_emb"))
     lastEdgePlan = step.queryExecution.executedPlan.toString
     step
   }

@@ -46,14 +46,15 @@ object ServeGateway {
       "customer support policy for refunds",
       "streaming ingestion with upserts")
 
-    def serve(tag: String)(f: String => Array[org.apache.spark.sql.Row]): Unit = {
+    def serve(tag: String, reqs: Seq[String] = requests)
+             (f: String => Array[org.apache.spark.sql.Row]): Unit = {
       println(s"== $tag")
-      requests.foreach { text =>
+      reqs.foreach { text =>
         val t0 = System.nanoTime()
         val rows = f(text)
         val ms = (System.nanoTime() - t0) / 1e6
         val top = rows.headOption.map(_.mkString("(", ", ", ")")).getOrElse("-")
-        println(f"  $ms%8.1f ms  k=${rows.length}%-3d top=$top  q=\"$text\"")
+        println(f"  $ms%8.1f ms  k=${rows.length}%-3d top=$top  q=\"${text.take(40)}\"")
       }
     }
 
@@ -70,6 +71,24 @@ object ServeGateway {
     // tools.yaml:36-39 lookup-customer-record — point lookup
     serve("lookup-customer-record via recordById") { _ =>
       graft.operators.SimilaritySearch.recordById(docs, "doc_id", 42L).collect()
+    }
+    // ingest-time dedup check — the d13 serve as a request: "is this
+    // document (near-)already in the corpus?" answered from the
+    // persisted band-signature store (probed buckets only, corpus
+    // never re-banded). Requests are texts the corpus DOES contain,
+    // so each returns its verified near-dups rather than trivially 0.
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val sigDir = graft.sources.SigStore.storeFor(spark, sfDir)
+      val dupTexts = docs.filter(col("doc_id") % 3 =!= 0)
+        .orderBy(col("doc_id")).limit(3)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      serve("dedup-check via SigStore.incrementalNearDup", dupTexts) { text =>
+        val batch = Seq((1000000000L, text)).toDF("doc_id", "text")
+        graft.sources.SigStore
+          .incrementalNearDup(spark, sigDir, batch).collect()
+      }
     }
     spark.stop()
   }
