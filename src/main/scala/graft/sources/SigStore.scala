@@ -127,8 +127,19 @@ object SigStore {
       .sortWithinPartitions(col("band"), col("bg"), col("band_key"))
       .write.partitionBy("band", "bg")
       .mode("overwrite").parquet(s"$dir/sigs/__ver=$v")
+    // verify texts bucketed by doc_id (`db`, same group count as the
+    // sigs layout — corpus-sized, dir-budgeted) and clustered by
+    // doc_id within each dir: the serve's text fetch for candidate
+    // pairs is then a partition-pruned POINT read, not an O(corpus)
+    // text scan — the text column is the heaviest in the store, and
+    // it must never ride a scan whose size is the corpus when the
+    // candidate set is batch-sized
     docs.select(col("doc_id"), col("text"))
-      .write.mode("overwrite").parquet(s"$dir/docs/__ver=$v")
+      .withColumn("db", col("doc_id").bitwiseAND(lit((groups - 1).toLong)))
+      .repartition(col("db"))
+      .sortWithinPartitions(col("db"), col("doc_id"))
+      .write.partitionBy("db")
+      .mode("overwrite").parquet(s"$dir/docs/__ver=$v")
     commitVer(spark, dir, v)
   }
 
@@ -169,6 +180,22 @@ object SigStore {
       .select(col("doc_id"), col("text"))
   }
 
+  /** point-read the committed texts of `ids`: (__ver, db) prune in
+    * the file index, `doc_id IN <set>` (a membership node, as ever)
+    * against the doc_id-clustered row groups + the row filter */
+  private[graft] def docsForIds(spark: SparkSession, dir: String,
+                                ids: Seq[Long]): DataFrame = {
+    val vers = committedVers(spark, dir)
+    val groups = storeGroups(spark, dir)
+    val dbs = ids.map(_ & (groups - 1).toLong).distinct
+    val pruned = spark.read.parquet(s"$dir/docs")
+      .filter(col("__ver").isin(vers: _*) &&
+        col("db").isin(dbs: _*) && col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("text"))
+    lastDocsPlan = pruned.queryExecution.executedPlan.toString
+    pruned
+  }
+
   /** probed-bucket predicate: ONE `IN` membership node per band over
     * the batch's band_key set (never a per-key OR tree — a predicate
     * whose size grows with the probe set must be a collection node;
@@ -199,16 +226,20 @@ object SigStore {
     *  4. pair within capped buckets, keeping pairs with ≥1 batch side
     *     (old×old pairs were the store build's job);
     *  5. exact-Jaccard verify on the paired texts only — batch texts
-    *     from the batch frame, stored texts point-joined from the
-    *     store's docs artifact (the serve never reads the corpus
-    *     table).
+    *     from the batch frame, stored texts PARTITION-PRUNED
+    *     point-reads from the db-bucketed docs artifact (falling back
+    *     to one semi-joined artifact pass for saturated batches); the
+    *     serve reads neither the corpus table nor an O(corpus) slice
+    *     of the text column.
     */
-  /** last serve's probe-read shape ("pruned" | "joined") and the
-    * pruned scan's physical plan — observability for the crossover
-    * and PartitionFilters specs (the [[SrpStore.lastBatchBandingSource]]
-    * pattern) */
+  /** last serve's probe-read shape ("pruned" | "joined"), the pruned
+    * scans' physical plans, and the text-fetch shape — observability
+    * for the crossover and PartitionFilters specs (the
+    * [[SrpStore.lastBatchBandingSource]] pattern) */
   private[graft] var lastProbeSource: String = ""
   private[graft] var lastPrunedPlan: String = ""
+  private[graft] var lastTextSource: String = ""
+  private[graft] var lastDocsPlan: String = ""
 
   def incrementalNearDup(spark: SparkSession, storeDir: String,
                          batch: DataFrame,
@@ -252,11 +283,34 @@ object SigStore {
       col("doc_id").as("id_b"), col("is_new").as("new_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("new_a"), col("new_b"))
       .distinct()
+      .localCheckpoint(true)
 
-    val texts = docsFrame(spark, storeDir).unionByName(batchDocs)
-    candidates
+    // verify-text fetch: the STORED side of the candidate pairs is a
+    // partition-pruned point read against the db-bucketed docs
+    // artifact while its distinct id set is collectable — the text
+    // column is the heaviest in the store, and a batch-sized serve
+    // must not scan O(corpus) of it. A saturated batch (id set past
+    // the crossover) reads the artifact once through a join instead,
+    // the same physical-plan-only switch as the bucket probe.
+    val storedIds = candidates
+      .select(explode(array(
+        when(!col("new_a"), col("id_a")),
+        when(!col("new_b"), col("id_b")))).as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    val collectedIds = storedIds.limit(probeCollectMax.toInt + 1).collect()
+    val storedTexts =
+      if (collectedIds.length <= probeCollectMax) {
+        lastTextSource = "pruned"
+        docsForIds(spark, storeDir, collectedIds.map(_.getLong(0)).toSeq)
+      } else {
+        lastTextSource = "joined"
+        docsFrame(spark, storeDir)
+          .join(storedIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      }
+    val texts = storedTexts.unionByName(batchDocs)
+    candidates.select(col("id_a"), col("id_b"))
       .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -318,7 +372,11 @@ object SigStore {
       .write.partitionBy("band", "bg")
       .mode("overwrite").parquet(s"$dir/sigs/__ver=$next")
     docsFrame(spark, dir)
-      .write.mode("overwrite").parquet(s"$dir/docs/__ver=$next")
+      .withColumn("db", col("doc_id").bitwiseAND(lit((groups - 1).toLong)))
+      .repartition(col("db"))
+      .sortWithinPartitions(col("db"), col("doc_id"))
+      .write.partitionBy("db")
+      .mode("overwrite").parquet(s"$dir/docs/__ver=$next")
     commitVer(spark, dir, next)
     vers.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/v$v"), false): Unit

@@ -2007,9 +2007,17 @@ class OperatorsSpec extends AnyFunSuite {
       s"no (band, bg) partition pruning in:\n${SigStore.lastPrunedPlan.take(800)}")
     assert(!SigStore.lastPrunedPlan.contains("band_key = "),
       "probed keys spelled as per-key equalities, not a membership node")
+    // the verify-text fetch is ALSO a pruned point read — the text
+    // column is the heaviest in the store and must never ride an
+    // O(corpus) scan for a batch-sized candidate set
+    assert(SigStore.lastTextSource == "pruned")
+    assert(SigStore.lastDocsPlan.contains("PartitionFilters: [") &&
+      SigStore.lastDocsPlan.contains("db"),
+      s"no (ver, db) partition pruning in:\n${SigStore.lastDocsPlan.take(800)}")
     val joined = SigStore.incrementalNearDup(spark, dir, batch, probeCollectMax = 0)
       .collect().map(_.toSeq).toSet
     assert(SigStore.lastProbeSource == "joined")
+    assert(SigStore.lastTextSource == "joined")
     assert(pruned == joined, "crossover changed the served pair set")
   }
 
