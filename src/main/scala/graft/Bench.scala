@@ -60,6 +60,7 @@ object Bench {
         .foreach(l => graft.operators.Hnsw.layerGraph(spark, sfDir, l))
     }
     build("hnsw_store") { graft.sources.HnswStore.storeFor(spark, sfDir) }
+    build("sig_store") { graft.sources.SigStore.storeFor(spark, sfDir) }
     // pass 1 doubles as warmup (JIT, codegen cache, file index) — its
     // total is reported separately as the COLD number
     val cold = timedPass()
