@@ -365,6 +365,11 @@ object SparkEntry {
     "m5_modality_route" -> Multimodal.modalityRoute _,
     "m6_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "m7_audio_chunk" -> ((s, d) => Multimodal.audioChunk(s, d)),
+    // cross-video near-dup: videos pair by shared frame-fingerprint
+    // sets (bounded fingerprints per video, capped buckets, one pair
+    // aggregate — no all-pairs stage); the fingerprint is the stubbed
+    // decode step, the plumbing is the production shape
+    "m8_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     // streaming (batch twin; streaming form spec-tested)
     "s1_stream_counts" -> EventStream.dailyCountsBatch _,
     "s2_stream_join" -> EventStream.clickPurchaseJoinBatch _,
@@ -505,6 +510,7 @@ object SparkEntry {
     "m5_modality_route" -> Multimodal.modalityRouteSql,
     "m6_resize_plan" -> Multimodal.resizePlanSql(),
     "m7_audio_chunk" -> Multimodal.audioChunkSql(),
+    "m8_frame_dedup" -> Multimodal.frameDedupSql(),
     "m3_decode_batch" -> Multimodal.decodeBatchSql,
     "s1_stream_counts" -> EventStream.dailyCountsSql,
     "s2_stream_join" -> EventStream.clickPurchaseJoinSql,

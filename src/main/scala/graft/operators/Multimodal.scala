@@ -271,4 +271,85 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
   }
+
+  /** m8: cross-video near-dup by shared frame fingerprints — the
+    * standard video-dedup pipeline (sample keyframes, fingerprint
+    * each, pair videos whose fingerprint SETS overlap). The
+    * fingerprint itself is the stubbed decode step (here: md5 of the
+    * frame's content chunk — a real deployment swaps in a pHash over
+    * decoded pixels, same 128-bit column); everything around it is
+    * the production shape and the 100 TB story:
+    *
+    *  - each "video" yields ≤ [[FrameMax]] distinct fingerprints
+    *    (bounded per doc — fingerprints, never frames, ride the
+    *    shuffle: 16 bytes × ≤16 rows per video at ANY payload size);
+    *  - a fingerprint bucket contributes pairs only if ≤ `maxBucket`
+    *    videos share it (a ubiquitous intro/outro frame would
+    *    otherwise emit a quadratic bucket — d2's cap, same rationale);
+    *  - candidate pairs aggregate `shared` counts in one shuffle and
+    *    verify by frame-set Jaccard ≥ via `minShared` + the emitted
+    *    ratio — no all-pairs stage anywhere.
+    *
+    * Frame content key: md5 of the fi-th `chunk`-char slice of the
+    * text payload (content-based, so near-dup payloads share keys —
+    * m2's positional key is unique per doc and would make every
+    * overlap vacuously zero). */
+  val FrameChunk = 32
+  val FrameMax = 16
+
+  def frameDedup(spark: SparkSession, d: String, minShared: Int = 2,
+                 maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).filter(length(col("text")) >= 1)
+    val frames = docs.select(col("doc_id"),
+        explode(sequence(lit(0),
+          least(lit(FrameMax - 1),
+            ((length(col("text")) - 1) / FrameChunk)).cast("int"))).as("fi"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(text, fi * $FrameChunk + 1, $FrameChunk)")).as("fk"))
+      .distinct()
+    val nf = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val capped = frames
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("fk"))))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val a = capped.select(col("fk"), col("doc_id").as("id_a"))
+    val b = capped.select(col("fk"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, Seq("fk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+    pairs
+      .join(nf.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(nf.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_frames"),
+        round(col("shared_frames").cast("double") /
+          (col("na") + col("nb") - col("shared_frames")), 4).as("overlap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB twin of [[frameDedup]] — substr/len count codepoints in
+    * both engines on BMP text (the corpus assert d2's spec owns), and
+    * md5-of-substring hashes the same utf-8 bytes (the d1 precedent). */
+  def frameDedupSql(minShared: Int = 2, maxBucket: Int = 64): String =
+    s"""WITH fr AS (SELECT DISTINCT doc_id,
+       |    md5(substr(text, fi * $FrameChunk + 1, $FrameChunk)) AS fk
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, least($FrameMax, (len(text) + ${FrameChunk - 1}) // $FrameChunk))) AS fi
+       |        FROM documents WHERE len(text) >= 1)),
+       |nf AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY doc_id),
+       |capped AS (SELECT doc_id, fk FROM (
+       |    SELECT doc_id, fk, count(*) OVER (PARTITION BY fk) AS bn FROM fr)
+       |  WHERE bn <= $maxBucket),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM capped a JOIN capped b ON a.fk = b.fk AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared_frames,
+       |  round(CAST(p.shared AS DOUBLE) / (na.n + nb.n - p.shared), 4) AS overlap
+       |FROM pairs p
+       |JOIN nf na ON p.id_a = na.doc_id
+       |JOIN nf nb ON p.id_b = nb.doc_id
+       |WHERE p.shared >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
 }

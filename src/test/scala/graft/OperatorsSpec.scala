@@ -2066,6 +2066,56 @@ class OperatorsSpec extends AnyFunSuite {
       SigStore.bandedSigs(docs).count())
   }
 
+  test("m8 frame dedup: exact-duplicate videos overlap 1.0, ratios and counts bounded") {
+    import spark.implicits._
+    val out = Multimodal.frameDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (shared, ov) = (r.getLong(2), r.getDouble(3))
+      assert(shared >= 2 && ov > 0.0 && ov <= 1.0,
+        s"row ${r.mkString(",")} out of contract")
+    }
+    val got = out.map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // full driver-side replay from the same frame expression: the
+    // emitted pair set, shared counts and Jaccard ratios must match
+    // the naive computation exactly (the DuckDB oracle replays the
+    // same semantics cross-engine at the gate; this pins it
+    // engine-side at the spec SF, capping included)
+    val frames = Tables.documents(spark, sf).filter(length($"text") >= 1)
+      .select($"doc_id", explode(sequence(lit(0),
+        least(lit(Multimodal.FrameMax - 1),
+          ((length($"text") - 1) / Multimodal.FrameChunk)).cast("int"))).as("fi"), $"text")
+      .select($"doc_id",
+        md5(expr(s"substring(text, fi * ${Multimodal.FrameChunk} + 1, ${Multimodal.FrameChunk})")).as("fk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val bucketN = frames.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val byDoc = frames.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    val surviving = frames.filter(f => bucketN(f._2) <= 64)
+    val expected = surviving.groupBy(_._2).values.toSeq
+      .flatMap { bucket =>
+        val ids = bucket.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+      }
+      .groupBy(identity).map { case (pair, hits) => pair -> hits.size.toLong }
+      .filter(_._2 >= 2)
+      .map { case ((a, b), shared) =>
+        val union = byDoc(a).size + byDoc(b).size - shared
+        (a, b) -> (shared, BigDecimal(shared.toDouble / union)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    expected.foreach { case (k, want) =>
+      assert(got(k) == want, s"pair $k: got ${got(k)}, want $want")
+    }
+    // the corpus must exercise partial overlap (0 < ov < 1); the cap
+    // branch is covered by the replay above whenever a bucket crosses
+    // 64 (none does at this SF — the gate oracle replays it at sf0.01)
+    assert(out.exists(r => r.getDouble(3) < 1.0))
+  }
+
   test("SigStore compaction: version chain folds to one committed copy, readers unchanged") {
     import spark.implicits._
     import graft.sources.SigStore
