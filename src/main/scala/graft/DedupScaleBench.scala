@@ -80,7 +80,7 @@ object DedupScaleBench {
       "p1_curation_pipeline", "p2_curation_summary",
       "t3_token_count", "t7_tfidf_top_terms",
       "d5_embedding_neardup", "d11_semdedup", "d11_semdedup_scaled",
-      "d13_incremental_neardup")
+      "d13_incremental_neardup", "m8_frame_dedup")
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(allNames)

@@ -251,7 +251,12 @@ object SigStore {
     val distinctKeys = batchSigs.select(col("band"), col("band_key")).distinct()
     val nKeys = distinctKeys.count()
     val storedRows =
-      if (nKeys <= probeCollectMax) {
+      if (nKeys == 0) {
+        // empty (or all-too-short) batch: no probes, no pairs — an
+        // empty reduce in probePred would otherwise throw
+        lastProbeSource = "empty"
+        sigFrame(spark, storeDir).filter(lit(false))
+      } else if (nKeys <= probeCollectMax) {
         val keysByBand = distinctKeys.collect()
           .map(r => (r.getInt(0), r.getLong(1)))
           .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).toSeq }

@@ -2019,6 +2019,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SigStore.lastProbeSource == "joined")
     assert(SigStore.lastTextSource == "joined")
     assert(pruned == joined, "crossover changed the served pair set")
+    // an empty batch (no docs, or all shorter than the shingle) must
+    // serve an empty result, not throw on an empty probe predicate
+    import spark.implicits._
+    val empty = SigStore.incrementalNearDup(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(empty.count() == 0 && SigStore.lastProbeSource == "empty")
   }
 
   test("SigStore upsert: delta-only append, crash-invisible uncommitted version, union serve") {
