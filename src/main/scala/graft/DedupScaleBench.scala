@@ -49,8 +49,13 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // reuse gates check the write's completion marker (_SUCCESS), not
+    // bare directory existence — a run that crashed mid-write leaves a
+    // partial parquet dir that a bare-existence gate would silently
+    // measure decades against (the SigStore commit-marker discipline)
+    def complete(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
     val docPath = s"$dir/documents.parquet"
-    if (!new java.io.File(docPath).exists()) {
+    if (!complete(docPath)) {
       val base = Tables.documents(spark, src)
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       val maxId = base.agg(max(col("doc_id"))).first().getLong(0) + 1
@@ -101,7 +106,7 @@ object DedupScaleBench {
     val embPath = s"$dir/embeddings.parquet"
     val needEmb = names.exists(n =>
       n.startsWith("d5_") || n.startsWith("d11_"))
-    if (needEmb && !new java.io.File(embPath).exists()) {
+    if (needEmb && !complete(embPath)) {
       val base = Tables.embeddings(spark, src)
         .select(col("vec_id"), col("embedding"), col("label"))
       val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1

@@ -64,19 +64,60 @@ object SigStore {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
+  /** all commit markers as (version, isFold). Delta upserts commit as
+    * `v<N>`; [[compact]] commits its fold as `c<N>` — a fold marker
+    * SUPERSEDES every version below it at read time, which is what
+    * makes the version-set switch atomic (one marker-file create),
+    * instead of depending on the old markers' deletes landing. */
+  private def markerVers(spark: SparkSession, dir: String): Seq[(Int, Boolean)] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
     val f = fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
-    else f.listStatus(cd).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
+    else f.listStatus(cd).toSeq.map(_.getPath.getName).collect {
+      case s if s.startsWith("v") => (s.drop(1).toInt, false)
+      case s if s.startsWith("c") => (s.drop(1).toInt, true)
+    }
   }
 
-  private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
+  /** LIVE versions: everything at or above the highest fold marker.
+    * A fold contains every doc of the versions it folded, so reading
+    * a folded version alongside its inputs would serve each row twice
+    * — the read-side resolution guarantees that never happens, even
+    * in the crash window before [[compact]]'s GC deletes land. */
+  private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
+    val marks = markerVers(spark, dir)
+    val fold = marks.collect { case (v, true) => v }.maxOption
+    fold.fold(marks.map(_._1))(fv => marks.map(_._1).filter(_ >= fv))
+      .distinct.sorted
+  }
+
+  private def commitVer(spark: SparkSession, dir: String, v: Int,
+                        fold: Boolean = false): Unit = {
     val f = fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
     f.mkdirs(cd)
-    f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
+    f.create(new org.apache.hadoop.fs.Path(cd, s"${if (fold) "c" else "v"}$v"),
+      false).close()
+  }
+
+  /** delete data + markers of versions a fold superseded — idempotent
+    * and safe to re-run after a crash anywhere inside it (superseded
+    * versions are already invisible to readers via [[committedVers]]'s
+    * resolution, so the deletes only reclaim space). Data dirs go
+    * first, the marker last, so a partially-GC'd version is still
+    * found by the next pass. */
+  private def gcSuperseded(spark: SparkSession, dir: String): Unit = {
+    val marks = markerVers(spark, dir)
+    val fold = marks.collect { case (v, true) => v }.maxOption
+    fold.foreach { fv =>
+      val f = fs(spark, dir)
+      marks.filter(_._1 < fv).foreach { case (v, isFold) =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/__ver=$v"), true): Unit
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/docs/__ver=$v"), true): Unit
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/_commits/${if (isFold) "c" else "v"}$v"), false): Unit
+      }
+    }
   }
 
   private val groupsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -350,17 +391,19 @@ object SigStore {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** fold the committed version chain back into one full copy — the
-    * [[SrpStore.compactBanding]] contract: the fold is written and
-    * committed as a NEW version (never in place), then the old
-    * versions' markers and data are GC'd; a crash between commit and
-    * GC leaves extra-but-consistent state (readers prefer nothing —
-    * versions hold disjoint doc sets, so the union is unchanged
-    * until the deletes land, and a re-run finishes them). Versions
-    * hold disjoint doc_ids by the upsert contract (each batch is new
-    * documents; the crash-rerun path deletes its uncommitted version
-    * before rewriting, so no doc is ever committed twice). */
+  /** fold the committed version chain back into one full copy. The
+    * fold is written as a NEW version (never in place) and published
+    * with a FOLD marker (`c<N>`) — unlike the delta chain's disjoint
+    * doc sets, the fold duplicates every doc it folded, so the switch
+    * must be atomic: [[committedVers]] resolves a fold marker as
+    * superseding every version below it, making the one marker-file
+    * create the whole publish. A crash before the marker leaves the
+    * old chain intact; a crash between the marker and the GC deletes
+    * leaves stale-but-invisible data that the next [[compact]] (or
+    * any re-run) reclaims via [[gcSuperseded]]. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    // reclaim any superseded leftovers a prior crashed compact left
+    gcSuperseded(spark, dir)
     val vers = committedVers(spark, dir)
     if (vers.size <= 1) return
     val next = vers.max + 1
@@ -382,20 +425,40 @@ object SigStore {
       .sortWithinPartitions(col("db"), col("doc_id"))
       .write.partitionBy("db")
       .mode("overwrite").parquet(s"$dir/docs/__ver=$next")
-    commitVer(spark, dir, next)
-    vers.foreach { v =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/v$v"), false): Unit
-    }
-    vers.foreach { v =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/__ver=$v"), true): Unit
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/docs/__ver=$v"), true): Unit
-    }
+    commitVer(spark, dir, next, fold = true)
+    if (gcAfterPublish) gcSuperseded(spark, dir)
     graft.Tables.invalidate(dir)
   }
 
-  // memoized store of the non-batch corpus slice, keyed by corpus dir
+  /** test hook: suppress the post-publish GC to freeze the crash
+    * window between the fold marker and the superseded deletes */
+  private[graft] var gcAfterPublish = true
+
+  private def deleteTempStore(dir: String): Unit = {
+    // the store carries a full corpus-sized docs/text artifact —
+    // orphaning it per evicted temp dir accumulates corpus-sized /tmp
+    // copies across bench/test JVMs; best-effort recursive delete
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p): Unit)
+    } catch { case _: Throwable => () }
+    groupsCache.remove(dir): Unit
+  }
+
+  // memoized store of the non-batch corpus slice, keyed by corpus
+  // dir; invalidation deletes the temp store on disk (its data was
+  // derived from the rewritten corpus, so no live handle is valid),
+  // and a shutdown hook sweeps whatever the JVM still holds
   private val storeCache = new graft.SessionCache[String, String](
-    4, (_: String) => ())
+    4, deleteTempStore)
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    tempDirs.forEach(d => deleteTempStore(d))
+  }: Unit
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
     groupsCache.filterInPlace((k, _) => !(k.startsWith(p) || p.startsWith(k)))
@@ -403,6 +466,7 @@ object SigStore {
   def storeFor(spark: SparkSession, d: String): String =
     storeCache.getOrElseUpdate(spark, d) {
       val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      tempDirs.add(dir): Unit
       write(spark,
         Tables.documents(spark, d)
           .filter(col("doc_id") % BatchMod =!= 0)

@@ -2147,6 +2147,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("SigStore compact crash window: fold marker atomically supersedes old versions, re-run completes GC") {
+    import spark.implicits._
+    import graft.sources.SigStore
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("sigstore_cw").toString
+    SigStore.write(spark, docs.filter($"doc_id" % 3 === 1), dir)
+    SigStore.upsert(spark, dir, docs.filter($"doc_id" % 3 === 2))
+    val sigsBefore = SigStore.sigFrame(spark, dir).count()
+    val docsBefore = SigStore.docsFrame(spark, dir).count()
+    // freeze the crash window: fold published, superseded deletes not
+    // yet landed — the state the r11 contract got wrong (old ∪ fold
+    // would double every folded row)
+    SigStore.gcAfterPublish = false
+    try SigStore.compact(spark, dir)
+    finally SigStore.gcAfterPublish = true
+    def markers() = new java.io.File(s"$dir/_commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    val marks = markers()
+    assert(marks == Set("v0", "v1", "c2"), s"crash window not frozen: $marks")
+    assert(new java.io.File(s"$dir/sigs/__ver=0").exists(), "old data gone early")
+    // the fold marker alone must flip readers to the fold — versions
+    // below it are invisible even though their markers/data remain
+    assert(SigStore.committedVers(spark, dir) == Seq(2))
+    assert(SigStore.sigFrame(spark, dir).count() == sigsBefore,
+      "crash window doubled (or lost) signature rows")
+    assert(SigStore.docsFrame(spark, dir).count() == docsBefore,
+      "crash window doubled (or lost) text rows")
+    // any later compact (the crash re-run) reclaims the stale versions
+    SigStore.compact(spark, dir)
+    val marksAfter = markers()
+    assert(marksAfter == Set("c2"), s"GC re-run left $marksAfter")
+    Seq("sigs", "docs").foreach { sub =>
+      val vers = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.startsWith("__ver=")).map(_.getName).toSeq
+      assert(vers == Seq("__ver=2"), s"$sub left ${vers.mkString(",")}")
+    }
+  }
+
   test("SigProbeStream: micro-batched ingest dedup equals the one-shot incremental serve") {
     import spark.implicits._
     import graft.sources.SigStore
