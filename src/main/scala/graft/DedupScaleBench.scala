@@ -85,7 +85,8 @@ object DedupScaleBench {
       "p1_curation_pipeline", "p2_curation_summary",
       "t3_token_count", "t7_tfidf_top_terms",
       "d5_embedding_neardup", "d11_semdedup", "d11_semdedup_scaled",
-      "d13_incremental_neardup", "m8_frame_dedup")
+      "d13_incremental_neardup", "d13_incremental_neardup_joined",
+      "m8_frame_dedup")
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(allNames)
@@ -152,13 +153,26 @@ object DedupScaleBench {
       "d11_semdedup_scaled" -> (() =>
         graft.operators.Dedup.semDedup(spark, dir, k = scaledK)),
       "d13_incremental_neardup" -> (() =>
-        graft.sources.SigStore.incrementalNearDup(spark, sigDir, d13Batch())))
+        graft.sources.SigStore.incrementalNearDup(spark, sigDir, d13Batch())),
+      // the SATURATED-batch shapes forced (probeCollectMax = 0): the
+      // bucket probe and the verify-text fetch both take their joined
+      // fallback — the decade row that measures the no-O(corpus)
+      // claim of the crossover's far side instead of arguing it
+      "d13_incremental_neardup_joined" -> (() =>
+        graft.sources.SigStore.incrementalNearDup(spark, sigDir, d13Batch(),
+          probeCollectMax = 0L)))
+    // which probe/text shape the last d13 serve actually took — the
+    // joined-path decade row must SAY it ran joined
+    val shapeOf = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def pass(): Seq[(String, Double, Long)] = names.map { n =>
       val ok = try {
         val df = special.get(n).map(_())
           .getOrElse(SparkEntry.queries(n)(spark, dir))
-        Some(time(df.count()))
+        val t = time(df.count())
+        if (n.startsWith("d13_")) shapeOf(n) =
+          s"${graft.sources.SigStore.lastProbeSource}/${graft.sources.SigStore.lastTextSource}"
+        Some(t)
       } catch { case _: Throwable => None }
       (n, ok.map(_._2).getOrElse(-1.0), ok.map(_._1).getOrElse(-1L))
     }
@@ -178,8 +192,9 @@ object DedupScaleBench {
     val aj = warm.collect { case (k, v, _) if v >= 0 =>
       s""""$k":${f"${v * 1000.0 / unitRows(k)}%.3f"}""" }.mkString(",")
     val bj = builds.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    val sj = shapeOf.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     val total = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"dedup_scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"emb_rows":$nEmb,"scaled_k":$scaledK,"queries":{$qj},"out_rows":{$oj},"ms_per_1k_docs":{$aj},"builds":{$bj}}""")
+    println(s"""{"metric":"dedup_scale_total","value":${f"$total%.3f"},"unit":"sec","sf_copies":$copies,"rows":$rows,"emb_rows":$nEmb,"scaled_k":$scaledK,"queries":{$qj},"out_rows":{$oj},"ms_per_1k_docs":{$aj},"builds":{$bj},"d13_shapes":{$sj}}""")
     spark.stop()
   }
 }

@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(s, n, k) - minhash signature (n, k int literals)"),
       (xs: Seq[Expression]) => MinHashSig(xs(0),
         litInt(xs(1), "minhash_sig n"), litInt(xs(2), "minhash_sig k"))))
+    // table surface: the persisted-store serves as SQL TVFs — the
+    // reference's tool statements (`SELECT ... ORDER BY embedding <=> q
+    // LIMIT k`) become `SELECT * FROM graft_hnsw_search(dir, q, k)`;
+    // builders shared with tvf.register so the two opt-in paths
+    // cannot diverge
+    tvf.builders.foreach { case (name, usage, b) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
     ext.injectFunction((FunctionIdentifier("top_k_pairs"),
       info("top_k_pairs", "top_k_pairs(id, score, k[, asc]) - bounded top-k aggregate (k, asc literals)"),
       (xs: Seq[Expression]) => {

@@ -316,6 +316,18 @@ object SparkEntry {
         graft.sources.SrpStore.storeFor(s, d),
         graft.sources.EdgeStore.refinedStoreFor(s, d),
         FakeEmbedder.embed(SearchText))),
+    // metadata-filtered ANN on the STORED serve path (the reference's
+    // withdrawn/type filtered-search pattern as an index query, not an
+    // exact corpus scan): cardinality-planned — selective predicates
+    // take an exact top-k over meta-partition-pruned store rows
+    // (recall 1.0 on few matching bytes), broad ones the v28 walk +
+    // bounded post-filter with deterministic escalation
+    "v39_filtered_graph_search" -> ((s, d) =>
+      graft.sources.FilteredServe.searchFiltered(s, d,
+        graft.sources.SrpStore.storeFor(s, d),
+        graft.sources.EdgeStore.refinedStoreFor(s, d),
+        FakeEmbedder.embed(SearchText),
+        Seq("lang" -> "de", "source" -> "src3"), k = 10)),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -339,7 +351,7 @@ object SparkEntry {
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
-    "t3_token_count" -> TextOps.tokenCount _,
+    "t3_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "t4_fingerprint" -> TextOps.fingerprint _,
     "t5_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
     "t6_hash_sample" -> ((s, d) => TextOps.hashSample(s, d)),
@@ -349,10 +361,10 @@ object SparkEntry {
     "t10_bigram_freq" -> ((s, d) => TextOps.bigramFreq(s, d)),
     "t11_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "t12_pii_redact" -> TextOps.piiRedact _,
-    "t13_unigram_logprob" -> TextOps.unigramLogprob _,
+    "t13_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     "t14_len_histogram" -> TextOps.lenHistogram _,
     "t15_repetition" -> TextOps.repetition _,
-    "t16_mix_weights" -> TextOps.mixWeights _,
+    "t16_mix_weights" -> ((s, d) => TextOps.mixWeights(s, d)),
     "t17_quality_gate" -> TextOps.qualityGate _,
     // Jelinek-Mercer interpolated bigram perplexity proxy — catches
     // locally-incoherent text t13's unigram scoring cannot
@@ -558,5 +570,19 @@ object SparkEntry {
     // same oracle as v25: stored seeds + stored edges, same results
     "v28_graph_search_cold" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
       SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
+    // filtered stored search: the selective branch is an EXACT ranking
+    // over only-matching rows, so the twin is the filtered exact top-k
+    // (rank on the raw similarity — same tie order as the Scala cut —
+    // then round for emission)
+    "v39_filtered_graph_search" ->
+      s"""SELECT vec_id, rk, sim FROM (
+         |  SELECT e.vec_id AS vec_id,
+         |    row_number() OVER (ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])) DESC,
+         |      e.vec_id) AS rk,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'de' AND d.source = 'src3')
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
   )
 }

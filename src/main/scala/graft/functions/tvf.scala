@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL table-valued functions over the persisted stores — the
+  * reference's `find_similar_customer_records` as ONE SQL statement
+  * (tools.yaml:22-27's shape) instead of a Scala call. An external
+  * session opts in via `spark.sql.extensions=graft.GraftExtensions`
+  * (or [[register]] on a live session) and runs
+  *
+  * {{{
+  *   SELECT * FROM graft_hnsw_search('<store_dir>', 'query text', 10)
+  * }}}
+  *
+  * Argument contract: store dirs / query text / k are LITERALS (the
+  * tool-statement shape — a gateway interpolates its request into the
+  * statement, exactly how the reference's MCP layer builds its SQL).
+  * The builder resolves at analysis time by invoking the store's own
+  * serve — a pruned point read against artifacts the session opened
+  * once — and splices the resulting plan into the outer query, so the
+  * SQL surface and the Scala API cannot diverge: they ARE the same
+  * call. Query text is embedded through the [[Embedder]] seam's
+  * oracle-pinned default ([[FakeEmbedder]] — swap the seam, not the
+  * TVF, for a real encoder).
+  */
+object tvf {
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def kOf(xs: Seq[Expression], at: Int, dflt: Int): Int =
+    if (xs.length > at) litLong(xs(at), "k").toInt else dflt
+
+  private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** name → (arity range, builder) — one table per serve family, so
+    * the injection and the runtime registration share one source */
+  private[graft] val builders: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_hnsw_search",
+      "graft_hnsw_search(store_dir, query_text[, k]) - top-k from a persisted HNSW store",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 2 && xs.length <= 3,
+          s"graft_hnsw_search(store_dir, query_text[, k]): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.HnswStore.search(spark,
+          litStr(xs(0), "store_dir"),
+          FakeEmbedder.embed(litStr(xs(1), "query_text")), kOf(xs, 2, 10)))
+      }),
+    ("graft_graph_search",
+      "graft_graph_search(srp_dir, edge_dir, query_text[, k]) - cold store-backed graph ANN",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 3 && xs.length <= 4,
+          s"graft_graph_search(srp_dir, edge_dir, query_text[, k]): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.SrpStore.graphSearchCold(spark,
+          litStr(xs(0), "srp_dir"), litStr(xs(1), "edge_dir"),
+          FakeEmbedder.embed(litStr(xs(2), "query_text")), k = kOf(xs, 3, 10)))
+      }),
+    ("graft_code_search",
+      "graft_code_search(store_dir, query_text[, k]) - Hamming shortlist + exact rerank from a persisted code store",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 2 && xs.length <= 3,
+          s"graft_code_search(store_dir, query_text[, k]): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.CodeStore.search(spark,
+          litStr(xs(0), "store_dir"),
+          FakeEmbedder.embed(litStr(xs(1), "query_text")), k = kOf(xs, 2, 10)))
+      }),
+    ("graft_dedup_check",
+      "graft_dedup_check(sig_dir, doc_id, text) - near-dups of one document vs the persisted signature store",
+      (xs: Seq[Expression]) => {
+        require(xs.length == 3,
+          s"graft_dedup_check(sig_dir, doc_id, text): got ${xs.length} args")
+        val spark = SparkSession.active
+        import spark.implicits._
+        val batch = Seq((litLong(xs(1), "doc_id"), litStr(xs(2), "text")))
+          .toDF("doc_id", "text")
+        planOf(graft.sources.SigStore.incrementalNearDup(spark,
+          litStr(xs(0), "sig_dir"), batch))
+      }))
+
+  /** register the serve TVFs on a live session (temp functions) — the
+    * [[vectors.register]] analogue for the table surface */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}

@@ -57,12 +57,18 @@ object Pipeline {
     * whitespace-of-formatting invariance every web pipeline wants.
     * The corpus is ASCII (spec-asserted at ingest), so lower() and
     * the character class behave identically across engines. */
-  private def normKey = md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+  private[graft] def normKey = md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
 
   /** gated documents with the t2 quality metrics attached */
-  private def gated(spark: SparkSession, d: String): DataFrame = {
+  private def gated(spark: SparkSession, d: String): DataFrame =
+    gatedOf(Tables.documents(spark, d))
+
+  /** the quality gate over any (doc_id, text, lang, source, n_chars)
+    * frame — shared with the streaming funnel so batch and stream
+    * apply ONE gate definition */
+  private[graft] def gatedOf(docs: DataFrame): DataFrame = {
     val stopArr = array(TextOps.StopWords.map(lit): _*)
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).as("n_tokens"),
         size(filter(split(col("text"), " "), t => array_contains(stopArr, t))).as("n_stop"))

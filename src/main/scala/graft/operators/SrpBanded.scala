@@ -1233,6 +1233,43 @@ object SrpBanded {
       graphOverride: Option[DataFrame] = None,
       edgesFor: Option[Seq[Long] => DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val visited = graphWalkVisited(spark, d, scoredPool, queryVec, beam,
+      iters, maxEntries, graphK, graphOverride, edgesFor)
+    // final cut: same (sim DESC, vec_id) total order as the previous
+    // window form; the round stays a Spark expression so the emitted
+    // doubles keep the engine's own rounding
+    val top = visited.sortWith(simDescIdAsc).take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
+    top.toDF("vec_id", "rk", "sim")
+      .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("rk"))
+  }
+
+  /** total order matching both engines' DESC sorts: NaN greatest
+    * (a NaN-component embedding ranks first under sim DESC in Spark
+    * AND DuckDB — the pre-driver-side implementation's behavior),
+    * -0.0 ties 0.0 and falls through to the id tiebreak */
+  private[graft] val simDescIdAsc: ((Long, Double), (Long, Double)) => Boolean = {
+    case ((ida, sa), (idb, sb)) =>
+      val c =
+        if (sa.isNaN && sb.isNaN) 0
+        else if (sa.isNaN) 1
+        else if (sb.isNaN) -1
+        else if (sa > sb) 1 else if (sa < sb) -1 else 0
+      if (c != 0) c > 0 else ida < idb
+  }
+
+  /** The beam walk of [[graphSearchFrom]] returning its FULL visited
+    * set (every scored candidate the walk touched, insertion order)
+    * instead of the top-k cut — the seam the metadata-filtered serve
+    * (v39) post-filters and escalates over. Identical walk state and
+    * ordering to [[graphSearchFrom]]: that method is now a top-k cut
+    * of this one. */
+  private[graft] def graphWalkVisited(spark: SparkSession, d: String,
+      scoredPool: DataFrame, queryVec: Array[Float], beam: Int,
+      iters: Int, maxEntries: Int, graphK: Int,
+      graphOverride: Option[DataFrame] = None,
+      edgesFor: Option[Seq[Long] => DataFrame] = None): Seq[(Long, Double)] = {
     // frontier's out-edges WITH destination embeddings in-row: either
     // a pruned point read against a persisted edge store (`edgesFor` —
     // the v28/v32 path, PartitionFilters decided in the file index) or
@@ -1253,19 +1290,6 @@ object SrpBanded {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
     val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
     seed.foreach { case (id, s) => visited.update(id, s) }
-    // total order matching both engines' DESC sorts: NaN greatest
-    // (a NaN-component embedding ranks first under sim DESC in Spark
-    // AND DuckDB — the pre-driver-side implementation's behavior),
-    // -0.0 ties 0.0 and falls through to the id tiebreak
-    val simDescIdAsc: ((Long, Double), (Long, Double)) => Boolean = {
-      case ((ida, sa), (idb, sb)) =>
-        val c =
-          if (sa.isNaN && sb.isNaN) 0
-          else if (sa.isNaN) 1
-          else if (sb.isNaN) -1
-          else if (sa > sb) 1 else if (sa < sb) -1 else 0
-        if (c != 0) c > 0 else ida < idb
-    }
     var frontier: Seq[Long] = seed.map(_._1).toSeq
     // per-search fetch cache: a source's out-edges are immutable
     // within the serve, so each frontier member is READ at most once
@@ -1301,14 +1325,7 @@ object SrpBanded {
       cand.foreach { case (id, s) => visited.update(id, s) }
       frontier = cand.sortWith(simDescIdAsc).take(beam).map(_._1).toSeq
     }
-    // final cut: same (sim DESC, vec_id) total order as the previous
-    // window form; the round stays a Spark expression so the emitted
-    // doubles keep the engine's own rounding
-    val top = visited.toSeq.sortWith(simDescIdAsc).take(k)
-      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
-    top.toDF("vec_id", "rk", "sim")
-      .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("rk"))
+    visited.toSeq
   }
 
   /** DuckDB twin: the graph CTEs from [[knnGraphSql]], the query's

@@ -65,11 +65,18 @@ object TextOps {
   }
 
   /** t3: token counting — whitespace split vs. a BPE-ish regex of
-    * letter runs / digit runs / single punctuation. */
-  def tokenCount(spark: SparkSession, d: String): DataFrame = {
+    * letter runs / digit runs / single punctuation. `tok` is the
+    * tokenizer seam ([[graft.functions.Tokenizer]]): the gate pins the
+    * whitespace default (oracle-green), a deployment swaps in its real
+    * tokenizer (e.g. the merges-file-backed
+    * [[graft.functions.BpeTokenizer]]) and `ws_tokens` becomes that
+    * tokenizer's count — TokenizerSpec proves the swap end-to-end. */
+  def tokenCount(spark: SparkSession, d: String,
+                 tok: graft.functions.Tokenizer =
+                   graft.functions.WhitespaceTokenizer): DataFrame = {
     val docs = Tables.documents(spark, d)
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
+    tok.countFrame(docs, "text", "ws_tokens")
+      .select(col("doc_id"), col("ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
         length(col("text")).as("n_chars_m"))
       .orderBy(col("doc_id"))
@@ -120,9 +127,14 @@ object TextOps {
     * Only (doc_id, n_tokens, blk) ride the shuffles, never the text.
     * At 100 TB the ordering key would be a (file, row) composite with
     * the same block trick. */
-  def sequencePack(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+  def sequencePack(spark: SparkSession, d: String, budget: Int = 2048,
+                   tok: graft.functions.Tokenizer =
+                     graft.functions.WhitespaceTokenizer): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    // token counts come through the tokenizer seam: packing budgets
+    // follow whatever tokenizer the training run actually uses
+    val toks = tok.countFrame(docs, "text", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"))
     val maxRow = toks.agg(max(col("doc_id"))).head()
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
@@ -381,9 +393,12 @@ object TextOps {
     * values are identical), then summed as exact decimals — the sum
     * is order-free, so partial aggregation order can't flake the
     * oracle hash. */
-  def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
+  def unigramLogprob(spark: SparkSession, d: String,
+                     tok: graft.functions.Tokenizer =
+                       graft.functions.WhitespaceTokenizer): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = tok.tokensFrame(docs.select(col("doc_id"), col("text")), "text", "toks")
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
     // corpus total as a lazy broadcast scalar derived from the (small)
     // vocab frame — summing freq avoids a third full scan+explode of
     // documents (and its exchange is shared with the join side)
@@ -539,7 +554,9 @@ object TextOps {
     * pattern, nothing data-sized crosses the wire. Weight arithmetic
     * is literal·int/int in a fixed order, so both engines produce
     * bit-identical doubles. */
-  def mixWeights(spark: SparkSession, d: String): DataFrame = {
+  def mixWeights(spark: SparkSession, d: String,
+                 tok: graft.functions.Tokenizer =
+                   graft.functions.WhitespaceTokenizer): DataFrame = {
     val docs = Tables.documents(spark, d)
     val target = typedLit(Map(
       "en" -> 0.40, "zh" -> 0.15, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15))
@@ -548,8 +565,8 @@ object TextOps {
     // over #languages rows (bounded model-sized state, like the q6/t8
     // global finals) — never over the data. The two-branch
     // crossJoin(broadcast(total)) alternative re-scanned the corpus.
-    val perLang = docs
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val perLang = tok.countFrame(docs, "text", "n_toks")
+      .select(col("lang"), col("n_toks").cast("long").as("n_toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_toks"))
     perLang
@@ -687,10 +704,12 @@ object TextOps {
     * to sub-ulp — then summed as exact decimals, so aggregation order
     * cannot flake the hash. */
   def bigramLogprob(spark: SparkSession, d: String,
-                    lambda: Double = 0.7): DataFrame = {
+                    lambda: Double = 0.7,
+                    tok: graft.functions.Tokenizer =
+                      graft.functions.WhitespaceTokenizer): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val toks = tok.tokensFrame(docs.select(col("doc_id"), col("text")), "text", "toks")
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val withPrev = toks.withColumn("prev", lag(col("tok"), 1).over(wDoc))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))

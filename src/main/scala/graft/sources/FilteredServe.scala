@@ -1,0 +1,247 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SrpBanded
+import graft.functions.vectors
+
+/** v39: metadata-filtered ANN on the STORED serve path — the
+  * reference's defining query pattern (`WHERE withdrawn = 0 AND
+  * type = 'POLICY' ORDER BY embedding <=> q LIMIT k`, tools.yaml:22-27
+  * composed with sql/02_schema.sql's metadata columns) served from
+  * index artifacts instead of the exact corpus scan r1/v10 run.
+  *
+  * Strategy — the cardinality-based planner pgvector-class systems use
+  * for filtered search, with BOTH branches reading only store files:
+  *
+  *  - '''selective predicate''' (matching rows ≤ [[ExactScanMax]]):
+  *    exact top-k over a PARTITION-PRUNED read of the `meta/byval/`
+  *    artifact — embeddings stored partitioned by the declared filter
+  *    columns, so the scan touches only matching partitions (decided
+  *    in the file index, zero IO elsewhere). Recall is 1.0 by
+  *    construction: this is why selective predicates do NOT collapse
+  *    recall here — few matching rows make the exact ranking cheap,
+  *    and the partition layout makes "few" mean "few bytes read".
+  *  - '''broad predicate''': the stored graph walk (v28's serve —
+  *    pruned SrpStore seed buckets + persisted EdgeStore hops),
+  *    UNFILTERED so graph connectivity is preserved (filtering nodes
+  *    mid-walk strands the beam — the standard filtered-HNSW result),
+  *    then the walk's bounded visited set is post-filtered through a
+  *    pruned point read of `meta/byid/` and cut to the best k matching
+  *    candidates. If fewer than k survive the filter, the walk
+  *    ESCALATES on a fixed schedule ([[EscalateFactors]] × maxEntries/
+  *    beam — deterministic, so the whole serve stays replayable) and
+  *    finally falls back to the selective exact path, which cannot
+  *    miss. Per-escalation cost is O(walk), never O(corpus).
+  *
+  * The branch decision reads the write-time `meta/stats/` value-count
+  * artifact (one tiny memoized collect — the catalog-statistics role).
+  *
+  * Artifacts (written once per store, the ingest-time cost every
+  * index here pays):
+  * {{{
+  *   <srpDir>/meta/byval/<c1>=<v1>/.../  (vec_id, embedding)
+  *   <srpDir>/meta/byid/mb=<m>/          (vec_id, c1, c2, ...)  mb = pmod(vec_id, 64)
+  *   <srpDir>/meta/stats/                (c1, c2, ..., cnt)
+  * }}}
+  */
+object FilteredServe {
+
+  /** declared filter columns — the reference schema's metadata class
+    * (lang/source play withdrawn/type's role on the synthetic corpus) */
+  val MetaCols: Seq[String] = Seq("lang", "source")
+
+  /** matching-row budget for the pruned exact path: below this, the
+    * exact ranking over only-matching partitions is the cheapest AND
+    * highest-recall plan (the Qdrant/pgvector cardinality crossover) */
+  val ExactScanMax = 100000L
+
+  /** byid partition count — the EdgeStore pb convention */
+  val IdPartitions = 64
+
+  /** deterministic walk-escalation schedule: multiplies maxEntries
+    * (and, capped at 4, beam) until k matching candidates surface */
+  val EscalateFactors: Seq[Int] = Seq(1, 4, 16)
+
+  /** which plan the last serve took ("exact" | "walk:<f>" |
+    * "fallback") — spec hook */
+  @volatile private[graft] var lastFilteredPath: String = ""
+  /** executed plan of the last pruned byval read — spec hook */
+  @volatile private[graft] var lastByValPlan: String = ""
+  /** executed plan of the last pruned byid read — spec hook */
+  @volatile private[graft] var lastByIdPlan: String = ""
+
+  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write the meta artifacts under an existing SRP store dir. The
+    * `stats/` write comes LAST and carries parquet's _SUCCESS marker,
+    * so its presence commits the whole artifact set (a crash mid-write
+    * leaves [[ensureMeta]] rebuilding — never serving a torn copy). */
+  def writeMeta(spark: SparkSession, d: String, srpDir: String): Unit = {
+    val f = hadoopFs(spark, srpDir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta"), true): Unit
+    val docs = Tables.documents(spark, d)
+      .select((col("doc_id").as("vec_id") +: MetaCols.map(col)): _*)
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    val joined = emb.join(docs, Seq("vec_id"))
+    // value-partitioned embedding copy: the selective path's pruned
+    // exact scan (partition count = distinct value combinations — the
+    // tenant/category layout a production corpus already has)
+    joined
+      .repartition(MetaCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(MetaCols: _*)
+      .parquet(s"$srpDir/meta/byval")
+    // id-keyed metadata rows: the walk path's bounded post-filter
+    // point read (no embedding — a candidate's meta is a few bytes)
+    docs
+      .withColumn("mb", pmod(col("vec_id"), lit(IdPartitions.toLong)))
+      .repartition(col("mb"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("mb")
+      .parquet(s"$srpDir/meta/byid")
+    // value counts — the planner's statistics (written last: commit)
+    joined.groupBy(MetaCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$srpDir/meta/stats")
+    statsCache.remove(srpDir): Unit
+  }
+
+  private def metaCommitted(spark: SparkSession, srpDir: String): Boolean =
+    hadoopFs(spark, srpDir)
+      .exists(new org.apache.hadoop.fs.Path(s"$srpDir/meta/stats/_SUCCESS"))
+
+  /** build-once guard, keyed by the store dir (the storeFor pattern) */
+  def ensureMeta(spark: SparkSession, d: String, srpDir: String): Unit =
+    if (!metaCommitted(spark, srpDir)) writeMeta(spark, d, srpDir)
+
+  // stats are a handful of rows per store — memoized like centroids
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Map[String, String], Long)]]
+  graft.Tables.onInvalidate(p =>
+    statsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k)))
+
+  private def stats(spark: SparkSession, srpDir: String): Seq[(Map[String, String], Long)] =
+    statsCache.getOrElseUpdate(srpDir, {
+      spark.read.parquet(s"$srpDir/meta/stats").collect().toSeq.map { r =>
+        (MetaCols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap,
+          r.getAs[Long]("cnt"))
+      }
+    })
+
+  /** matching-row count for an equality conjunction over [[MetaCols]]
+    * (subset allowed) — read from the write-time stats artifact */
+  def matchCount(spark: SparkSession, srpDir: String,
+                 pred: Seq[(String, String)]): Long = {
+    requirePred(pred)
+    stats(spark, srpDir)
+      .filter { case (vals, _) => pred.forall { case (c, v) => vals(c) == v } }
+      .map(_._2).sum
+  }
+
+  private def requirePred(pred: Seq[(String, String)]): Unit = {
+    require(pred.nonEmpty, "filtered search needs at least one predicate term")
+    val bad = pred.map(_._1).filterNot(MetaCols.contains)
+    require(bad.isEmpty,
+      s"predicate columns ${bad.mkString(",")} not in declared meta columns ${MetaCols.mkString(",")}")
+  }
+
+  private def predCol(pred: Seq[(String, String)]): Column =
+    pred.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+
+  /** Pruned exact read: (vec_id, embedding) of the rows matching the
+    * predicate — partition columns only, so the filter is static
+    * file-index pruning. */
+  def byValPruned(spark: SparkSession, srpDir: String,
+                  pred: Seq[(String, String)]): DataFrame = {
+    requirePred(pred)
+    val pruned = spark.read.parquet(s"$srpDir/meta/byval")
+      .filter(predCol(pred))
+      .select(col("vec_id"), col("embedding"))
+    lastByValPlan = pruned.queryExecution.executedPlan.toString
+    pruned
+  }
+
+  /** Pruned point read of candidate ids' metadata, filtered by the
+    * predicate — returns the id set that SATISFIES it. Bounded by the
+    * walk's visited-set size (≤ maxEntries + iters·beam·graphK). */
+  def matchingIds(spark: SparkSession, srpDir: String,
+                  pred: Seq[(String, String)], ids: Seq[Long]): Set[Long] = {
+    if (ids.isEmpty) return Set.empty
+    val mbs = ids.map(Math.floorMod(_, IdPartitions.toLong)).distinct
+    val read = spark.read.parquet(s"$srpDir/meta/byid")
+      .filter(col("mb").isin(mbs: _*) && col("vec_id").isin(ids: _*) &&
+        predCol(pred))
+      .select(col("vec_id"))
+    lastByIdPlan = read.queryExecution.executedPlan.toString
+    read.collect().map(_.getLong(0)).toSet
+  }
+
+  private def topKDf(spark: SparkSession,
+                     cands: Seq[(Long, Double)], k: Int): DataFrame = {
+    import spark.implicits._
+    cands.sortWith(SrpBanded.simDescIdAsc).take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
+      .toDF("vec_id", "rk", "sim")
+      .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("rk"))
+  }
+
+  /** exact filtered top-k over the pruned byval partitions — the
+    * selective branch AND the escalation fallback (recall 1.0) */
+  private def exactFiltered(spark: SparkSession, srpDir: String,
+                            queryVec: Array[Float],
+                            pred: Seq[(String, String)], k: Int): DataFrame = {
+    val q = typedLit(queryVec)
+    val cands = byValPruned(spark, srpDir, pred)
+      .select(col("vec_id"), vectors.cosine_sim(col("embedding"), q).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    topKDf(spark, cands, k)
+  }
+
+  /** v39: metadata-filtered stored graph search. Same result schema as
+    * v28 — (vec_id, rk, sim) — restricted to rows matching `pred`. */
+  def searchFiltered(spark: SparkSession, d: String, srpDir: String,
+                     edgeDir: String, queryVec: Array[Float],
+                     pred: Seq[(String, String)], k: Int = 10,
+                     beam: Int = 8, iters: Int = 2, maxEntries: Int = 64,
+                     graphK: Int = 5, probeRadius: Int = 2,
+                     exactScanMax: Long = ExactScanMax): DataFrame = {
+    ensureMeta(spark, d, srpDir)
+    val matching = matchCount(spark, srpDir, pred)
+    if (matching <= exactScanMax) {
+      lastFilteredPath = "exact"
+      exactFiltered(spark, srpDir, queryVec, pred, k)
+    } else {
+      val hit = EscalateFactors.iterator.map { f =>
+        val visited = SrpBanded.graphWalkVisited(spark, srpDir,
+          SrpStore.scoredPool(spark, srpDir, queryVec, probeRadius),
+          queryVec, beam * math.min(f, 4), iters, maxEntries * f, graphK,
+          edgesFor = Some(fr => EdgeStore.edgesFor(spark, edgeDir, fr)))
+        val ok = matchingIds(spark, srpDir, pred, visited.map(_._1))
+        (f, visited.filter(v => ok(v._1)))
+      }.find(_._2.size >= k)
+      hit match {
+        case Some((f, matched)) =>
+          lastFilteredPath = s"walk:$f"
+          topKDf(spark, matched, k)
+        case None =>
+          // the schedule never surfaced k matching candidates: the
+          // predicate is more selective than the stats suggested (or
+          // the matches are far from the query's graph basin) — the
+          // pruned exact path answers with full recall
+          lastFilteredPath = "fallback"
+          exactFiltered(spark, srpDir, queryVec, pred, k)
+      }
+    }
+  }
+}

@@ -21,18 +21,75 @@ import graft.functions.vectors
   */
 object IvfStore {
 
-  def write(spark: SparkSession, emb: DataFrame, vecCol: String,
-            model: IvfIndex.Model, dir: String): Unit = {
+  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Retrained-version markers (`_commits/vN`): [[retrain]] publishes
+    * a re-clustered copy as `<dir>/v=N/{lists,centroids,stats}` and
+    * readers follow the HIGHEST committed version — the SigStore/
+    * EdgeStore commit contract applied to whole index generations. A
+    * dir with no markers is the initial [[write]] layout (lists/
+    * centroids at the root), so every pre-existing store keeps
+    * working unchanged. */
+  private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    val f = hadoopFs(spark, dir)
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
+  }
+
+  private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
+    val f = hadoopFs(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
+    f.mkdirs(cd)
+    f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
+  }
+
+  /** the artifact root every read/upsert path follows: the highest
+    * committed retrain generation, or the dir itself before any */
+  private[graft] def currentRoot(spark: SparkSession, dir: String): String =
+    committedVers(spark, dir).lastOption
+      .map(v => s"$dir/v=$v").getOrElse(dir)
+
+  private def writeArtifacts(spark: SparkSession, emb: DataFrame, vecCol: String,
+                             model: IvfIndex.Model, root: String): Unit = {
     import spark.implicits._
-    IvfIndex.assign(emb, vecCol, model)
+    val assigned = IvfIndex.assign(emb, vecCol, model)
+    assigned
       .write.mode(SaveMode.Overwrite)
       .partitionBy("list_id")
-      .parquet(s"$dir/lists")
+      .parquet(s"$root/lists")
     model.centroids.zipWithIndex
       .flatMap { case (c, i) => c.zipWithIndex.map { case (w, j) => (i, j, w) } }
       .toSeq.toDF("list_id", "dim", "w")
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
+    // write-time assignment statistics — the drift metric's baseline:
+    // per-list occupancy + mean (quantized squared-L2) distance to the
+    // assigned centroid, one tiny row per list
+    assigned
+      .select(col("list_id"),
+        vectors.nearest_centroid_dist(
+          IvfIndex.quantize(col(vecCol)), model.centroids).as("d"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), avg(col("d")).as("mean_dist"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
+  }
+
+  def write(spark: SparkSession, emb: DataFrame, vecCol: String,
+            model: IvfIndex.Model, dir: String): Unit = {
+    // a full write is generation zero: clear any retrain chain so the
+    // root layout is authoritative again
+    val f = hadoopFs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits"), true): Unit
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(dp)) f.listStatus(dp).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .foreach(p => { f.delete(p, true): Unit })
+    writeArtifacts(spark, emb, vecCol, model, dir)
     // rewriting the store must drop memoized centroids + cached scans
     graft.Tables.invalidate(dir)
   }
@@ -45,9 +102,10 @@ object IvfStore {
   graft.Tables.onInvalidate(p =>
     centroidCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k)))
 
-  def readCentroids(spark: SparkSession, dir: String): IvfIndex.Model =
-    centroidCache.getOrElseUpdate(dir, {
-      val rows = spark.read.parquet(s"$dir/centroids")
+  def readCentroids(spark: SparkSession, dir: String): IvfIndex.Model = {
+    val root = currentRoot(spark, dir)
+    centroidCache.getOrElseUpdate(root, {
+      val rows = spark.read.parquet(s"$root/centroids")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val k = rows.map(_._1).max + 1
       val dim = rows.map(_._2).max + 1
@@ -55,6 +113,7 @@ object IvfStore {
       rows.foreach { case (i, j, w) => cs(i)(j) = w }
       IvfIndex.Model(cs)
     })
+  }
 
   /** Incremental maintenance: fold freshly-embedded rows into the
     * persisted index WITHOUT a full rebuild — the reference's
@@ -76,9 +135,10 @@ object IvfStore {
     * minimality against). */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              vecCol: String, idCol: String): Seq[Int] = {
+    val root = currentRoot(spark, dir)
     val model = readCentroids(spark, dir)
     val assigned = IvfIndex.assign(updates, vecCol, model)
-    val store = spark.read.parquet(s"$dir/lists")
+    val store = spark.read.parquet(s"$root/lists")
     val updIds = updates.select(col(idCol)).distinct()
     val oldLists = store.join(broadcast(updIds), Seq(idCol))
       .select(col("list_id")).distinct().collect().map(_.getInt(0))
@@ -99,7 +159,7 @@ object IvfStore {
         merged.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("list_id")
-          .parquet(s"$dir/lists")
+          .parquet(s"$root/lists")
         // dynamic overwrite only rewrites partitions PRESENT in the
         // written data: a touched list emptied by a move (its only
         // rows migrated elsewhere) appears in no output row and its
@@ -111,14 +171,14 @@ object IvfStore {
         if (emptied.nonEmpty) {
           val conf = spark.sparkContext.hadoopConfiguration
           emptied.foreach { l =>
-            val p = new org.apache.hadoop.fs.Path(s"$dir/lists/list_id=$l")
+            val p = new org.apache.hadoop.fs.Path(s"$root/lists/list_id=$l")
             val fs = p.getFileSystem(conf)
             fs.delete(p, true): Unit
           }
         }
       } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
       // cached list scans are stale now; centroids re-read (unchanged)
-      graft.Tables.invalidate(s"$dir/lists")
+      graft.Tables.invalidate(s"$root/lists")
     }
     touched
   }
@@ -129,11 +189,103 @@ object IvfStore {
              query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
     val model = readCentroids(spark, dir)
     val probed = IvfIndex.rankLists(model, query, nprobe)
-    spark.read.parquet(s"$dir/lists")
+    spark.read.parquet(s"${currentRoot(spark, dir)}/lists")
       .filter(col("list_id").isin(probed: _*)) // partition-pruned scan
       .select(col(idCol),
         round(vectors.cosine_sim(col(vecCol), typedLit(query)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** occupancy skew trip factor vs the write-time baseline */
+  val DriftSkewFactor = 2.0
+  /** absolute skew floor below which occupancy never trips (small
+    * stores are naturally lumpy) */
+  val DriftSkewFloor = 4.0
+  /** mean-assignment-distance growth that trips the metric */
+  val DriftDistFactor = 1.25
+
+  final case class Drift(nLists: Int, skewAtWrite: Double, skewNow: Double,
+                         meanDistAtWrite: Double, meanDistNow: Double) {
+    def distRatio: Double = meanDistNow / meanDistAtWrite
+    /** centroids no longer describe the corpus: either a list family
+      * is ballooning (occupancy skew) or vectors sit ever farther from
+      * their assigned centroid (distance trend) */
+    def tripped: Boolean =
+      distRatio > DriftDistFactor ||
+        skewNow > math.max(DriftSkewFloor, DriftSkewFactor * skewAtWrite)
+  }
+
+  /** Centroid-drift metric — ONE cheap scan of the current lists
+    * (occupancy + mean assignment distance under the frozen
+    * centroids) compared against the write-time `stats/` baseline.
+    * [[upsert]] assigns new vectors to frozen centroids forever; on a
+    * drifting corpus list sizes skew and probe recall decays silently
+    * — this is the tripwire a maintenance job polls, [[retrain]] the
+    * repair it schedules. */
+  def driftMetric(spark: SparkSession, dir: String, vecCol: String): Drift = {
+    val root = currentRoot(spark, dir)
+    val model = readCentroids(spark, dir)
+    val base = spark.read.parquet(s"$root/stats")
+      .agg(count(lit(1)).cast("long").as("k"),
+        max(col("n")).cast("double").as("mx"),
+        avg(col("n")).as("mean_n"),
+        (sum(col("mean_dist") * col("n")) / sum(col("n"))).as("md"))
+      .head()
+    val now = spark.read.parquet(s"$root/lists")
+      .select(col("list_id"),
+        vectors.nearest_centroid_dist(
+          IvfIndex.quantize(col(vecCol)), model.centroids).as("d"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), avg(col("d")).as("mean_dist"))
+      .agg(max(col("n")).cast("double").as("mx"),
+        avg(col("n")).as("mean_n"),
+        (sum(col("mean_dist") * col("n")) / sum(col("n"))).as("md"))
+      .head()
+    Drift(base.getLong(0).toInt,
+      base.getDouble(1) / base.getDouble(2),
+      now.getDouble(0) / now.getDouble(1),
+      base.getDouble(3), now.getDouble(2))
+  }
+
+  /** Re-cluster the CURRENT store rows into a fresh model and publish
+    * it as a new committed generation — the SigStore/EdgeStore
+    * compaction contract applied to the whole index: the new
+    * `v=N/{lists,centroids,stats}` is written first (a leftover from
+    * a crashed earlier attempt cleared before rewriting), the marker
+    * file is the atomic publish, superseded generations are GC'd
+    * after it (a crash between marker and GC leaves readers on the
+    * new generation with unreferenced garbage behind — harmless and
+    * reclaimed by the next retrain). O(corpus) by contract: this is
+    * the amortized repair for [[driftMetric]]'s trip, not a per-batch
+    * path. Returns the new model. */
+  def retrain(spark: SparkSession, dir: String, vecCol: String, idCol: String,
+              k: Int, iters: Int = 5): IvfIndex.Model = {
+    val vers = committedVers(spark, dir)
+    val root = currentRoot(spark, dir)
+    val rows = spark.read.parquet(s"$root/lists").drop("list_id")
+      .localCheckpoint(true) // break lineage: v0 GC below deletes its files
+    try {
+      val model = IvfIndex.fit(rows, vecCol, idCol, k, iters)
+      val next = vers.lastOption.getOrElse(0) + 1
+      val f = hadoopFs(spark, dir)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$next"), true): Unit
+      writeArtifacts(spark, rows, vecCol, model, s"$dir/v=$next")
+      commitVer(spark, dir, next)
+      // GC superseded generations: markers first, then their dirs (the
+      // EdgeStore.compact ordering); the pre-chain root layout is the
+      // implicit generation zero
+      vers.foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/v$v"), false): Unit
+      }
+      vers.foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true): Unit
+      }
+      if (vers.isEmpty) Seq("lists", "centroids", "stats").foreach { a =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$a"), true): Unit
+      }
+      graft.Tables.invalidate(dir)
+      model
+    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(rows)
   }
 }

@@ -205,10 +205,17 @@ object SigStore {
   }
 
   /** committed signature rows (doc_id, band, band_key, bg) */
+  // explicit read schemas: a dedup SERVICE legitimately starts from an
+  // empty store (version 0 of zero docs writes no parquet files, only
+  // the layout markers), and schema inference cannot run over zero
+  // files — the read contract must not depend on data existing
+  private val SigsSchema = "doc_id LONG, band INT, band_key LONG, __ver INT, bg LONG"
+  private val DocsSchema = "doc_id LONG, text STRING, __ver INT, db LONG"
+
   private[graft] def sigFrame(spark: SparkSession, dir: String): DataFrame = {
     val vers = committedVers(spark, dir)
     require(vers.nonEmpty, s"SigStore at $dir has no committed version")
-    spark.read.parquet(s"$dir/sigs")
+    spark.read.schema(SigsSchema).parquet(s"$dir/sigs")
       .filter(col("__ver").isin(vers: _*))
       .select(col("doc_id"), col("band"), col("band_key"), col("bg"))
   }
@@ -216,7 +223,7 @@ object SigStore {
   /** committed verify texts (doc_id, text) */
   private[graft] def docsFrame(spark: SparkSession, dir: String): DataFrame = {
     val vers = committedVers(spark, dir)
-    spark.read.parquet(s"$dir/docs")
+    spark.read.schema(DocsSchema).parquet(s"$dir/docs")
       .filter(col("__ver").isin(vers: _*))
       .select(col("doc_id"), col("text"))
   }
@@ -229,7 +236,7 @@ object SigStore {
     val vers = committedVers(spark, dir)
     val groups = storeGroups(spark, dir)
     val dbs = ids.map(_ & (groups - 1).toLong).distinct
-    val pruned = spark.read.parquet(s"$dir/docs")
+    val pruned = spark.read.schema(DocsSchema).parquet(s"$dir/docs")
       .filter(col("__ver").isin(vers: _*) &&
         col("db").isin(dbs: _*) && col("doc_id").isin(ids: _*))
       .select(col("doc_id"), col("text"))

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Pipeline
+import graft.sources.SigStore
+
+/** Streaming curation — p1's funnel over continuous ingest: each
+  * micro-batch of documents gets a full disposition (quality |
+  * exact_dup | near_dup | kept, with keeper_id) against the EVOLVING
+  * store state, then the batch's exact-stage survivors are committed
+  * into the state so later batches dedup against them too (the
+  * [[SigProbeStream]] serve→upsert cadence applied to the whole
+  * funnel).
+  *
+  * Stage semantics per batch (the p1 contract with STREAM-ORDER
+  * canonicalization):
+  *
+  *  - '''quality''': [[Pipeline.gatedOf]] — the identical gate
+  *    definition the batch funnel applies; map-only, judged locally.
+  *  - '''exact_dup''': [[Pipeline.normKey]] against the persisted
+  *    hash→keeper table (cross-batch; keeper = the hash's FIRST
+  *    survivor) plus min-doc_id within the batch.
+  *  - '''near_dup''': the batch's exact survivors are near-duped
+  *    against the [[SigStore]] ([[SigStore.incrementalNearDup]] —
+  *    O(batch) banding + pruned bucket reads, the store is never
+  *    re-banded) and canonicalized by MIN doc_id over the reachable
+  *    pair set (within-batch components ∪ stored partners). Under
+  *    id-ordered arrival this is first-arrival-wins — the streaming
+  *    analogue of p1's canonical argmax (which needs the whole
+  *    corpus at once to pick "longest"); keeper_id is stage-local
+  *    and chains across batches exactly like p1's (a keeper may
+  *    itself have been superseded earlier — follow the chain).
+  *
+  * The near-dup metric here is the signature store's (d13's MinHash
+  * banding + exact shingle-Jaccard verify ≥ [[SigStore.Threshold]]),
+  * i.e. the funnel SHAPE is p1's while the pair graph is the
+  * incremental store's — the only pair source that serves O(batch)
+  * against a 100 TB corpus. Per-batch driver state (pairs, survivor
+  * ids) is micro-batch-bounded, the [[SigProbeStream]] license.
+  *
+  * State layout under `stateDir`:
+  * {{{
+  *   sig/    the SigStore (signatures + verify texts of exact survivors)
+  *   keys/b=<n>/   appended (h, keeper_id) parquet per batch
+  * }}}
+  */
+object CurationStream {
+
+  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** ensure the state dirs exist (empty SigStore on first run) */
+  private def initState(spark: SparkSession, stateDir: String): Unit = {
+    import spark.implicits._
+    val f = hadoopFs(spark, stateDir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/sig/_commits")))
+      SigStore.write(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$stateDir/sig")
+  }
+
+  private def keyBatches(spark: SparkSession, stateDir: String): Seq[String] = {
+    val kd = new org.apache.hadoop.fs.Path(s"$stateDir/keys")
+    val f = hadoopFs(spark, stateDir)
+    if (!f.exists(kd)) Seq.empty
+    else f.listStatus(kd).toSeq.map(_.getPath.toString)
+      .filter(_.contains("/b="))
+  }
+
+  /** stored (h, keeper_id) pairs across all committed key batches */
+  private def storedKeys(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val paths = keyBatches(spark, stateDir)
+    if (paths.isEmpty) Seq.empty[(String, Long)].toDF("h", "keeper_id")
+    else spark.read.parquet(paths: _*).select(col("h"), col("keeper_id"))
+  }
+
+  /** Disposition one batch against the state, then absorb it. Returns
+    * (doc_id, lang, source, stage, keeper_id) for every batch doc. */
+  def serveBatch(spark: SparkSession, stateDir: String,
+                 batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    initState(spark, stateDir)
+    val docs = batch
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint(true)
+    val g = Pipeline.gatedOf(docs)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("pass"))
+      .localCheckpoint(true)
+
+    // ---- exact stage: stored hashes first, then within-batch min ----
+    val hashed = g.filter(col("pass"))
+      .select(col("doc_id"), col("text"), Pipeline.normKey.as("h"))
+    val prior = storedKeys(spark, stateDir)
+    val exact = hashed
+      .join(broadcast(prior.withColumnRenamed("keeper_id", "stored_keeper")),
+        Seq("h"), "left")
+      .withColumn("batch_min",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .withColumn("exact_keeper",
+        coalesce(col("stored_keeper"), col("batch_min")))
+      .localCheckpoint(true)
+    val survivors = exact.filter(col("doc_id") === col("exact_keeper"))
+      .select(col("doc_id"), col("text"))
+
+    // ---- near-dup stage: probe the evolving store, min-id canonical ----
+    val pairs = SigStore.incrementalNearDup(spark, s"$stateDir/sig", survivors)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survIds = survivors.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // union-find over the batch survivors; stored partners only pull
+    // the component minimum down (they are already canonical-or-chained)
+    val root = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = root.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); root(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) root(rb) = ra else root(ra) = rb }
+    }
+    pairs.foreach { case (a, b) =>
+      if (survIds(a) && survIds(b)) union(a, b)
+      else if (survIds(a)) union(a, math.min(a, b)) // stored partner: min pulls
+      else if (survIds(b)) union(b, math.min(a, b))
+    }
+    // a stored partner id used as a root stands for "superseded by an
+    // earlier arrival" — keeper chains resolve it, exactly like p1's
+    // stage-local keeper contract
+    val nearKeeper = survIds.toSeq.sorted
+      .map(id => id -> find(id)).filter { case (id, r) => r != id }.toMap
+
+    val nearDf = nearKeeper.toSeq.toDF("doc_id", "near_keeper")
+    val disp = g
+      .join(exact.select(col("doc_id"), col("exact_keeper")), Seq("doc_id"), "left")
+      .join(broadcast(nearDf), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(!col("pass"), lit("quality"))
+          .when(col("doc_id") =!= col("exact_keeper"), lit("exact_dup"))
+          .when(col("near_keeper").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(!col("pass"), lit(null).cast("long"))
+          .when(col("doc_id") =!= col("exact_keeper"), col("exact_keeper"))
+          .when(col("near_keeper").isNotNull, col("near_keeper"))
+          .otherwise(col("doc_id")).as("keeper_id"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+
+    // ---- absorb the batch into the state (serve-then-upsert) ----
+    // the signature store holds every exact survivor (kept AND
+    // near_dup — p1 induces its pair graph on exact survivors, so
+    // later arrivals must be able to pair with either)
+    SigStore.upsert(spark, s"$stateDir/sig", survivors)
+    val newKeys = exact
+      .filter(col("stored_keeper").isNull && col("doc_id") === col("batch_min"))
+      .select(col("h"), col("doc_id").as("keeper_id"))
+    val nextB = keyBatches(spark, stateDir).size
+    newKeys.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/keys/b=$nextB")
+    disp
+  }
+
+  /** Drain a `{doc_id, text, lang, source}` JSON stream once
+    * (AvailableNow), dispositioning each micro-batch against the
+    * evolving state; returns the union of all emitted dispositions. */
+  def runOnce(spark: SparkSession, docsDir: String, stateDir: String,
+              maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Option[Long])]
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(docsDir)
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) {
+          val rows = serveBatch(spark, stateDir, b).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+              if (r.isNullAt(4)) None else Some(r.getLong(4))))
+          out.synchronized { out ++= rows: Unit }
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    out.synchronized(out.toSeq)
+      .toDF("doc_id", "lang", "source", "stage", "keeper_id")
+  }
+}

@@ -30,6 +30,13 @@ object ServeGateway {
       // path: the 128-key default fallback re-SORTS (and at scale, spills)
       // the candidate stream the aggregate exists to avoid sorting
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // a real gateway OVERLAPS requests: FAIR scheduling shares the
+      // executor slots across concurrently-submitted request jobs
+      // (FIFO would head-of-line-block every in-flight request behind
+      // the largest one). Pools are created on demand by the local
+      // property below — no allocation file needed for equal-weight
+      // request classes.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,6 +96,61 @@ object ServeGateway {
         graft.sources.SigStore
           .incrementalNearDup(spark, sigDir, batch).collect()
       }
+    }
+
+    // ---- concurrency: overlapped requests on FAIR scheduler pools ----
+    // Each worker thread serves from its own request-class pool (the
+    // pool name is a thread-local Spark property, inherited by every
+    // job the request submits). Measured throughput + latency
+    // percentiles at 1/4/16 in-flight go into docs/SERVING.md.
+    def percentile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+    }
+    def concurrentBench(tag: String, nReq: Int, inFlight: Seq[Int])
+                       (f: String => Array[org.apache.spark.sql.Row]): Unit = {
+      val reqs = (0 until nReq).map(i => s"synthetic request text number $i about topic ${i % 7}")
+      // correctness under concurrency: every request's rows must equal
+      // its serial answer regardless of interleaving
+      val serial = reqs.take(4).map(t => f(t).map(_.toSeq).toSeq)
+      println(s"== $tag — concurrent ($nReq requests)")
+      inFlight.foreach { n =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        val lat = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[java.lang.Double]())
+        val t0 = System.nanoTime()
+        val futures = reqs.zipWithIndex.map { case (text, i) =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              // one scheduler pool per worker: equal-share across the
+              // requests currently in flight
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+                s"req-${i % n}")
+              val r0 = System.nanoTime()
+              val rows = f(text)
+              lat.add((System.nanoTime() - r0) / 1e6)
+              if (i < 4) require(rows.map(_.toSeq).toSeq == serial(i),
+                s"request $i diverged under concurrency")
+            }
+          })
+        }
+        futures.foreach(_.get())
+        pool.shutdown()
+        val wallS = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val ls = lat.asScala.map(_.doubleValue()).toSeq
+        println(f"  in-flight=$n%-3d throughput=${nReq / wallS}%6.2f req/s  " +
+          f"p50=${percentile(ls, 0.5)}%7.1f ms  p99=${percentile(ls, 0.99)}%7.1f ms  " +
+          f"wall=${wallS}%6.2f s")
+      }
+    }
+    concurrentBench("CodeStore.search", nReq = 48, inFlight = Seq(1, 4, 16)) { text =>
+      graft.sources.CodeStore
+        .search(spark, codeDir, embedder.embed(text), k = 10).collect()
+    }
+    concurrentBench("HnswStore.search", nReq = 16, inFlight = Seq(1, 4, 16)) { text =>
+      graft.sources.HnswStore
+        .search(spark, hnswDir, embedder.embed(text), k = 10).collect()
     }
     spark.stop()
   }

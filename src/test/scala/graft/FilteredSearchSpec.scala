@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.FakeEmbedder
+import graft.sources.{EdgeStore, FilteredServe, SrpStore}
+
+/** v39: metadata-filtered ANN on the stored serve path — the
+  * cardinality-planned dual strategy (pruned exact scan for selective
+  * predicates, over-fetch walk + bounded post-filter with escalation
+  * for broad ones) and its recall contract. */
+class FilteredSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  val q = FakeEmbedder.embed("fast vector search over spark tables")
+
+  /** exact filtered ranking computed independently from the corpus
+    * tables (v10's form) — the ground truth every path is held to */
+  private def exactFiltered(pred: Seq[(String, String)], k: Int): Seq[Seq[Any]] = {
+    val docs = pred.foldLeft(Tables.documents(spark, sf)) {
+      case (df, (c, v)) => df.filter(col(c) === v)
+    }.select(col("doc_id"))
+    val emb = Tables.embeddings(spark, sf)
+    emb.join(docs, emb("vec_id") === docs("doc_id"), "left_semi")
+      .select(col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("embedding"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        // Seq[Any], not Seq(...): numeric-widening inference would
+        // otherwise land on Seq[Double] and melt the Long ids
+        Seq[Any](r.getLong(0), i + 1,
+          BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
+  test("selective predicate (≤1%): planner takes the pruned exact path, recall 1.0, no graph needed") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    // (de, src11) matches exactly 1 of 500 documents (0.2% selectivity)
+    val pred = Seq("lang" -> "de", "source" -> "src11")
+    assert(FilteredServe.matchCount(spark, srpDir, pred) == 1L)
+    // the edge dir must never be opened on this branch: hand the serve
+    // a path that would throw if it were
+    val res = FilteredServe.searchFiltered(spark, sf, srpDir,
+      edgeDir = "/nonexistent/edge-store", q, pred, k = 10)
+    assert(FilteredServe.lastFilteredPath == "exact")
+    val got = res.collect().map(_.toSeq).toSeq
+    assert(got == exactFiltered(pred, 10),
+      "selective path diverged from the exact filtered ranking")
+    // the byval read pruned to the matching partitions in the file index
+    assert(FilteredServe.lastByValPlan.contains("PartitionFilters") &&
+      FilteredServe.lastByValPlan.contains("lang") &&
+      FilteredServe.lastByValPlan.contains("source"),
+      s"byval read not partition-pruned:\n${FilteredServe.lastByValPlan}")
+    val pruned = FilteredServe.byValPruned(spark, srpDir, pred)
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in byval plan"))
+    val read = scan.selectedPartitions.partitionCount
+    val total = spark.read.parquet(s"$srpDir/meta/byval")
+      .select("lang", "source").distinct().count()
+    info(s"byval read $read of $total value partitions")
+    assert(read == 1 && read < total,
+      s"byval read $read partitions for a single-value predicate (store has $total)")
+  }
+
+  test("broad predicate: walk path post-filters the bounded visited set through a pruned byid read") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val pred = Seq("lang" -> "en") // 193 of 500 docs
+    // force the walk branch (exactScanMax = 0): the plumbing under test
+    // is the broad-predicate plan a 100 TB corpus would take
+    val res = FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir, q,
+      pred, k = 5, exactScanMax = 0L)
+    assert(FilteredServe.lastFilteredPath.startsWith("walk:"),
+      s"expected the walk branch, took ${FilteredServe.lastFilteredPath}")
+    val got = res.collect()
+    assert(got.length == 5)
+    // every returned row satisfies the predicate and carries the exact
+    // similarity of its corpus embedding
+    val enIds = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => enIds(r.getLong(0))), "a non-matching row leaked through")
+    val exact = exactFiltered(pred, 500).map(r => r.head.asInstanceOf[Long] -> r(2)).toMap
+    got.foreach { r =>
+      assert(exact(r.getLong(0)) == r.getDouble(2),
+        s"sim mismatch for ${r.getLong(0)}")
+    }
+    // ranks are the (sim DESC, vec_id) order of the matched candidates
+    assert(got.map(_.getInt(1)).toSeq == (1 to 5))
+    assert(got.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq ==
+      got.map(_.getDouble(2)).sorted.reverse.toSeq)
+    // decent recall against the exact filtered top-k: the walk's basin
+    // covers the query's neighborhood, the filter only drops non-en rows
+    val exactTop = exactFiltered(pred, 5).map(_.head.asInstanceOf[Long]).toSet
+    val recall = got.count(r => exactTop(r.getLong(0))) / 5.0
+    info(s"walk-path filtered recall@5 = $recall")
+    assert(recall >= 0.6, s"filtered walk recall collapsed: $recall")
+    // the byid post-filter read pruned to the candidates' mb partitions
+    assert(FilteredServe.lastByIdPlan.contains("PartitionFilters") &&
+      FilteredServe.lastByIdPlan.contains("mb"),
+      s"byid read not partition-pruned:\n${FilteredServe.lastByIdPlan}")
+    // deterministic: same serve, same rows
+    val again = FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir, q,
+      pred, k = 5, exactScanMax = 0L)
+    assert(again.collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
+  test("escalation exhausts into the exact fallback: recall cannot collapse under selective predicates") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    // one matching document in the whole corpus, k = 10: no walk depth
+    // can surface k matches, so the schedule must run out and the serve
+    // must answer from the pruned exact path — full recall by
+    // construction, never a silent k-shortfall
+    val pred = Seq("lang" -> "de", "source" -> "src11")
+    val res = FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir, q,
+      pred, k = 10, exactScanMax = 0L)
+    assert(FilteredServe.lastFilteredPath == "fallback",
+      s"expected escalation fallback, took ${FilteredServe.lastFilteredPath}")
+    val got = res.collect().map(_.toSeq).toSeq
+    assert(got == exactFiltered(pred, 10),
+      "fallback diverged from the exact filtered ranking")
+    assert(got.size == 1)
+  }
+
+  test("meta stats match the corpus and reject undeclared columns") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val truth = Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf)
+          .filter(col("embedding").isNotNull &&
+            size(col("embedding")) === graft.operators.SrpBanded.Dim)
+          .select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (l, n) =>
+      assert(FilteredServe.matchCount(spark, srpDir, Seq("lang" -> l)) == n,
+        s"stats diverged for lang=$l")
+    }
+    intercept[IllegalArgumentException] {
+      FilteredServe.matchCount(spark, srpDir, Seq("n_chars" -> "5"))
+    }
+    intercept[IllegalArgumentException] {
+      FilteredServe.matchCount(spark, srpDir, Seq.empty)
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FakeEmbedder
+
+/** SQL table-valued-function surface over the persisted stores: a
+  * pure-SQL session must serve the same rows as the Scala calls —
+  * the builders ARE the Scala calls, spliced in at analysis time. */
+class TvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  val queryText = "fast vector search over spark tables"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  test("stored serves through pure SQL equal the Scala calls") {
+    graft.functions.tvf.register(spark)
+    val q = FakeEmbedder.embed(queryText)
+
+    val hnswDir = graft.sources.HnswStore.storeFor(spark, sf)
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_hnsw_search('$hnswDir', '$queryText', 10)")) ==
+      rows(graft.sources.HnswStore.search(spark, hnswDir, q, 10)),
+      "graft_hnsw_search diverged from HnswStore.search")
+
+    val srpDir = graft.sources.SrpStore.storeFor(spark, sf)
+    val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_graph_search('$srpDir', '$edgeDir', '$queryText', 10)")) ==
+      rows(graft.sources.SrpStore.graphSearchCold(spark, srpDir, edgeDir, q, k = 10)),
+      "graft_graph_search diverged from SrpStore.graphSearchCold")
+
+    val codeDir = graft.sources.CodeStore.storeFor(spark, sf)
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_code_search('$codeDir', '$queryText', 10)")) ==
+      rows(graft.sources.CodeStore.search(spark, codeDir, q, k = 10)),
+      "graft_code_search diverged from CodeStore.search")
+
+    // the TVF result composes like any table: outer SQL filters/projects
+    val filtered = spark.sql(
+      s"""SELECT vec_id FROM graft_hnsw_search('$hnswDir', '$queryText', 10)
+         |WHERE rk <= 3 ORDER BY rk""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(filtered ==
+      rows(graft.sources.HnswStore.search(spark, hnswDir, q, 10))
+        .take(3).map(_.head))
+  }
+
+  test("dedup-check TVF equals the one-document incremental serve") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.functions.tvf.register(spark)
+    val sigDir = graft.sources.SigStore.storeFor(spark, sf)
+    // a text the store DOES contain, so the check returns its near-dups
+    val dup = Tables.documents(spark, sf)
+      .filter(col("doc_id") % graft.sources.SigStore.BatchMod =!= 0)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("text")).head().getString(0)
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM graft_dedup_check('$sigDir', 1000000000, '${dup.replace("'", "''")}')"))
+    val viaScala = rows(graft.sources.SigStore.incrementalNearDup(spark, sigDir,
+      Seq((1000000000L, dup)).toDF("doc_id", "text")))
+    assert(viaSql == viaScala && viaSql.nonEmpty,
+      s"dedup-check diverged (sql=${viaSql.size} scala=${viaScala.size})")
+  }
+
+  test("non-literal TVF arguments fail analysis loudly") {
+    graft.functions.tvf.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_hnsw_search(concat('a', 'b'), 'q', 10)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("GraftExtensions injects the TVFs into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // stores built (on disk) by the shared session are plain parquet —
+    // readable from any session
+    val codeDir = graft.sources.CodeStore.storeFor(spark, sf)
+    val expect = rows(graft.sources.CodeStore.search(spark, codeDir,
+      FakeEmbedder.embed(queryText), k = 5))
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val got = s2.sql(
+        s"SELECT * FROM graft_code_search('$codeDir', '$queryText', 5)")
+        .collect().map(_.toSeq).toSeq
+      assert(got == expect, "extensions-injected TVF diverged")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
