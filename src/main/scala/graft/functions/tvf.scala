@@ -78,6 +78,21 @@ object tvf {
           litStr(xs(0), "store_dir"),
           FakeEmbedder.embed(litStr(xs(1), "query_text")), k = kOf(xs, 2, 10)))
       }),
+    ("graft_filtered_search",
+      "graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered stored ANN",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 7 && (xs.length - 5) % 2 == 0,
+          s"graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        val spark = SparkSession.active
+        val pred = xs.drop(5).grouped(2).map { p =>
+          litStr(p(0), "predicate column") -> litStr(p(1), "predicate value")
+        }.toSeq
+        planOf(graft.sources.FilteredServe.searchFiltered(spark,
+          litStr(xs(0), "corpus_dir"), litStr(xs(1), "srp_dir"),
+          litStr(xs(2), "edge_dir"),
+          FakeEmbedder.embed(litStr(xs(3), "query_text")), pred,
+          k = litLong(xs(4), "k").toInt))
+      }),
     ("graft_dedup_check",
       "graft_dedup_check(sig_dir, doc_id, text) - near-dups of one document vs the persisted signature store",
       (xs: Seq[Expression]) => {

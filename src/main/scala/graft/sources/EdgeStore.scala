@@ -286,13 +286,14 @@ object EdgeStore {
   // queries() entry — a real deployment writes it after each offline
   // graph build/refinement
   private val storeCache = new graft.SessionCache[String, String](
-    4, (_: String) => ())
+    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }
   def refinedStoreFor(spark: SparkSession, d: String): String =
     storeCache.getOrElseUpdate(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("edgestore").toString
+      val dir = TempStores.track(
+        java.nio.file.Files.createTempDirectory("edgestore").toString)
       write(spark, SrpBanded.materializedRefinedGraph(spark, d), dir)
       dir
     }

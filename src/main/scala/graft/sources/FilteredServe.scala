@@ -115,6 +115,107 @@ object FilteredServe {
     statsCache.remove(srpDir): Unit
   }
 
+  /** Incremental meta maintenance — the [[SrpStore.upsert]] contract
+    * applied to the three meta artifacts, so a corpus upsert never
+    * forces an O(corpus) meta rebuild:
+    *
+    *  - `updates` carries (vec_id, embedding, <MetaCols>) — metadata
+    *    rides the update batch the way embeddings do (an ingest knows
+    *    both); a re-ingested document may CHANGE its metadata values,
+    *    which moves it across byval partitions;
+    *  - byval: only the touched value partitions are rewritten via
+    *    dynamic partition overwrite — partitions gaining rows plus
+    *    partitions holding a stale copy of an updated id (located by
+    *    the one unavoidable id-column-pruned store scan, the
+    *    IvfStore.upsert adjudication); emptied value dirs deleted;
+    *  - byid: `mb` is a pure function of vec_id, so stale and new
+    *    rows share a partition — only the updated ids' mb partitions
+    *    rewrite;
+    *  - stats: recomputed from the byval partition columns (a
+    *    metadata-cheap scan) and written LAST — it is the artifact
+    *    [[ensureMeta]] gates on, so a crash anywhere mid-upsert
+    *    leaves either a consistent store (stats landed) or one that
+    *    [[ensureMeta]] rebuilds from the corpus (stats torn). In-place
+    *    partition rewrites here carry the same crash posture as
+    *    SrpStore's bucket rewrites; the marker-chain treatment is the
+    *    banding artifact's job, not the serving copies'.
+    *
+    * Returns the touched byval (value...) partitions (what the
+    * rewrite-minimality spec asserts against). */
+  def upsertMeta(spark: SparkSession, srpDir: String,
+                 updates: DataFrame): Seq[Seq[String]] = {
+    MetaCols.foreach(c => require(updates.columns.contains(c),
+      s"upsertMeta updates must carry meta column '$c'"))
+    val upd = updates
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SrpBanded.Dim)
+      .select((Seq(col("vec_id"), col("embedding")) ++ MetaCols.map(col)): _*)
+      .localCheckpoint(true)
+    val updIds = upd.select(col("vec_id")).distinct()
+    val byval = spark.read.parquet(s"$srpDir/meta/byval")
+      .select((Seq(col("vec_id"), col("embedding")) ++
+        MetaCols.map(c => col(c).cast("string").as(c))): _*)
+    val oldVals = byval.join(broadcast(updIds), Seq("vec_id"))
+      .select(MetaCols.map(col): _*).distinct()
+      .collect().map(r => MetaCols.indices.map(r.getString)).toSeq
+    val newVals = upd.select(MetaCols.map(col): _*).distinct()
+      .collect().map(r => MetaCols.indices.map(r.getString)).toSeq
+    val touched = (oldVals ++ newVals).distinct
+    if (touched.nonEmpty) {
+      val touchedPred = touched.map(vs =>
+        MetaCols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        .reduce(_ || _)
+      val survivors = byval.filter(touchedPred)
+        .join(broadcast(updIds), Seq("vec_id"), "left_anti")
+      val merged = survivors
+        .unionByName(upd.select(byval.columns.map(col): _*))
+        .repartition(MetaCols.map(col): _*)
+        .localCheckpoint(true)
+      try {
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(MetaCols: _*)
+          .parquet(s"$srpDir/meta/byval")
+        // a value partition emptied by a move survives dynamic
+        // overwrite — delete it (the SrpStore.upsert emptied-bucket move)
+        val present = merged.select(MetaCols.map(col): _*).distinct()
+          .collect().map(r => MetaCols.indices.map(i => String.valueOf(r.get(i)))).toSet
+        val f = hadoopFs(spark, srpDir)
+        touched.filterNot(present).foreach { vs =>
+          val sub = MetaCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/")
+          f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta/byval/$sub"), true): Unit
+        }
+      } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      // byid: rewrite the updated ids' mb partitions
+      val mbs = updIds.collect().map(r =>
+        Math.floorMod(r.getLong(0), IdPartitions.toLong)).distinct.toSeq
+      val byid = spark.read.parquet(s"$srpDir/meta/byid")
+        .select((Seq(col("vec_id")) ++ MetaCols.map(c => col(c).cast("string").as(c)) :+
+          col("mb").cast("long").as("mb")): _*)
+      val idSurvivors = byid.filter(col("mb").isin(mbs: _*))
+        .join(broadcast(updIds), Seq("vec_id"), "left_anti")
+      val idMerged = idSurvivors
+        .unionByName(upd.select((Seq(col("vec_id")) ++ MetaCols.map(col)): _*)
+          .withColumn("mb", pmod(col("vec_id"), lit(IdPartitions.toLong))))
+        .repartition(col("mb"))
+        .localCheckpoint(true)
+      try idMerged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("mb")
+        .parquet(s"$srpDir/meta/byid")
+      finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(idMerged)
+      // stats last (the ensureMeta gate): partition-column-only scan
+      spark.read.parquet(s"$srpDir/meta/byval")
+        .groupBy(MetaCols.map(c => col(c).cast("string").as(c)): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$srpDir/meta/stats")
+      statsCache.remove(srpDir): Unit
+    }
+    org.apache.spark.sql.GraftBridge.unpersistPlanRdds(upd)
+    touched
+  }
+
   private def metaCommitted(spark: SparkSession, srpDir: String): Boolean =
     hadoopFs(spark, srpDir)
       .exists(new org.apache.hadoop.fs.Path(s"$srpDir/meta/stats/_SUCCESS"))

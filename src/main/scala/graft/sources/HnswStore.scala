@@ -305,13 +305,14 @@ object HnswStore {
   // one store per corpus dir, built lazily for the queries() entry —
   // a real deployment writes it after each offline build
   private val storeCache = new graft.SessionCache[String, String](
-    4, (_: String) => ())
+    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }
   def storeFor(spark: SparkSession, d: String): String =
     storeCache.getOrElseUpdate(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("hnswstore").toString
+      val dir = TempStores.track(
+        java.nio.file.Files.createTempDirectory("hnswstore").toString)
       write(spark, d, dir)
       dir
     }

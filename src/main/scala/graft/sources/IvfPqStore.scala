@@ -132,13 +132,14 @@ object IvfPqStore {
   // one residual store per corpus dir, built lazily for the queries()
   // entry — a real deployment writes it at ingest time
   private val residualStoreCache = new graft.SessionCache[String, String](
-    4, (_: String) => ())
+    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
   graft.Tables.onInvalidate { p =>
     residualStoreCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }
   def residualStoreFor(spark: SparkSession, d: String): String =
     residualStoreCache.getOrElseUpdate(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toString
+      val dir = TempStores.track(
+        java.nio.file.Files.createTempDirectory("ivfpqres").toString)
       writeResidual(spark, graft.Tables.embeddings(spark, d), "embedding",
         "vec_id", IvfPqResidual.fitCached(spark, d), dir)
       dir

@@ -444,15 +444,9 @@ object SigStore {
   private def deleteTempStore(dir: String): Unit = {
     // the store carries a full corpus-sized docs/text artifact —
     // orphaning it per evicted temp dir accumulates corpus-sized /tmp
-    // copies across bench/test JVMs; best-effort recursive delete
-    try {
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val root = Paths.get(dir)
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p): Unit)
-    } catch { case _: Throwable => () }
+    // copies across bench/test JVMs (shared lifecycle: TempStores,
+    // which every storeFor memo now routes through)
+    TempStores.delete(dir)
     groupsCache.remove(dir): Unit
   }
 
@@ -462,18 +456,14 @@ object SigStore {
   // and a shutdown hook sweeps whatever the JVM still holds
   private val storeCache = new graft.SessionCache[String, String](
     4, deleteTempStore)
-  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  sys.addShutdownHook {
-    tempDirs.forEach(d => deleteTempStore(d))
-  }: Unit
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
     groupsCache.filterInPlace((k, _) => !(k.startsWith(p) || p.startsWith(k)))
   }
   def storeFor(spark: SparkSession, d: String): String =
     storeCache.getOrElseUpdate(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
-      tempDirs.add(dir): Unit
+      val dir = TempStores.track(
+        java.nio.file.Files.createTempDirectory("sigstore").toString)
       write(spark,
         Tables.documents(spark, d)
           .filter(col("doc_id") % BatchMod =!= 0)

@@ -537,7 +537,7 @@ object SrpStore {
   // (like IvfStore), picking the width from the corpus row count
   // ([[SrpBanded.rowsPerBandFor]])
   private val storeCache = new graft.SessionCache[(String, Int), String](
-    4, (_: String) => ())
+    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
@@ -545,7 +545,8 @@ object SrpStore {
     storeFor(spark, d, SrpBanded.RowsPerBand)
   def storeFor(spark: SparkSession, d: String, rowsPerBand: Int): String =
     storeCache.getOrElseUpdate(spark, (d, rowsPerBand)) {
-      val dir = java.nio.file.Files.createTempDirectory("srpstore").toString
+      val dir = TempStores.track(
+        java.nio.file.Files.createTempDirectory("srpstore").toString)
       write(spark, d, dir, rowsPerBand)
       dir
     }

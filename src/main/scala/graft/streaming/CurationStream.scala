@@ -61,20 +61,37 @@ object CurationStream {
         Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$stateDir/sig")
   }
 
+  /** committed key-batch dirs (parquet's _SUCCESS is the commit
+    * marker — a batch append that crashed mid-write is invisible and
+    * its slot is reused by the retry) */
   private def keyBatches(spark: SparkSession, stateDir: String): Seq[String] = {
     val kd = new org.apache.hadoop.fs.Path(s"$stateDir/keys")
     val f = hadoopFs(spark, stateDir)
     if (!f.exists(kd)) Seq.empty
-    else f.listStatus(kd).toSeq.map(_.getPath.toString)
-      .filter(_.contains("/b="))
+    else f.listStatus(kd).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b=") &&
+        f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.toString)
   }
 
-  /** stored (h, keeper_id) pairs across all committed key batches */
+  private def nextKeyBatch(spark: SparkSession, stateDir: String): Int = {
+    val kd = new org.apache.hadoop.fs.Path(s"$stateDir/keys")
+    val f = hadoopFs(spark, stateDir)
+    if (!f.exists(kd)) 0
+    else f.listStatus(kd).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("b=") => s.drop(2).toInt }
+      .maxOption.map(_ + 1).getOrElse(0)
+  }
+
+  /** stored (h, keeper_id) pairs across all committed key batches —
+    * explicit schema: a batch of all-quality-failed docs commits an
+    * EMPTY key dir, and inference cannot run over zero data files */
   private def storedKeys(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val paths = keyBatches(spark, stateDir)
     if (paths.isEmpty) Seq.empty[(String, Long)].toDF("h", "keeper_id")
-    else spark.read.parquet(paths: _*).select(col("h"), col("keeper_id"))
+    else spark.read.schema("h STRING, keeper_id LONG").parquet(paths: _*)
+      .select(col("h"), col("keeper_id"))
   }
 
   /** Disposition one batch against the state, then absorb it. Returns
@@ -158,10 +175,30 @@ object CurationStream {
     val newKeys = exact
       .filter(col("stored_keeper").isNull && col("doc_id") === col("batch_min"))
       .select(col("h"), col("doc_id").as("keeper_id"))
-    val nextB = keyBatches(spark, stateDir).size
     newKeys.coalesce(1).write.mode("overwrite")
-      .parquet(s"$stateDir/keys/b=$nextB")
+      .parquet(s"$stateDir/keys/b=${nextKeyBatch(spark, stateDir)}")
     disp
+  }
+
+  /** p2's streaming twin: the running mix table over every emitted
+    * disposition — per-(lang, source) stage counts plus kept token
+    * mass, computed from the union of the stream's outputs and the
+    * batch texts' token counts (the same aggregation shape as
+    * [[Pipeline.curationSummary]], group count |lang|·|source|). A
+    * gateway keeps the dispositions it collected per batch; this
+    * rolls them up without touching any state dir. */
+  def mixSummary(dispositions: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    dispositions.join(toks, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("stage") =!= "quality", 1L).otherwise(0L)).as("after_quality"),
+        sum(when(!col("stage").isin("quality", "exact_dup"), 1L).otherwise(0L)).as("after_exact"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("stage") === "kept", col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"), col("source"))
   }
 
   /** Drain a `{doc_id, text, lang, source}` JSON stream once

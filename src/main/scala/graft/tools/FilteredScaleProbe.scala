@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.SrpBanded
+import graft.sources.{EdgeStore, FilteredServe, SrpStore}
+
+/** Decade evidence for the v39 filtered serve (the r12 capability):
+  * both branches measured against corpus size.
+  *
+  *  - '''exact branch''' (selective predicate): the claim is the scan
+  *    reads ONLY the matching byval partitions — partitions-read is
+  *    asserted from the executed plan, and per-query time should track
+  *    the MATCHING row count (1% of the corpus here), never the corpus.
+  *  - '''walk branch''' (broad predicate, forced): the claim is the
+  *    serve cost is the v28 walk plus a visited-set-bounded byid point
+  *    read — flat-ish across corpus decades, like the stored singles.
+  *
+  * Corpus: sf0.1 embeddings replicated by the ScaleBench sign-flip
+  * construction; metadata assigned deterministically by id into
+  * 5 langs × 20 sources (each (lang, source) ≈ 1% of the corpus; one
+  * lang ≈ 20%). Usage:
+  *   SPARK_GRAFT_SCALE=10|100 runMain graft.tools.FilteredScaleProbe
+  */
+object FilteredScaleProbe {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_filtered_scale_$copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def complete(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
+    val embPath = s"$dir/embeddings.parquet"
+    val docPath = s"$dir/documents.parquet"
+    if (!complete(embPath)) {
+      val base = graft.Tables.embeddings(spark, src)
+        .select(col("vec_id"), col("embedding"))
+      val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1
+      base.crossJoin(spark.range(copies).select(col("id").cast("int").as("__copy")))
+        .select(
+          (col("vec_id") + col("__copy").cast("long") * lit(maxId)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) - lit(2.0f) *
+              pmod(xxhash64(col("__copy"), j), lit(2)).cast("float")))
+            .cast("array<float>").as("embedding"))
+        .repartition(math.max(32, copies / 4))
+        .write.mode("overwrite").parquet(embPath)
+    }
+    if (!complete(docPath)) {
+      // deterministic metadata: 5 langs × 20 sources by id hash —
+      // each (lang, source) ≈ 1% of the corpus, each lang ≈ 20%
+      spark.read.parquet(embPath).select(
+          col("vec_id").as("doc_id"),
+          concat(lit("l"), pmod(xxhash64(col("vec_id"), lit(1)), lit(5))).as("lang"),
+          concat(lit("s"), pmod(xxhash64(col("vec_id"), lit(2)), lit(20))).as("source"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docPath)
+    }
+    val n = spark.read.parquet(embPath).count()
+
+    // stores at the policy key width (the corpus-scaled keyspace)
+    val rpb = SrpBanded.rowsPerBandFor(n)
+    val srpDir = s"$dir/srpstore"
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (!new java.io.File(s"$srpDir/_keyspace").exists()) {
+      val (_, s) = time(SrpStore.write(spark, dir, srpDir, rpb))
+      builds += "srp_store" -> s
+    }
+    val edgeDir = s"$dir/edgestore"
+    if (!new java.io.File(s"$edgeDir/edges/_commits").exists()) {
+      val (_, s) = time(EdgeStore.write(spark,
+        SrpBanded.materializedGraph(spark, dir, 5), edgeDir))
+      builds += "edge_store" -> s
+    }
+    if (!new java.io.File(s"$srpDir/meta/stats/_SUCCESS").exists()) {
+      val (_, s) = time(FilteredServe.writeMeta(spark, dir, srpDir))
+      builds += "meta" -> s
+    }
+
+    // queries: corpus rows (deterministic ids), perturbation-free —
+    // the serve cost is what's under test, not recall (RecallProbe's
+    // job)
+    val nQ = 20
+    val qIds = (0 until nQ).map(i => (n / nQ) * i)
+    val qVecs = spark.read.parquet(embPath)
+      .filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+
+    val selPred = Seq("lang" -> "l2", "source" -> "s7")   // ~1%
+    val broadPred = Seq("lang" -> "l1")                   // ~20%
+    val selMatching = FilteredServe.matchCount(spark, srpDir, selPred)
+
+    def runPath(tag: String, pred: Seq[(String, String)], exactMax: Long): (Double, String) = {
+      // warm once, then time
+      FilteredServe.searchFiltered(spark, dir, srpDir, edgeDir, qVecs.head,
+        pred, k = 10, probeRadius = 2, exactScanMax = exactMax).count()
+      val (_, s) = time(qVecs.foreach { v =>
+        FilteredServe.searchFiltered(spark, dir, srpDir, edgeDir, v,
+          pred, k = 10, probeRadius = 2, exactScanMax = exactMax).count()
+      })
+      (s / nQ * 1000.0, FilteredServe.lastFilteredPath)
+    }
+    val (exactMsQ, exactPath) = runPath("exact", selPred, FilteredServe.ExactScanMax)
+    // partitions read by the selective scan (of the total value count)
+    val pruned = FilteredServe.byValPruned(spark, srpDir, selPred)
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val partsRead = scan.selectedPartitions.partitionCount
+    val (walkMsQ, walkPath) = runPath("walk", broadPred, 0L)
+
+    println(s"""{"metric":"filtered_scale","copies":$copies,"rows":$n,"rpb":$rpb,""" +
+      s""""sel_matching":$selMatching,"exact_ms_per_q":${f"$exactMsQ%.1f"},"exact_path":"$exactPath",""" +
+      s""""byval_partitions_read":$partsRead,"byval_partitions_total":100,""" +
+      s""""walk_ms_per_q":${f"$walkMsQ%.1f"},"walk_path":"$walkPath",""" +
+      s""""builds":{${builds.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",")}}}""")
+    spark.stop()
+  }
+}

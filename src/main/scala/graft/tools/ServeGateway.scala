@@ -98,6 +98,19 @@ object ServeGateway {
       }
     }
 
+    // tools.yaml:22-27 with the caller's metadata filter — the v39
+    // filtered serve from the stored path (selective predicates take
+    // the pruned exact plan, broad ones the walk + post-filter)
+    locally {
+      val srpDir = graft.sources.SrpStore.storeFor(spark, sfDir)
+      val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sfDir)
+      graft.sources.FilteredServe.ensureMeta(spark, sfDir, srpDir)
+      serve("filtered-search via FilteredServe.searchFiltered (lang=en)") { text =>
+        graft.sources.FilteredServe.searchFiltered(spark, sfDir, srpDir,
+          edgeDir, embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
+      }
+    }
+
     // ---- concurrency: overlapped requests on FAIR scheduler pools ----
     // Each worker thread serves from its own request-class pool (the
     // pool name is a thread-local Spark property, inherited by every

@@ -104,4 +104,28 @@ class CurationStreamSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(failed == Set(2L, 15L))
   }
+
+  test("mix summary over the stream's dispositions matches a hand count") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("cur_stream3").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("cur_state3").toString
+    docsFixture.toDF("doc_id", "text", "lang", "source").toJSON.coalesce(1)
+      .write.mode("append").text(s"$streamDir/in")
+    val disp = CurationStream.runOnce(spark, s"$streamDir/in", stateDir)
+    val summary = CurationStream.mixSummary(disp,
+      docsFixture.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // en/src0: docs 1, 2, 5 → quality drops 2, near-dup drops 5 → 1 kept
+    assert(summary(("en", "src0")) == (3L, 2L, 2L, 1L))
+    // de: 4 kept in src0; 11 exact-dup'd in src1
+    assert(summary(("de", "src0")) == (1L, 1L, 1L, 1L))
+    assert(summary(("de", "src1")) == (1L, 1L, 0L, 0L))
+    // kept token mass = 60 tokens per kept doc (the fixture bodies)
+    val keptToks = CurationStream.mixSummary(disp,
+      docsFixture.toDF("doc_id", "text", "lang", "source"))
+      .agg(org.apache.spark.sql.functions.sum("kept_tokens")).head().getLong(0)
+    // kept docs are 1, 4, 6, 13, 16
+    assert(keptToks == 5L * 60L, s"kept token mass: $keptToks")
+  }
 }

@@ -127,6 +127,52 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(got.size == 1)
   }
 
+  test("upsertMeta: new/moved values searchable, stale copies gone, untouched partitions stable") {
+    import spark.implicits._
+    import graft.sources.SrpStore
+    val dir = java.nio.file.Files.createTempDirectory("meta_upsert").toString
+    SrpStore.write(spark, sf, dir)
+    FilteredServe.writeMeta(spark, sf, dir)
+    // snapshot an untouched partition's files (rewrite minimality)
+    val untouchedDir = new java.io.File(s"$dir/meta/byval/lang=en/source=src0")
+    val before = untouchedDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    // a moved id: doc 42 exists (v7's lookup row) — move it to (xx, zz)
+    val moved = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 42L).select(col("embedding")).head().getSeq[Float](0).toArray
+    val oldVal = Tables.documents(spark, sf).filter(col("doc_id") === 42L)
+      .select(col("lang"), col("source")).head()
+    val fresh = FakeEmbedder.embed("a brand new filtered document")
+    val updates = Seq(
+      (900000L, fresh, "xx", "zz"),
+      (42L, moved, "xx", "zz"))
+      .toDF("vec_id", "embedding", "lang", "source")
+    val touched = FilteredServe.upsertMeta(spark, dir, updates)
+    assert(touched.contains(Seq("xx", "zz")) &&
+      touched.contains(Seq(oldVal.getString(0), oldVal.getString(1))),
+      s"touched partitions wrong: $touched")
+    // new value partition serves through the filtered exact path
+    val pred = Seq("lang" -> "xx", "source" -> "zz")
+    assert(FilteredServe.matchCount(spark, dir, pred) == 2L)
+    val got = FilteredServe.searchFiltered(spark, sf, dir,
+      edgeDir = "/nonexistent/edge-store", fresh, pred, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(42L, 900000L), s"upserted rows not served: $got")
+    // no stale copy of the moved id anywhere in byval
+    val copies = spark.read.parquet(s"$dir/meta/byval")
+      .filter(col("vec_id") === 42L)
+      .select(col("lang").cast("string"), col("source").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(copies == Seq(("xx", "zz")), s"stale byval copies: $copies")
+    // byid reflects the move
+    val idRow = spark.read.parquet(s"$dir/meta/byid")
+      .filter(col("vec_id") === 42L)
+      .select(col("lang"), col("source")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(idRow.toSeq == Seq(("xx", "zz")), s"byid stale: ${idRow.toSeq}")
+    // an untouched value partition was not rewritten
+    val after = untouchedDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(after == before, "untouched byval partition was rewritten")
+  }
+
   test("meta stats match the corpus and reject undeclared columns") {
     val srpDir = SrpStore.storeFor(spark, sf)
     FilteredServe.ensureMeta(spark, sf, srpDir)

@@ -91,4 +91,21 @@ class TokenizerSpec extends AnyFunSuite {
     assert(packed.map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSeq
       == expect, "BPE-count packing diverged from the driver replay")
   }
+
+  test("t13 scores over the swapped tokenizer's token stream") {
+    val p = mergesFixture()
+    val bpe = BpeTokenizer(p)
+    val viaSeam = TextOps.unigramLogprob(spark, sf, WhitespaceTokenizer).collect()
+    val dflt = TextOps.unigramLogprob(spark, sf).collect()
+    assert(dflt.map(_.toSeq).toSeq == viaSeam.map(_.toSeq).toSeq)
+    val swapped = TextOps.unigramLogprob(spark, sf, bpe).collect()
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // n_toks follows the swapped tokenization exactly
+    swapped.foreach { r =>
+      assert(r.getLong(1) == bpe.tokenize(texts(r.getLong(0))).length.toLong,
+        s"BPE token-stream length mismatch for doc ${r.getLong(0)}")
+    }
+  }
 }

@@ -37,6 +37,14 @@ class TvfSpec extends AnyFunSuite {
       rows(graft.sources.CodeStore.search(spark, codeDir, q, k = 10)),
       "graft_code_search diverged from CodeStore.search")
 
+    graft.sources.FilteredServe.ensureMeta(spark, sf, srpDir)
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_filtered_search('$sf', '$srpDir', '$edgeDir',
+         |'$queryText', 10, 'lang', 'de', 'source', 'src11')""".stripMargin)) ==
+      rows(graft.sources.FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir,
+        q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
+      "graft_filtered_search diverged from FilteredServe.searchFiltered")
+
     // the TVF result composes like any table: outer SQL filters/projects
     val filtered = spark.sql(
       s"""SELECT vec_id FROM graft_hnsw_search('$hnswDir', '$queryText', 10)
