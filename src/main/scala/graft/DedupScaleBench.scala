@@ -107,22 +107,8 @@ object DedupScaleBench {
     val embPath = s"$dir/embeddings.parquet"
     val needEmb = names.exists(n =>
       n.startsWith("d5_") || n.startsWith("d11_"))
-    if (needEmb && !complete(embPath)) {
-      val base = Tables.embeddings(spark, src)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1
-      base.crossJoin(
-          spark.range(copies).select(col("id").cast("int").as("__copy")))
-        .select(
-          (col("vec_id") + col("__copy").cast("long") * lit(maxId)).as("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            x * (lit(1.0f) - lit(2.0f) *
-              pmod(xxhash64(col("__copy"), j), lit(2)).cast("float")))
-            .cast("array<float>").as("embedding"),
-          (col("label") + col("__copy") * lit(1000)).as("label"))
-        .repartition(math.max(32, copies / 4))
-        .write.mode("overwrite").parquet(embPath)
-    }
+    if (needEmb && !complete(embPath))
+      ScaleCorpus.replicateEmbeddings(spark, src, copies, embPath, withLabel = true)
     val nEmb = if (needEmb) spark.read.parquet(embPath).count() else 0L
 
     // d13 serves a batch against a PREBUILT store — the store build
@@ -130,7 +116,7 @@ object DedupScaleBench {
     // serve is the recurring O(batch) one the decade table measures
     val sigDir = s"$dir/sigstore"
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (names.contains("d13_incremental_neardup")) {
+    if (names.exists(_.startsWith("d13_"))) {
       val corpus = spark.read.parquet(docPath)
         .filter(col("doc_id") % graft.sources.SigStore.BatchMod =!= 0)
         .select(col("doc_id"), col("text"))

@@ -1232,15 +1232,22 @@ object SrpBanded {
       iters: Int, maxEntries: Int, graphK: Int,
       graphOverride: Option[DataFrame] = None,
       edgesFor: Option[Seq[Long] => DataFrame] = None): DataFrame = {
+    topKCut(spark,
+      graphWalkVisited(spark, d, scoredPool, queryVec, beam,
+        iters, maxEntries, graphK, graphOverride, edgesFor), k)
+  }
+
+  /** The ONE (vec_id, rk, sim) emission contract every driver-side
+    * serve shares — same (sim DESC, vec_id) total order as the old
+    * window form, the round left as a Spark expression so the emitted
+    * doubles keep the engine's own rounding. FilteredServe's cuts go
+    * through here too, so the tie/rounding contract cannot fork. */
+  private[graft] def topKCut(spark: SparkSession,
+      cands: Seq[(Long, Double)], k: Int): DataFrame = {
     import spark.implicits._
-    val visited = graphWalkVisited(spark, d, scoredPool, queryVec, beam,
-      iters, maxEntries, graphK, graphOverride, edgesFor)
-    // final cut: same (sim DESC, vec_id) total order as the previous
-    // window form; the round stays a Spark expression so the emitted
-    // doubles keep the engine's own rounding
-    val top = visited.sortWith(simDescIdAsc).take(k)
+    cands.sortWith(simDescIdAsc).take(k)
       .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
-    top.toDF("vec_id", "rk", "sim")
+      .toDF("vec_id", "rk", "sim")
       .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("rk"))
   }

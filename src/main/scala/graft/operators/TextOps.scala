@@ -135,7 +135,10 @@ object TextOps {
     // follow whatever tokenizer the training run actually uses
     val toks = tok.countFrame(docs, "text", "n_tokens")
       .select(col("doc_id"), col("n_tokens"))
-    val maxRow = toks.agg(max(col("doc_id"))).head()
+    // maxId comes from the PRE-seam frame: a mapPartitions-based
+    // tokenizer is opaque to column pruning, and aggregating through
+    // it would tokenize the whole corpus once just for max(doc_id)
+    val maxRow = docs.agg(max(col("doc_id"))).head()
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val targetBlocks = spark.conf.get("spark.sql.shuffle.partitions").toLong * 8
     val blockSize = math.max(1L, (maxId + targetBlocks) / targetBlocks) // ceil((maxId+1)/targetBlocks)

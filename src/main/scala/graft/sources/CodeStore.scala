@@ -44,20 +44,16 @@ object CodeStore {
     * `shortlist` ids prunes to at most that many partitions */
   val Partitions = 64
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/codes/_commits")
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
   }
 
   private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/codes/_commits")
     f.mkdirs(cd)
     f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
@@ -66,7 +62,7 @@ object CodeStore {
   /** Full build: code the corpus (one map-only scan), written as
     * version 0 of the chain. */
   def write(spark: SparkSession, d: String, dir: String): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true): Unit
     HammingIndex.coded(spark, d)
       .withColumn("pb", pmod(col("vec_id"), lit(Partitions.toLong)))
@@ -150,6 +146,57 @@ object CodeStore {
       .select(col("vec_id"), col("embedding"))
     lastFetchPlan = fetch.queryExecution.executedPlan.toString
     HammingIndex.rerank(fetch, queryVec, k)
+  }
+
+  /** Metadata-filtered serve for the code-scan family — v39's
+    * cardinality-planned strategy applied to the Hamming shortlist
+    * (the reference's filtered find_similar over this family's
+    * 8-byte-per-row scan). Shares [[FilteredServe]]'s meta artifacts
+    * (`metaDir` is any dir [[FilteredServe.writeMeta]] populated —
+    * the SRP store dir in the default wiring):
+    *
+    *  - selective predicate → [[FilteredServe.exactFiltered]]'s
+    *    partition-pruned exact ranking (recall 1.0, the code scan is
+    *    not even opened);
+    *  - broad predicate → the UNFILTERED Hamming shortlist (the scan
+    *    reads every row's 8 bytes regardless — filtering cannot make
+    *    it cheaper, only the shortlist membership matters), then the
+    *    shortlist ids post-filter through the pruned byid point read;
+    *    too few matches ESCALATE the shortlist width on
+    *    [[FilteredServe.EscalateFactors]] before the exact fallback.
+    *    The exact-cosine rerank runs over the MATCHING shortlist ids
+    *    only (pb-pruned in-row embedding fetch, never the corpus). */
+  def searchFiltered(spark: SparkSession, dir: String, metaDir: String,
+                     queryVec: Array[Float], pred: Seq[(String, String)],
+                     k: Int = 10, shortlist: Int = HammingIndex.Shortlist,
+                     exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame = {
+    val matching = FilteredServe.matchCount(spark, metaDir, pred)
+    if (matching <= exactScanMax) {
+      FilteredServe.lastFilteredPath = "exact"
+      FilteredServe.exactFiltered(spark, metaDir, queryVec, pred, k)
+    } else {
+      val qk = SrpBanded.queryBandKeys(queryVec).map(_._2)
+      val scan = codesFrame(spark, dir)
+        .select(col("vec_id"), HammingIndex.hammingCol(qk).as("ham"))
+      val hit = FilteredServe.EscalateFactors.iterator.map { f =>
+        val ids = scan.orderBy(col("ham").asc, col("vec_id").asc)
+          .limit(shortlist * f).collect().map(_.getLong(0)).toSeq
+        val ok = FilteredServe.matchingIds(spark, metaDir, pred, ids)
+        (f, ids.filter(ok))
+      }.find(_._2.size >= k)
+      hit match {
+        case Some((f, okIds)) =>
+          FilteredServe.lastFilteredPath = s"scan:$f"
+          val pbs = okIds.map(Math.floorMod(_, Partitions.toLong)).distinct
+          val fetch = fullFrame(spark, dir)
+            .filter(col("pb").isin(pbs: _*) && col("vec_id").isin(okIds: _*))
+            .select(col("vec_id"), col("embedding"))
+          HammingIndex.rerank(fetch, queryVec, k)
+        case None =>
+          FilteredServe.lastFilteredPath = "fallback"
+          FilteredServe.exactFiltered(spark, metaDir, queryVec, pred, k)
+      }
+    }
   }
 
   /** v38: BATCHED compact-code serve — the whole query table answered
@@ -259,7 +306,7 @@ object CodeStore {
     try {
       val vers = committedVers(spark, dir)
       val nextVer = vers.lastOption.getOrElse(-1) + 1
-      val f = hadoopFs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       f.delete(new org.apache.hadoop.fs.Path(
         s"$dir/codes/data/__ver=$nextVer"), true): Unit
       delta
@@ -282,7 +329,7 @@ object CodeStore {
     val vers = committedVers(spark, dir)
     if (vers.size <= 1) return
     val next = vers.max + 1
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(
       s"$dir/codes/data/__ver=$next"), true): Unit
     resolvedFrame(spark, dir)
@@ -304,7 +351,9 @@ object CodeStore {
   // one code store per corpus dir, built lazily for the queries()
   // entry — a real deployment writes it at ingest time
   private val storeCache = new graft.SessionCache[String, String](
-    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
+    4, TempStores.delete)  // INVALIDATED temp stores are deleted immediately;
+    // size-overflow evictions drop the reference only (SessionCache's
+    // live-handle contract) and are swept by TempStores' shutdown hook
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }

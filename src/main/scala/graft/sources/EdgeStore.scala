@@ -44,21 +44,17 @@ object EdgeStore {
     * neighborhood touches a strict subset */
   val EdgePartitions = 64
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** committed edge versions, ascending (marker files in `_commits/`) */
   private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/edges/_commits")
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
   }
 
   private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/edges/_commits")
     f.mkdirs(cd)
     f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
@@ -69,7 +65,7 @@ object EdgeStore {
     * [[SrpBanded.materializedRefinedGraph]]) already do. Written as
     * version 0 of the chain. */
   def write(spark: SparkSession, edges: DataFrame, dir: String): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/edges"), true): Unit
     edges.select(col("src"), col("dst"), col("dst_emb"))
       .withColumn("pb", pmod(col("src"), lit(EdgePartitions.toLong)))
@@ -231,7 +227,7 @@ object EdgeStore {
       try {
         val vers = committedVers(spark, edgeDir)
         val nextVer = vers.lastOption.getOrElse(-1) + 1
-        val f = hadoopFs(spark, edgeDir)
+        val f = Hfs.fs(spark, edgeDir)
         // a leftover partition from a crashed earlier attempt at this
         // version is cleared first, so retries never double rows
         f.delete(new org.apache.hadoop.fs.Path(
@@ -260,7 +256,7 @@ object EdgeStore {
     val vers = committedVers(spark, dir)
     if (vers.size <= 1) return
     val next = vers.max + 1
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(
       s"$dir/edges/data/__ver=$next"), true): Unit
     resolvedFrame(spark, dir)
@@ -286,7 +282,9 @@ object EdgeStore {
   // queries() entry — a real deployment writes it after each offline
   // graph build/refinement
   private val storeCache = new graft.SessionCache[String, String](
-    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
+    4, TempStores.delete)  // INVALIDATED temp stores are deleted immediately;
+    // size-overflow evictions drop the reference only (SessionCache's
+    // live-handle contract) and are swept by TempStores' shutdown hook
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }

@@ -72,16 +72,12 @@ object FilteredServe {
   /** executed plan of the last pruned byid read — spec hook */
   @volatile private[graft] var lastByIdPlan: String = ""
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Write the meta artifacts under an existing SRP store dir. The
     * `stats/` write comes LAST and carries parquet's _SUCCESS marker,
     * so its presence commits the whole artifact set (a crash mid-write
     * leaves [[ensureMeta]] rebuilding — never serving a torn copy). */
   def writeMeta(spark: SparkSession, d: String, srpDir: String): Unit = {
-    val f = hadoopFs(spark, srpDir)
+    val f = Hfs.fs(spark, srpDir)
     f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta"), true): Unit
     val docs = Tables.documents(spark, d)
       .select((col("doc_id").as("vec_id") +: MetaCols.map(col)): _*)
@@ -131,14 +127,14 @@ object FilteredServe {
     *  - byid: `mb` is a pure function of vec_id, so stale and new
     *    rows share a partition — only the updated ids' mb partitions
     *    rewrite;
-    *  - stats: recomputed from the byval partition columns (a
-    *    metadata-cheap scan) and written LAST — it is the artifact
-    *    [[ensureMeta]] gates on, so a crash anywhere mid-upsert
-    *    leaves either a consistent store (stats landed) or one that
-    *    [[ensureMeta]] rebuilds from the corpus (stats torn). In-place
-    *    partition rewrites here carry the same crash posture as
-    *    SrpStore's bucket rewrites; the marker-chain treatment is the
-    *    banding artifact's job, not the serving copies'.
+    *  - crash contract: the stats `_SUCCESS` marker is DELETED before
+    *    the first rewrite and stats are rewritten LAST — it is the
+    *    artifact [[ensureMeta]] gates on, so a crash anywhere
+    *    mid-upsert leaves the store visibly uncommitted and the next
+    *    serve's ensureMeta rebuilds it from the corpus; only a
+    *    completed upsert re-commits. (Without the up-front delete,
+    *    the PREVIOUS stats marker would vouch for a half-rewritten
+    *    byval/byid set — a torn store served as consistent.)
     *
     * Returns the touched byval (value...) partitions (what the
     * rewrite-minimality spec asserts against). */
@@ -162,6 +158,12 @@ object FilteredServe {
       .collect().map(r => MetaCols.indices.map(r.getString)).toSeq
     val touched = (oldVals ++ newVals).distinct
     if (touched.nonEmpty) {
+      // uncommit FIRST: from here to the final stats write the store
+      // is in-flux, and a crash must leave it rebuild-on-next-read,
+      // never served-as-consistent
+      Hfs.fs(spark, srpDir).delete(
+        new org.apache.hadoop.fs.Path(s"$srpDir/meta/stats/_SUCCESS"), false): Unit
+      statsCache.remove(srpDir): Unit
       val touchedPred = touched.map(vs =>
         MetaCols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
         .reduce(_ || _)
@@ -180,7 +182,7 @@ object FilteredServe {
         // overwrite — delete it (the SrpStore.upsert emptied-bucket move)
         val present = merged.select(MetaCols.map(col): _*).distinct()
           .collect().map(r => MetaCols.indices.map(i => String.valueOf(r.get(i)))).toSet
-        val f = hadoopFs(spark, srpDir)
+        val f = Hfs.fs(spark, srpDir)
         touched.filterNot(present).foreach { vs =>
           val sub = MetaCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/")
           f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta/byval/$sub"), true): Unit
@@ -217,7 +219,7 @@ object FilteredServe {
   }
 
   private def metaCommitted(spark: SparkSession, srpDir: String): Boolean =
-    hadoopFs(spark, srpDir)
+    Hfs.fs(spark, srpDir)
       .exists(new org.apache.hadoop.fs.Path(s"$srpDir/meta/stats/_SUCCESS"))
 
   /** build-once guard, keyed by the store dir (the storeFor pattern) */
@@ -287,18 +289,13 @@ object FilteredServe {
   }
 
   private def topKDf(spark: SparkSession,
-                     cands: Seq[(Long, Double)], k: Int): DataFrame = {
-    import spark.implicits._
-    cands.sortWith(SrpBanded.simDescIdAsc).take(k)
-      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
-      .toDF("vec_id", "rk", "sim")
-      .select(col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("rk"))
-  }
+                     cands: Seq[(Long, Double)], k: Int): DataFrame =
+    SrpBanded.topKCut(spark, cands, k) // the one emission contract
 
   /** exact filtered top-k over the pruned byval partitions — the
-    * selective branch AND the escalation fallback (recall 1.0) */
-  private def exactFiltered(spark: SparkSession, srpDir: String,
+    * selective branch AND the escalation fallback (recall 1.0);
+    * shared with the other families' filtered serves (CodeStore) */
+  private[sources] def exactFiltered(spark: SparkSession, srpDir: String,
                             queryVec: Array[Float],
                             pred: Seq[(String, String)], k: Int): DataFrame = {
     val q = typedLit(queryVec)

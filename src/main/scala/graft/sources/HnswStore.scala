@@ -41,20 +41,16 @@ object HnswStore {
     * level, so coarser than EdgeStore's 64 keeps files non-tiny */
   val LayerPartitions = 16
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/layers/_commits")
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
   }
 
   private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/layers/_commits")
     f.mkdirs(cd)
     f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
@@ -63,14 +59,14 @@ object HnswStore {
   private def writeEntry(spark: SparkSession, dir: String, ver: Int,
                          entry: (Long, Array[Float])): Unit = {
     import spark.implicits._
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/entry/v$ver"), true): Unit
     Seq(entry).toDF("vec_id", "embedding")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/entry/v$ver")
   }
 
   def write(spark: SparkSession, d: String, dir: String): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/layers"), true): Unit
     val layers = (1 to Hnsw.MaxLevel).map { l =>
       Hnsw.layerGraph(spark, d, l).withColumn("layer", lit(l))
@@ -254,7 +250,7 @@ object HnswStore {
     try {
       val vers = committedVers(spark, dir)
       val nextVer = vers.lastOption.getOrElse(-1) + 1
-      val f = hadoopFs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       f.delete(new org.apache.hadoop.fs.Path(
         s"$dir/layers/data/__ver=$nextVer"), true): Unit
       delta
@@ -281,7 +277,7 @@ object HnswStore {
     val vers = committedVers(spark, dir)
     if (vers.size <= 1) return
     val next = vers.max + 1
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(
       s"$dir/layers/data/__ver=$next"), true): Unit
     layersFrame(spark, dir)
@@ -305,7 +301,9 @@ object HnswStore {
   // one store per corpus dir, built lazily for the queries() entry —
   // a real deployment writes it after each offline build
   private val storeCache = new graft.SessionCache[String, String](
-    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
+    4, TempStores.delete)  // INVALIDATED temp stores are deleted immediately;
+    // size-overflow evictions drop the reference only (SessionCache's
+    // live-handle contract) and are swept by TempStores' shutdown hook
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }

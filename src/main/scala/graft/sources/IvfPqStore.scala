@@ -132,7 +132,9 @@ object IvfPqStore {
   // one residual store per corpus dir, built lazily for the queries()
   // entry — a real deployment writes it at ingest time
   private val residualStoreCache = new graft.SessionCache[String, String](
-    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
+    4, TempStores.delete)  // INVALIDATED temp stores are deleted immediately;
+    // size-overflow evictions drop the reference only (SessionCache's
+    // live-handle contract) and are swept by TempStores' shutdown hook
   graft.Tables.onInvalidate { p =>
     residualStoreCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }

@@ -21,10 +21,6 @@ import graft.functions.vectors
   */
 object IvfStore {
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Retrained-version markers (`_commits/vN`): [[retrain]] publishes
     * a re-clustered copy as `<dir>/v=N/{lists,centroids,stats}` and
     * readers follow the HIGHEST committed version — the SigStore/
@@ -34,14 +30,14 @@ object IvfStore {
     * working unchanged. */
   private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
   }
 
   private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
     f.mkdirs(cd)
     f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
@@ -83,7 +79,7 @@ object IvfStore {
             model: IvfIndex.Model, dir: String): Unit = {
     // a full write is generation zero: clear any retrain chain so the
     // root layout is authoritative again
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits"), true): Unit
     val dp = new org.apache.hadoop.fs.Path(dir)
     if (f.exists(dp)) f.listStatus(dp).toSeq.map(_.getPath)
@@ -268,18 +264,21 @@ object IvfStore {
     try {
       val model = IvfIndex.fit(rows, vecCol, idCol, k, iters)
       val next = vers.lastOption.getOrElse(0) + 1
-      val f = hadoopFs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$next"), true): Unit
       writeArtifacts(spark, rows, vecCol, model, s"$dir/v=$next")
       commitVer(spark, dir, next)
-      // GC superseded generations: markers first, then their dirs (the
-      // EdgeStore.compact ordering); the pre-chain root layout is the
-      // implicit generation zero
-      vers.foreach { v =>
-        f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/v$v"), false): Unit
-      }
+      // GC superseded generations: data dirs FIRST, markers last — a
+      // crash between the two leaves the marker pointing at a gone
+      // dir, which is harmless (currentRoot already resolves to the
+      // new max) and ensures the NEXT retrain's vers still lists it
+      // and retries the delete; the reverse order would orphan a
+      // corpus-sized dir no later GC ever revisits
       vers.foreach { v =>
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true): Unit
+      }
+      vers.foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/v$v"), false): Unit
       }
       if (vers.isEmpty) Seq("lists", "centroids", "stats").foreach { a =>
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/$a"), true): Unit

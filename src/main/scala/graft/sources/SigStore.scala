@@ -60,10 +60,6 @@ object SigStore {
     * crossover shape). */
   val ProbeCollectMax = 8192L
 
-  private def fs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** all commit markers as (version, isFold). Delta upserts commit as
     * `v<N>`; [[compact]] commits its fold as `c<N>` — a fold marker
     * SUPERSEDES every version below it at read time, which is what
@@ -71,7 +67,7 @@ object SigStore {
     * instead of depending on the old markers' deletes landing. */
   private def markerVers(spark: SparkSession, dir: String): Seq[(Int, Boolean)] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
-    val f = fs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).toSeq.map(_.getPath.getName).collect {
       case s if s.startsWith("v") => (s.drop(1).toInt, false)
@@ -93,7 +89,7 @@ object SigStore {
 
   private def commitVer(spark: SparkSession, dir: String, v: Int,
                         fold: Boolean = false): Unit = {
-    val f = fs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/_commits")
     f.mkdirs(cd)
     f.create(new org.apache.hadoop.fs.Path(cd, s"${if (fold) "c" else "v"}$v"),
@@ -110,7 +106,7 @@ object SigStore {
     val marks = markerVers(spark, dir)
     val fold = marks.collect { case (v, true) => v }.maxOption
     fold.foreach { fv =>
-      val f = fs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       marks.filter(_._1 < fv).foreach { case (v, isFold) =>
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/__ver=$v"), true): Unit
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/docs/__ver=$v"), true): Unit
@@ -124,7 +120,7 @@ object SigStore {
   private[graft] def storeGroups(spark: SparkSession, dir: String): Int =
     groupsCache.getOrElseUpdate(dir, {
       val md = new org.apache.hadoop.fs.Path(s"$dir/_meta")
-      val f = fs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       require(f.exists(md), s"SigStore at $dir has no _meta marker")
       f.listStatus(md).toSeq.map(_.getPath.getName)
         .collectFirst { case s if s.startsWith("groups=") => s.drop(7).toInt }
@@ -153,7 +149,7 @@ object SigStore {
 
   private def writeVer(spark: SparkSession, dir: String, v: Int,
                        docs: DataFrame, groups: Int): Unit = {
-    val f = fs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     // a re-run after a crash may find uncommitted leftovers — remove
     // them before writing so the version is never torn
     Seq(s"$dir/sigs/__ver=$v", s"$dir/docs/__ver=$v").foreach { p =>
@@ -188,7 +184,7 @@ object SigStore {
   def write(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
     val n = docs.count()
     val groups = groupsFor(n)
-    val f = fs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_meta/groups=$groups"))
     groupsCache.put(dir, groups): Unit
     writeVer(spark, dir, 0, docs, groups)
@@ -415,7 +411,7 @@ object SigStore {
     if (vers.size <= 1) return
     val next = vers.max + 1
     val groups = storeGroups(spark, dir)
-    val f = fs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     Seq(s"$dir/sigs/__ver=$next", s"$dir/docs/__ver=$next").foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       if (f.exists(hp)) f.delete(hp, true): Unit

@@ -47,15 +47,11 @@ object SrpStore {
     * many O(update) delta commits */
   val CompactAfter = 8
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** committed banding versions, ascending (marker files in
     * `banding/_commits/`) */
   private[graft] def committedVers(spark: SparkSession, dir: String): Seq[Int] = {
     val cd = new org.apache.hadoop.fs.Path(s"$dir/banding/_commits")
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }.sorted
@@ -64,7 +60,7 @@ object SrpStore {
   /** atomically publish version `v`: an empty marker file created
     * AFTER all of the upsert's data writes succeeded */
   private def commitVer(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     val cd = new org.apache.hadoop.fs.Path(s"$dir/banding/_commits")
     f.mkdirs(cd)
     f.create(new org.apache.hadoop.fs.Path(cd, s"v$v"), false).close()
@@ -79,7 +75,7 @@ object SrpStore {
   private[graft] def storeRpb(spark: SparkSession, dir: String): Int =
     rpbCache.getOrElseUpdate(dir, {
       val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
-      val f = hadoopFs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       if (!f.exists(kd)) SrpBanded.RowsPerBand
       else f.listStatus(kd).toSeq.map(_.getPath.getName)
         .collectFirst { case s if s.startsWith("rpb=") => s.drop(4).toInt }
@@ -124,7 +120,7 @@ object SrpStore {
   private[graft] def storeShift(spark: SparkSession, dir: String): Int =
     shiftCache.getOrElseUpdate(dir, {
       val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
-      val f = hadoopFs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       val marker =
         if (!f.exists(kd)) None
         else f.listStatus(kd).toSeq.map(_.getPath.getName)
@@ -173,7 +169,7 @@ object SrpStore {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("band", "bg")
         .parquet(s"$dir/banded")
-    val fsK = hadoopFs(spark, dir)
+    val fsK = Hfs.fs(spark, dir)
     val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
     fsK.delete(kd, true): Unit
     fsK.mkdirs(kd)
@@ -188,7 +184,7 @@ object SrpStore {
     // 10.8 s → 1.0 s at sf0.1). Point probes keep using the
     // partitioned layout; bulk scans use this one. Written as
     // version 0 of the merge-on-read chain (see the object doc).
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/banding"), true): Unit
     banded.select(col("vec_id"), col("band"), col("bk"))
       .withColumn("__ver", lit(0))
@@ -444,7 +440,7 @@ object SrpStore {
       //    marker in step 3 exists.
       val vers = committedVers(spark, dir)
       val nextVer = vers.lastOption.getOrElse(-1) + 1
-      val f = hadoopFs(spark, dir)
+      val f = Hfs.fs(spark, dir)
       f.delete(new org.apache.hadoop.fs.Path(
         s"$dir/banding/data/__ver=$nextVer"), true): Unit
       newBanded.select(col("vec_id"), col("band"), col("bk"))
@@ -499,7 +495,7 @@ object SrpStore {
     val vers = committedVers(spark, dir)
     if (vers.size <= 1) return
     val next = vers.max + 1
-    val f = hadoopFs(spark, dir)
+    val f = Hfs.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(
       s"$dir/banding/data/__ver=$next"), true): Unit
     bandingFrame(spark, dir)
@@ -537,7 +533,9 @@ object SrpStore {
   // (like IvfStore), picking the width from the corpus row count
   // ([[SrpBanded.rowsPerBandFor]])
   private val storeCache = new graft.SessionCache[(String, Int), String](
-    4, TempStores.delete)  // evicted/invalidated temp stores are deleted, not orphaned
+    4, TempStores.delete)  // INVALIDATED temp stores are deleted immediately;
+    // size-overflow evictions drop the reference only (SessionCache's
+    // live-handle contract) and are swept by TempStores' shutdown hook
   graft.Tables.onInvalidate { p =>
     storeCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }

@@ -48,14 +48,22 @@ import graft.sources.SigStore
   */
 object CurationStream {
 
-  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** stored-keys join-shape crossover: the hash→keeper table is
+    * broadcast while small, a shuffle-hash join on `h` once it grows —
+    * the per-batch serve must stay O(batch) at any corpus size (the
+    * d13 ProbeCollectMax lesson: never ship O(corpus) state per batch,
+    * and never let an explicit broadcast hint bypass the 8 GB cap) */
+  val KeyBroadcastMax: Long = 1L << 20
+  /** fold the per-batch key dirs into one once this many accumulate —
+    * bounds the per-batch listing/read fan-out; the fold is
+    * crash-idempotent because reads de-duplicate on `h` (a given hash
+    * has ONE keeper forever, so fold+leftover duplicates are benign) */
+  val KeyCompactAfter = 16
 
   /** ensure the state dirs exist (empty SigStore on first run) */
   private def initState(spark: SparkSession, stateDir: String): Unit = {
     import spark.implicits._
-    val f = hadoopFs(spark, stateDir)
+    val f = graft.sources.Hfs.fs(spark, stateDir)
     if (!f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/sig/_commits")))
       SigStore.write(spark,
         Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$stateDir/sig")
@@ -66,7 +74,7 @@ object CurationStream {
     * its slot is reused by the retry) */
   private def keyBatches(spark: SparkSession, stateDir: String): Seq[String] = {
     val kd = new org.apache.hadoop.fs.Path(s"$stateDir/keys")
-    val f = hadoopFs(spark, stateDir)
+    val f = graft.sources.Hfs.fs(spark, stateDir)
     if (!f.exists(kd)) Seq.empty
     else f.listStatus(kd).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("b=") &&
@@ -76,7 +84,7 @@ object CurationStream {
 
   private def nextKeyBatch(spark: SparkSession, stateDir: String): Int = {
     val kd = new org.apache.hadoop.fs.Path(s"$stateDir/keys")
-    val f = hadoopFs(spark, stateDir)
+    val f = graft.sources.Hfs.fs(spark, stateDir)
     if (!f.exists(kd)) 0
     else f.listStatus(kd).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("b=") => s.drop(2).toInt }
@@ -85,19 +93,36 @@ object CurationStream {
 
   /** stored (h, keeper_id) pairs across all committed key batches —
     * explicit schema: a batch of all-quality-failed docs commits an
-    * EMPTY key dir, and inference cannot run over zero data files */
+    * EMPTY key dir, and inference cannot run over zero data files.
+    * De-duplicated on h: a hash's keeper is immutable, so duplicates
+    * (a compaction fold racing its GC) collapse losslessly. */
   private def storedKeys(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val paths = keyBatches(spark, stateDir)
     if (paths.isEmpty) Seq.empty[(String, Long)].toDF("h", "keeper_id")
     else spark.read.schema("h STRING, keeper_id LONG").parquet(paths: _*)
       .select(col("h"), col("keeper_id"))
+      .dropDuplicates("h")
+  }
+
+  /** fold the committed key dirs into one (write the union as the
+    * next slot, then GC the inputs — a crash between the two leaves
+    * benign duplicates storedKeys' h-dedup absorbs) */
+  private def compactKeys(spark: SparkSession, stateDir: String): Unit = {
+    val paths = keyBatches(spark, stateDir)
+    if (paths.size < KeyCompactAfter) return
+    val next = nextKeyBatch(spark, stateDir)
+    storedKeys(spark, stateDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/keys/b=$next")
+    val f = graft.sources.Hfs.fs(spark, stateDir)
+    paths.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true): Unit)
   }
 
   /** Disposition one batch against the state, then absorb it. Returns
     * (doc_id, lang, source, stage, keeper_id) for every batch doc. */
   def serveBatch(spark: SparkSession, stateDir: String,
-                 batch: DataFrame): DataFrame = {
+                 batch: DataFrame,
+                 keyBroadcastMax: Long = KeyBroadcastMax): DataFrame = {
     import spark.implicits._
     initState(spark, stateDir)
     val docs = batch
@@ -112,9 +137,14 @@ object CurationStream {
     val hashed = g.filter(col("pass"))
       .select(col("doc_id"), col("text"), Pipeline.normKey.as("h"))
     val prior = storedKeys(spark, stateDir)
+      .withColumnRenamed("keeper_id", "stored_keeper")
+    // join-shape crossover (see KeyBroadcastMax): parquet row counts
+    // are footer metadata, so the decision itself is cheap
+    val priorSide =
+      if (prior.count() <= keyBroadcastMax) broadcast(prior)
+      else prior.hint("shuffle_hash")
     val exact = hashed
-      .join(broadcast(prior.withColumnRenamed("keeper_id", "stored_keeper")),
-        Seq("h"), "left")
+      .join(priorSide, Seq("h"), "left")
       .withColumn("batch_min",
         min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
@@ -177,6 +207,7 @@ object CurationStream {
       .select(col("h"), col("doc_id").as("keeper_id"))
     newKeys.coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/keys/b=${nextKeyBatch(spark, stateDir)}")
+    compactKeys(spark, stateDir) // bound the per-batch key-dir fan-out
     disp
   }
 

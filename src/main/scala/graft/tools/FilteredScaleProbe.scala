@@ -48,20 +48,9 @@ object FilteredScaleProbe {
     def complete(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
     val embPath = s"$dir/embeddings.parquet"
     val docPath = s"$dir/documents.parquet"
-    if (!complete(embPath)) {
-      val base = graft.Tables.embeddings(spark, src)
-        .select(col("vec_id"), col("embedding"))
-      val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1
-      base.crossJoin(spark.range(copies).select(col("id").cast("int").as("__copy")))
-        .select(
-          (col("vec_id") + col("__copy").cast("long") * lit(maxId)).as("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            x * (lit(1.0f) - lit(2.0f) *
-              pmod(xxhash64(col("__copy"), j), lit(2)).cast("float")))
-            .cast("array<float>").as("embedding"))
-        .repartition(math.max(32, copies / 4))
-        .write.mode("overwrite").parquet(embPath)
-    }
+    if (!complete(embPath))
+      graft.ScaleCorpus.replicateEmbeddings(spark, src, copies, embPath,
+        withLabel = false)
     if (!complete(docPath)) {
       // deterministic metadata: 5 langs × 20 sources by id hash —
       // each (lang, source) ≈ 1% of the corpus, each lang ≈ 20%
@@ -102,6 +91,10 @@ object FilteredScaleProbe {
       .filter(col("vec_id").isin(qIds: _*))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getSeq[Float](1).toArray)
+    // every derived id must exist, or the ms/query division silently
+    // deflates (ids here are contiguous 0-based by construction)
+    require(qVecs.length == nQ,
+      s"only ${qVecs.length} of $nQ query ids found in the corpus")
 
     val selPred = Seq("lang" -> "l2", "source" -> "s7")   // ~1%
     val broadPred = Seq("lang" -> "l1")                   // ~20%
@@ -115,7 +108,7 @@ object FilteredScaleProbe {
         FilteredServe.searchFiltered(spark, dir, srpDir, edgeDir, v,
           pred, k = 10, probeRadius = 2, exactScanMax = exactMax).count()
       })
-      (s / nQ * 1000.0, FilteredServe.lastFilteredPath)
+      (s / qVecs.length * 1000.0, FilteredServe.lastFilteredPath)
     }
     val (exactMsQ, exactPath) = runPath("exact", selPred, FilteredServe.ExactScanMax)
     // partitions read by the selective scan (of the total value count)

@@ -96,6 +96,18 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(got(11L) == ("exact_dup", Some(4L)), s"cross-batch exact missed: $got")
     assert(got(12L) == ("near_dup", Some(6L)), s"cross-batch near-dup missed: $got")
     assert(got(14L) == ("near_dup", Some(13L)), s"within-batch near-dup missed: $got")
+    // key-table join-shape crossover: the forced shuffle join (what a
+    // corpus-sized hash table takes) dispositions identically
+    val stateDir3 = java.nio.file.Files.createTempDirectory("cur_state_shj").toString
+    CurationStream.serveBatch(spark, stateDir3,
+      docsFixture.filter(_._1 < 10).toDF("doc_id", "text", "lang", "source"),
+      keyBroadcastMax = 0L)
+    val gotShj = CurationStream.serveBatch(spark, stateDir3,
+      docsFixture.filter(_._1 >= 10).toDF("doc_id", "text", "lang", "source"),
+      keyBroadcastMax = 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(gotShj == got, "shuffle-join key path diverged from broadcast path")
     // the quality stage matches p1's gate definition exactly
     val g = graft.operators.Pipeline.gatedOf(
       docsFixture.toDF("doc_id", "text", "lang", "source")

@@ -127,6 +127,37 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(got.size == 1)
   }
 
+  test("code-scan family: filtered shortlist post-filters and escalates, fallback cannot miss") {
+    import graft.sources.CodeStore
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val codeDir = CodeStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    // broad predicate, forced scan branch: matching shortlist ids
+    // rerank exactly, every row satisfies the predicate
+    val pred = Seq("lang" -> "en")
+    val got = CodeStore.searchFiltered(spark, codeDir, srpDir, q, pred,
+      k = 5, exactScanMax = 0L).collect()
+    assert(FilteredServe.lastFilteredPath.startsWith("scan:"),
+      s"expected the scan branch, took ${FilteredServe.lastFilteredPath}")
+    assert(got.length == 5)
+    val enIds = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => enIds(r.getLong(0))), "a non-matching row leaked through")
+    val exact = exactFiltered(pred, 500).map(r => r.head.asInstanceOf[Long] -> r(2)).toMap
+    got.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(2)))
+    val exactTop = exactFiltered(pred, 5).map(_.head.asInstanceOf[Long]).toSet
+    val recall = got.count(r => exactTop(r.getLong(0))) / 5.0
+    info(s"code-scan filtered recall@5 = $recall")
+    assert(recall >= 0.6, s"filtered code-scan recall collapsed: $recall")
+    // one matching doc, k = 10: the widened shortlists can never
+    // surface k matches — the serve must end in the exact fallback
+    val sel = Seq("lang" -> "de", "source" -> "src11")
+    val fb = CodeStore.searchFiltered(spark, codeDir, srpDir, q, sel,
+      k = 10, exactScanMax = 0L).collect().map(_.toSeq).toSeq
+    assert(FilteredServe.lastFilteredPath == "fallback")
+    assert(fb == exactFiltered(sel, 10) && fb.size == 1)
+  }
+
   test("upsertMeta: new/moved values searchable, stale copies gone, untouched partitions stable") {
     import spark.implicits._
     import graft.sources.SrpStore
