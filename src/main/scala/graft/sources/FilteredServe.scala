@@ -306,26 +306,25 @@ object FilteredServe {
     topKDf(spark, cands, k)
   }
 
-  /** v39: metadata-filtered stored graph search. Same result schema as
-    * v28 — (vec_id, rk, sim) — restricted to rows matching `pred`. */
-  def searchFiltered(spark: SparkSession, d: String, srpDir: String,
-                     edgeDir: String, queryVec: Array[Float],
-                     pred: Seq[(String, String)], k: Int = 10,
-                     beam: Int = 8, iters: Int = 2, maxEntries: Int = 64,
-                     graphK: Int = 5, probeRadius: Int = 2,
-                     exactScanMax: Long = ExactScanMax): DataFrame = {
-    ensureMeta(spark, d, srpDir)
-    val matching = matchCount(spark, srpDir, pred)
+  /** The family-generic filtered-serve core: cardinality-planned
+    * branch choice, deterministic escalation over `walkAt` (the
+    * family's candidate generator at escalation factor f — a graph
+    * walk, a hierarchy descent, a code shortlist), pruned byid
+    * post-filter, and the exact fallback that cannot miss. Meta
+    * artifacts must already be committed under `metaDir`
+    * ([[ensureMeta]]). */
+  def searchFilteredBy(spark: SparkSession, metaDir: String,
+                       queryVec: Array[Float], pred: Seq[(String, String)],
+                       k: Int, exactScanMax: Long = ExactScanMax)
+                      (walkAt: Int => Seq[(Long, Double)]): DataFrame = {
+    val matching = matchCount(spark, metaDir, pred)
     if (matching <= exactScanMax) {
       lastFilteredPath = "exact"
-      exactFiltered(spark, srpDir, queryVec, pred, k)
+      exactFiltered(spark, metaDir, queryVec, pred, k)
     } else {
       val hit = EscalateFactors.iterator.map { f =>
-        val visited = SrpBanded.graphWalkVisited(spark, srpDir,
-          SrpStore.scoredPool(spark, srpDir, queryVec, probeRadius),
-          queryVec, beam * math.min(f, 4), iters, maxEntries * f, graphK,
-          edgesFor = Some(fr => EdgeStore.edgesFor(spark, edgeDir, fr)))
-        val ok = matchingIds(spark, srpDir, pred, visited.map(_._1))
+        val visited = walkAt(f)
+        val ok = matchingIds(spark, metaDir, pred, visited.map(_._1))
         (f, visited.filter(v => ok(v._1)))
       }.find(_._2.size >= k)
       hit match {
@@ -335,11 +334,28 @@ object FilteredServe {
         case None =>
           // the schedule never surfaced k matching candidates: the
           // predicate is more selective than the stats suggested (or
-          // the matches are far from the query's graph basin) — the
-          // pruned exact path answers with full recall
+          // the matches are far from the query's basin) — the pruned
+          // exact path answers with full recall
           lastFilteredPath = "fallback"
-          exactFiltered(spark, srpDir, queryVec, pred, k)
+          exactFiltered(spark, metaDir, queryVec, pred, k)
       }
+    }
+  }
+
+  /** v39: metadata-filtered stored graph search. Same result schema as
+    * v28 — (vec_id, rk, sim) — restricted to rows matching `pred`. */
+  def searchFiltered(spark: SparkSession, d: String, srpDir: String,
+                     edgeDir: String, queryVec: Array[Float],
+                     pred: Seq[(String, String)], k: Int = 10,
+                     beam: Int = 8, iters: Int = 2, maxEntries: Int = 64,
+                     graphK: Int = 5, probeRadius: Int = 2,
+                     exactScanMax: Long = ExactScanMax): DataFrame = {
+    ensureMeta(spark, d, srpDir)
+    searchFilteredBy(spark, srpDir, queryVec, pred, k, exactScanMax) { f =>
+      SrpBanded.graphWalkVisited(spark, srpDir,
+        SrpStore.scoredPool(spark, srpDir, queryVec, probeRadius),
+        queryVec, beam * math.min(f, 4), iters, maxEntries * f, graphK,
+        edgesFor = Some(fr => EdgeStore.edgesFor(spark, edgeDir, fr)))
     }
   }
 }

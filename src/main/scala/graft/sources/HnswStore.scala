@@ -154,6 +154,34 @@ object HnswStore {
       edgesFor = Some(fr => EdgeStore.edgesFor(spark, s"$dir/l0", fr)))
   }
 
+  /** Metadata-filtered serve for the hierarchy family — v39's
+    * strategy over the stored HNSW walk: selective predicates take
+    * [[FilteredServe]]'s pruned exact ranking (the hierarchy is not
+    * opened), broad ones run the UNFILTERED descent + layer-0 beam
+    * (connectivity preserved) and post-filter the walk's bounded
+    * visited set through the pruned byid read, escalating
+    * maxEntries/beam on the shared schedule before the exact
+    * fallback. `metaDir` is any dir [[FilteredServe.writeMeta]]
+    * populated (the SRP store dir in the default wiring). */
+  def searchFiltered(spark: SparkSession, dir: String, metaDir: String,
+                     queryVec: Array[Float], pred: Seq[(String, String)],
+                     k: Int = 10, beam: Int = 16, iters: Int = 3,
+                     maxEntries: Int = 64,
+                     exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame =
+    FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
+      exactScanMax) { f =>
+      val layers = layersFrame(spark, dir)
+      val pool = Hnsw.descentPoolBy(spark, storedEntry(spark, dir), queryVec,
+        (l, frontier) => {
+          val pbs = frontier.map(Math.floorMod(_, LayerPartitions.toLong)).distinct
+          layers.filter(col("layer") === l && col("pb").isin(pbs: _*) &&
+            col("src").isin(frontier: _*))
+        })
+      SrpBanded.graphWalkVisited(spark, dir, pool, queryVec,
+        beam * math.min(f, 4), iters, maxEntries * f, graphK = 5,
+        edgesFor = Some(fr => EdgeStore.edgesFor(spark, s"$dir/l0", fr)))
+    }
+
   /** v34: the BATCHED hierarchical serve ([[Hnsw.searchBatch]], v33)
     * over the persisted hierarchy — stored entry, stored layer edges,
     * stored layer-0 graph; zero graph construction at query time.
