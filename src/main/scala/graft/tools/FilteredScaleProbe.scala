@@ -118,10 +118,65 @@ object FilteredScaleProbe {
     val partsRead = scan.selectedPartitions.partitionCount
     val (walkMsQ, walkPath) = runPath("walk", broadPred, 0L)
 
+    // walk-branch recall@10 vs the exact filtered ranking (the byval
+    // pruned scan IS the ground truth — same rows the exact branch
+    // would serve), measured at corpus scale rather than argued from
+    // the sf0.001 spec
+    val exactBase = FilteredServe.byValPruned(spark, srpDir, broadPred)
+    val recalls = qVecs.map { v =>
+      val walk = FilteredServe.searchFiltered(spark, dir, srpDir, edgeDir, v,
+        broadPred, k = 10, probeRadius = 2, exactScanMax = 0L)
+        .collect().map(_.getLong(0)).toSet
+      val truth = exactBase
+        .select(col("vec_id"),
+          graft.functions.vectors.cosine_sim(col("embedding"), typedLit(v)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      walk.count(truth).toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.length
+    // the escalation lever at the next rung (maxEntries/beam ×4 — what
+    // searchFilteredBy's f=4 step runs): deep-ranked filtered truths
+    // (the 10th-best 20%-subset row is ~50th-best overall) need a
+    // deeper walk, and this is the knob that buys it
+    val recalls4 = qVecs.map { v =>
+      val walk = FilteredServe.searchFiltered(spark, dir, srpDir, edgeDir, v,
+        broadPred, k = 10, beam = 32, maxEntries = 256, probeRadius = 2,
+        exactScanMax = 0L).collect().map(_.getLong(0)).toSet
+      val truth = exactBase
+        .select(col("vec_id"),
+          graft.functions.vectors.cosine_sim(col("embedding"), typedLit(v)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      walk.count(truth).toDouble / truth.size
+    }
+    val meanRecall4 = recalls4.sum / recalls4.length
+    // the attribution baseline: the UNFILTERED walk's recall@10 vs the
+    // unfiltered exact top-10 at the identical budget — if the two
+    // recalls track, the post-filter costs nothing and the decade trend
+    // is the fixed walk budget on an unstructured corpus (the r11
+    // HardRecallProbe analysis: uniform-background top-k recall decays
+    // with N for ANY fixed-budget ANN; planted-tier recall is where
+    // quality is measured, and there the scaled keyspace WINS — this
+    // probe's corpus has no planted structure by construction)
+    val emb = spark.read.parquet(embPath)
+    val unfiltered = qVecs.map { v =>
+      val walk = SrpStore.graphSearchCold(spark, srpDir, edgeDir, v, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val truth = emb
+        .select(col("vec_id"),
+          graft.functions.vectors.cosine_sim(col("embedding"), typedLit(v)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      walk.count(truth).toDouble / truth.size
+    }
+    val meanUnfiltered = unfiltered.sum / unfiltered.length
+
     println(s"""{"metric":"filtered_scale","copies":$copies,"rows":$n,"rpb":$rpb,""" +
       s""""sel_matching":$selMatching,"exact_ms_per_q":${f"$exactMsQ%.1f"},"exact_path":"$exactPath",""" +
       s""""byval_partitions_read":$partsRead,"byval_partitions_total":100,""" +
       s""""walk_ms_per_q":${f"$walkMsQ%.1f"},"walk_path":"$walkPath",""" +
+      s""""walk_recall_at_10":${f"$meanRecall%.3f"},"walk_recall_at_10_x4":${f"$meanRecall4%.3f"},"unfiltered_recall_at_10":${f"$meanUnfiltered%.3f"},""" +
       s""""builds":{${builds.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",")}}}""")
     spark.stop()
   }
