@@ -129,6 +129,52 @@ object IvfPqStore {
       .limit(topK)
   }
 
+  /** Metadata-filtered serve for the quantization family — v39's
+    * strategy over the residual-PQ probe, completing the filtered
+    * matrix across all four stored families (graph, code scan,
+    * hierarchy, quantization). Selective predicates take
+    * [[FilteredServe]]'s pruned exact ranking (no list is probed);
+    * broad ones run the UNFILTERED partition-pruned ADC shortlist
+    * (escalating BOTH the probed-list count, capped at the model's
+    * nlists, and the shortlist depth on the shared schedule), fetch
+    * the shortlist's exact embeddings from `source` (this family's
+    * rerank already reads the source — its published contract), score
+    * COSINE, and post-filter through the pruned byid read before the
+    * shared emission cut. Note the filtered surface ranks by cosine
+    * across every family (the shared [[FilteredServe]] contract); the
+    * family's own unfiltered entries keep their L2 convention
+    * (vector_l2_ops, v22/v24's oracles). */
+  def searchFilteredResidual(spark: SparkSession, dir: String, metaDir: String,
+                             source: DataFrame, vecCol: String, idCol: String,
+                             queryVec: Array[Float], pred: Seq[(String, String)],
+                             k: Int = 10, nprobe: Int = 4, rerank: Int = 4,
+                             exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame =
+    FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
+      exactScanMax) { f =>
+      val (ivf, pq) = readModels(spark, dir)
+      val rc = ivf.centroids.map(_.map(x => math.floor(x).toLong))
+      val model = IvfPqResidual.Model(ivf, rc, pq)
+      val probed = IvfIndex.rankLists(ivf, queryVec,
+        math.min(ivf.k, nprobe * math.min(f, 4)))
+      val tables = IvfPqResidual.residualTables(model, queryVec)
+      val ids = spark.read.parquet(s"$dir/lists")
+        .filter(col("list_id").isin(probed: _*)) // partition-pruned
+        .select(col("id"),
+          IvfPqResidual.adcByListCol(col("codes"), col("list_id"), tables).as("adc"))
+        .orderBy(col("adc").asc_nulls_last, col("id").asc)
+        // candidate floor matches the walk families' maxEntries budget:
+        // a filtered shortlist must survive the post-filter with depth
+        // to spare, not arrive already cut to k·rerank
+        .limit(math.max(64, k * rerank) * f)
+        .collect().map(_.getLong(0)).toSeq
+      source
+        .filter(col(idCol).isin(ids: _*))
+        .select(col(idCol).as("vec_id"),
+          graft.functions.vectors.cosine_sim(col(vecCol),
+            org.apache.spark.sql.functions.typedLit(queryVec)).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+
   // one residual store per corpus dir, built lazily for the queries()
   // entry — a real deployment writes it at ingest time
   private val residualStoreCache = new graft.SessionCache[String, String](

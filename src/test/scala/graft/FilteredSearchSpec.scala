@@ -186,6 +186,36 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(fb == exactFiltered(sel, 10) && fb.size == 1)
   }
 
+  test("quantization family: filtered ADC shortlist post-filters and escalates, fallback cannot miss") {
+    import graft.sources.IvfPqStore
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val pqDir = IvfPqStore.residualStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val emb = Tables.embeddings(spark, sf)
+    val pred = Seq("lang" -> "en")
+    val got = IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
+      emb, "embedding", "vec_id", q, pred, k = 5, exactScanMax = 0L).collect()
+    assert(FilteredServe.lastFilteredPath.startsWith("walk:"),
+      s"expected the shortlist branch, took ${FilteredServe.lastFilteredPath}")
+    assert(got.length == 5)
+    val enIds = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => enIds(r.getLong(0))), "a non-matching row leaked through")
+    val exact = exactFiltered(pred, 500).map(r => r.head.asInstanceOf[Long] -> r(2)).toMap
+    got.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(2)))
+    val exactTop = exactFiltered(pred, 5).map(_.head.asInstanceOf[Long]).toSet
+    val recall = got.count(r => exactTop(r.getLong(0))) / 5.0
+    info(s"ivfpq filtered recall@5 = $recall")
+    assert(recall >= 0.6, s"filtered quantization recall collapsed: $recall")
+    // one matching doc, k = 10 → escalation exhausts into exact
+    val sel = Seq("lang" -> "de", "source" -> "src11")
+    val fb = IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
+      emb, "embedding", "vec_id", q, sel, k = 10, exactScanMax = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(FilteredServe.lastFilteredPath == "fallback")
+    assert(fb == exactFiltered(sel, 10) && fb.size == 1)
+  }
+
   test("upsertMeta: new/moved values searchable, stale copies gone, untouched partitions stable") {
     import spark.implicits._
     import graft.sources.SrpStore
