@@ -17,8 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Argument contract: store dirs / query text / k are LITERALS (the
-  * tool-statement shape — a gateway interpolates its request into the
-  * statement, exactly how the reference's MCP layer builds its SQL).
+  * tool-statement shape). The reference's tool statements take bind
+  * parameters; Spark's table-function registry has no bind surface,
+  * so a gateway interpolating USER-CONTROLLED text into the statement
+  * MUST escape it through [[sqlLit]] (single-quote doubling — the one
+  * escape ANSI string literals need) or skip SQL entirely and call
+  * the Scala API, which takes the text as a value and cannot be
+  * injected. [[graft.tools.ServeGateway]] demonstrates the Scala
+  * path; TvfSpec exercises [[sqlLit]] on quote-bearing text.
   * The builder resolves at analysis time by invoking the store's own
   * serve — a pruned point read against artifacts the session opened
   * once — and splices the resulting plan into the outer query, so the
@@ -28,6 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * TVF, for a real encoder).
   */
 object tvf {
+
+  /** Escape a runtime string into a SQL string-literal token —
+    * ANSI single-quote doubling, wrapped in quotes. The ONE sanctioned
+    * way to build a TVF statement from untrusted request text:
+    * {{{ s"SELECT * FROM graft_hnsw_search('$dir', ${tvf.sqlLit(userText)}, 10)" }}} */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private def litStr(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString

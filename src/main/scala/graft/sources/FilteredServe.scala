@@ -184,7 +184,12 @@ object FilteredServe {
           .collect().map(r => MetaCols.indices.map(i => String.valueOf(r.get(i)))).toSet
         val f = Hfs.fs(spark, srpDir)
         touched.filterNot(present).foreach { vs =>
-          val sub = MetaCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/")
+          // partition dirs on disk carry Spark's Hive-style escaping
+          // (space, '/', '=', '%', …) — the delete path must use the
+          // SAME escaping or an emptied partition with such a value
+          // survives and keeps serving its stale rows
+          val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+          val sub = MetaCols.zip(vs).map { case (c, v) => s"${esc(c)}=${esc(v)}" }.mkString("/")
           f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta/byval/$sub"), true): Unit
         }
       } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)

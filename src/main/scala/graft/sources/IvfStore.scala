@@ -222,6 +222,11 @@ object IvfStore {
   def driftMetric(spark: SparkSession, dir: String, vecCol: String): Drift = {
     val root = currentRoot(spark, dir)
     val model = readCentroids(spark, dir)
+    // empty store (zero lists): every aggregate below is null and the
+    // unboxing getters would NPE — a maintenance poller hitting a
+    // fresh/empty store must read "nothing to drift", not an exception
+    if (spark.read.parquet(s"$root/stats").isEmpty)
+      return Drift(0, 1.0, 1.0, 1.0, 1.0) // neutral ratios: never tripped
     val base = spark.read.parquet(s"$root/stats")
       .agg(count(lit(1)).cast("long").as("k"),
         max(col("n")).cast("double").as("mx"),

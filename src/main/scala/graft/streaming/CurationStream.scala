@@ -82,14 +82,15 @@ object CurationStream {
       .map(_.toString)
   }
 
-  private def nextKeyBatch(spark: SparkSession, stateDir: String): Int = {
-    val kd = new org.apache.hadoop.fs.Path(s"$stateDir/keys")
-    val f = graft.sources.Hfs.fs(spark, stateDir)
-    if (!f.exists(kd)) 0
-    else f.listStatus(kd).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("b=") => s.drop(2).toInt }
+  /** next slot = max COMMITTED batch + 1 — counting committed dirs
+    * only is what makes the crash contract true: a torn (markerless)
+    * dir at that slot is invisible to readers AND gets its slot
+    * reused by the retry's overwrite-mode write, so crashed dirs
+    * never accumulate (they are reclaimed by the very next append). */
+  private def nextKeyBatch(spark: SparkSession, stateDir: String): Int =
+    keyBatches(spark, stateDir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(2).toInt)
       .maxOption.map(_ + 1).getOrElse(0)
-  }
 
   /** stored (h, keeper_id) pairs across all committed key batches —
     * explicit schema: a batch of all-quality-failed docs commits an
@@ -119,7 +120,16 @@ object CurationStream {
   }
 
   /** Disposition one batch against the state, then absorb it. Returns
-    * (doc_id, lang, source, stage, keeper_id) for every batch doc. */
+    * (doc_id, lang, source, stage, keeper_id) for every batch doc.
+    *
+    * Caching contract: the three batch-scoped checkpoints (docs, g,
+    * exact) are unpersisted before returning — a continuous stream
+    * must not grow storage memory between driver GCs. The RETURNED
+    * frame is itself an eager checkpoint and is the caller's to
+    * release (collect it, or unpersist via GraftBridge when done) —
+    * it must survive this method because every downstream read of a
+    * disposition happens after the state dirs have already absorbed
+    * the batch. */
   def serveBatch(spark: SparkSession, stateDir: String,
                  batch: DataFrame,
                  keyBroadcastMax: Long = KeyBroadcastMax): DataFrame = {
@@ -129,9 +139,11 @@ object CurationStream {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
       .localCheckpoint(true)
+    try {
     val g = Pipeline.gatedOf(docs)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("pass"))
       .localCheckpoint(true)
+    try {
 
     // ---- exact stage: stored hashes first, then within-batch min ----
     val hashed = g.filter(col("pass"))
@@ -151,6 +163,7 @@ object CurationStream {
       .withColumn("exact_keeper",
         coalesce(col("stored_keeper"), col("batch_min")))
       .localCheckpoint(true)
+    try {
     val survivors = exact.filter(col("doc_id") === col("exact_keeper"))
       .select(col("doc_id"), col("text"))
 
@@ -209,6 +222,9 @@ object CurationStream {
       .parquet(s"$stateDir/keys/b=${nextKeyBatch(spark, stateDir)}")
     compactKeys(spark, stateDir) // bound the per-batch key-dir fan-out
     disp
+    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(exact)
+    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(g)
+    } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(docs)
   }
 
   /** p2's streaming twin: the running mix table over every emitted
@@ -246,12 +262,16 @@ object CurationStream {
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val b = batch.localCheckpoint(true)
-        if (b.count() > 0) {
-          val rows = serveBatch(spark, stateDir, b).collect()
-            .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
-              if (r.isNullAt(4)) None else Some(r.getLong(4))))
-          out.synchronized { out ++= rows: Unit }
-        }
+        try {
+          if (b.count() > 0) {
+            val disp = serveBatch(spark, stateDir, b)
+            val rows = disp.collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getLong(4))))
+            org.apache.spark.sql.GraftBridge.unpersistPlanRdds(disp)
+            out.synchronized { out ++= rows: Unit }
+          }
+        } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(b)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

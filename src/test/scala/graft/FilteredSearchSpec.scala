@@ -262,6 +262,35 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(after == before, "untouched byval partition was rewritten")
   }
 
+  test("upsertMeta: emptied partitions with path-escaped values (space, '/') are really deleted") {
+    import spark.implicits._
+    import graft.sources.SrpStore
+    val dir = java.nio.file.Files.createTempDirectory("meta_escape").toString
+    SrpStore.write(spark, sf, dir)
+    FilteredServe.writeMeta(spark, sf, dir)
+    val emb42 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 42L).select(col("embedding")).head().getSeq[Float](0).toArray
+    // move doc 42 into a value needing Hive path escaping, then away
+    // again: the emptied partition's on-disk dir is escaped, so the
+    // delete must build the ESCAPED path or the stale copy survives
+    def move(l: String, s: String) = FilteredServe.upsertMeta(spark, dir,
+      Seq((42L, emb42, l, s)).toDF("vec_id", "embedding", "lang", "source"))
+    move("a b", "c/d")
+    assert(FilteredServe.matchCount(spark, dir, Seq("lang" -> "a b", "source" -> "c/d")) == 1L)
+    move("xx", "zz")
+    // no stale copy anywhere in byval (the pre-fix failure mode: the
+    // raw-path delete misses the escaped dir and 42 is served twice)
+    val copies = spark.read.parquet(s"$dir/meta/byval")
+      .filter(col("vec_id") === 42L)
+      .select(col("lang").cast("string"), col("source").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(copies == Seq(("xx", "zz")), s"stale byval copies survived: $copies")
+    // and the emptied escaped dir itself is gone from disk
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val gone = new java.io.File(s"$dir/meta/byval/lang=${esc("a b")}/source=${esc("c/d")}")
+    assert(!gone.exists(), s"emptied escaped partition dir survived: $gone")
+  }
+
   test("meta stats match the corpus and reject undeclared columns") {
     val srpDir = SrpStore.storeFor(spark, sf)
     FilteredServe.ensureMeta(spark, sf, srpDir)

@@ -44,6 +44,17 @@ class IvfDriftSpec extends AnyFunSuite {
     got.count(truth) / 5.0
   }
 
+  test("drift metric on an empty store answers 'not tripped' instead of throwing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift_empty").toString
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val model = IvfIndex.Model(Array(Array(0.0, 0.0, 0.0, 0.0)))
+    IvfStore.write(spark, emb, "embedding", model, dir)
+    val d = IvfStore.driftMetric(spark, dir, "embedding")
+    assert(!d.tripped, s"fresh empty store reported drift: $d")
+    assert(d.nLists == 0)
+  }
+
   test("drift metric: quiet at write, trips after a shifted-distribution upsert") {
     import spark.implicits._
     val dir = freshStore()
