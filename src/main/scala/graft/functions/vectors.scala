@@ -12,6 +12,25 @@ object vectors {
   private def e(col: Column) = GraftBridge.expression(col)
 
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** Driver-side twin of [[CosineSimilarity]]'s kernel — the SAME
+    * float→double widening, accumulation order and zero-denominator
+    * rule, so the produced double is BIT-IDENTICAL to the Spark
+    * expression over the same floats (KernelProperties asserts raw-bit
+    * equality). This is what lets a bounded driver-side walk step
+    * (HNSW upper-layer descent over a cached layer) score candidates
+    * without a Spark job while keeping every serve hash-stable against
+    * its distributed twin. */
+  def cosine_sim_local(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def embed_text(t: Column): Column = c(EmbedText(e(t)))

@@ -130,35 +130,48 @@ object Hnsw {
       (entry, entryEmb)
     }
 
-  /** Exact cosine of one stored embedding against the query, computed
-    * by the same Spark expression every other score uses (one-row
-    * local relation — identical float inputs → identical double). */
-  private[graft] def scoreOne(spark: SparkSession, emb: Array[Float],
-                              queryVec: Array[Float]): Double = {
-    import spark.implicits._
-    Seq(Tuple1(emb)).toDF("embedding")
-      .select(vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
-      .as[Double].head()
-  }
+  /** Fetch-and-score one descent step's edges through Spark: the
+    * frontier's (src → scored neighbors) map, scored from the edge
+    * rows' in-row embeddings by the engine's own cosine expression.
+    * The DataFrame supplies (src, dst, dst_emb). */
+  private[graft] def fetchScoredDf(df: DataFrame,
+                                   queryVec: Array[Float]): Map[Long, Array[(Long, Double)]] =
+    df.select(col("src"), col("dst").as("vec_id"),
+        vectors.cosine_sim(col("dst_emb"), typedLit(queryVec)).as("sim"))
+      .collect()
+      .map(r => (r.getAs[Long]("src"),
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+
+  /** The same step served from a DRIVER-CACHED layer map — scored by
+    * [[vectors.cosine_sim_local]], the kernel's bit-identical twin, so
+    * a local step and a distributed step produce the same doubles (the
+    * serve stays hash-stable whichever path a layer takes). */
+  private[graft] def fetchScoredLocal(m: Map[Long, Array[(Long, Array[Float])]],
+                                      srcs: Seq[Long],
+                                      queryVec: Array[Float]): Map[Long, Array[(Long, Double)]] =
+    srcs.flatMap(s => m.get(s).map(es => s ->
+      es.map { case (dst, emb) => (dst, vectors.cosine_sim_local(emb, queryVec)) })).toMap
 
   /** The coarse-to-fine walk alone: enter at the top layer, beam-
-    * descend every upper layer, return the visited path as a scored
-    * pool (the seed the layer-0 tail consumes). `edgesFor(l,
-    * frontier)` supplies the frontier's layer-l out-edges — the
-    * in-memory layer graphs here, partition-pruned store reads in
-    * [[graft.sources.HnswStore]]; same rows either way, so the two
-    * serve paths share one walk (and one oracle). */
+    * descend every upper layer, return the visited path as a LOCAL
+    * scored pool (the seed the layer-0 tail consumes — model-sized by
+    * construction, ≤ MaxLevel·maxSteps·descentBeam ids). `fetchScored
+    * (l, frontier)` supplies the frontier's layer-l out-edges already
+    * scored — a Spark point read ([[fetchScoredDf]]) or a driver-cache
+    * lookup ([[fetchScoredLocal]]); bit-identical doubles either way,
+    * so every serve path shares one walk (and one oracle). The entry
+    * is scored locally by the same kernel twin — with every upper
+    * layer cached, the whole descent runs with ZERO Spark jobs (the
+    * v32 single-query floor was jobs × scheduling overhead). */
   private[graft] def descentPoolBy(spark: SparkSession,
       entry: (Long, Array[Float]), queryVec: Array[Float],
-      edgesFor: (Int, Seq[Long]) => DataFrame,
-      descentBeam: Int = DescentBeam, maxSteps: Int = MaxSteps): DataFrame = {
-    import spark.implicits._
-    val q = typedLit(queryVec)
-
-    // entry point: memoized ([[entryFor]]) or store-read — scored via
-    // a one-row relation; NO corpus access anywhere in the walk
+      fetchScored: (Int, Seq[Long]) => Map[Long, Array[(Long, Double)]],
+      descentBeam: Int = DescentBeam, maxSteps: Int = MaxSteps): Seq[(Long, Double)] = {
+    // entry point: memoized ([[entryFor]]) or store-read — scored by
+    // the local kernel twin; NO corpus access anywhere in the walk
     val (entryId, entryEmb) = entry
-    val entrySim = scoreOne(spark, entryEmb, queryVec)
+    val entrySim = vectors.cosine_sim_local(entryEmb, queryVec)
 
     // the same NaN-greatest / id-asc total order the beam serve uses
     def better(aSim: Double, aId: Long, bSim: Double, bId: Long): Boolean = {
@@ -193,18 +206,12 @@ object Hnsw {
       while (!converged && step < maxSteps) {
         step += 1
         // neighbors scored from the edge rows' in-row embeddings —
-        // the step IS the pruned edge read, no corpus join
+        // the step IS the pruned edge read (or cache hit), no corpus join
         val need = state.map(_._1).filterNot(fetched.contains)
         if (need.nonEmpty) {
-          val bySrc = edgesFor(l, need)
-            .select(col("src"), col("dst").as("vec_id"),
-              vectors.cosine_sim(col("dst_emb"), q).as("sim"))
-            .collect()
-            .map(r => (r.getAs[Long]("src"),
-              (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))))
-            .groupBy(_._1)
+          val bySrc = fetchScored(l, need)
           need.foreach { s =>
-            fetched(s) = bySrc.get(s).map(_.map(_._2)).getOrElse(Array.empty)
+            fetched(s) = bySrc.getOrElse(s, Array.empty)
           }
         }
         val nb = state.map(_._1).flatMap(fetched(_))
@@ -217,16 +224,16 @@ object Hnsw {
       }
     }
 
-    path.toSeq.toDF("vec_id", "sim")
+    path.toSeq
   }
 
   /** [[descentPoolBy]] over the in-memory (cached) layer graphs. */
   private[graft] def descentPool(spark: SparkSession, d: String,
       queryVec: Array[Float], descentBeam: Int = DescentBeam,
-      maxSteps: Int = MaxSteps): DataFrame =
+      maxSteps: Int = MaxSteps): Seq[(Long, Double)] =
     descentPoolBy(spark, entryFor(spark, d), queryVec,
-      (l, frontier) => layerGraph(spark, d, l)
-        .filter(col("src").isin(frontier: _*)),
+      (l, frontier) => fetchScoredDf(layerGraph(spark, d, l)
+        .filter(col("src").isin(frontier: _*)), queryVec),
       descentBeam, maxSteps)
 
   /** v31: hierarchical search — descent seeds, then the shared
@@ -240,7 +247,7 @@ object Hnsw {
     val pool = descentPool(spark, d, queryVec, descentBeam, maxSteps)
     val g0 = if (refined)
       Some(SrpBanded.materializedRefinedGraph(spark, d, graphK)) else None
-    SrpBanded.graphSearchFrom(spark, d, pool, queryVec,
+    SrpBanded.graphSearchFromLocal(spark, d, pool, queryVec,
       k, beam, iters, maxEntries, graphK, graphOverride = g0)
   }
 

@@ -1237,6 +1237,21 @@ object SrpBanded {
         iters, maxEntries, graphK, graphOverride, edgesFor), k)
   }
 
+  /** [[graphSearchFrom]] over an ALREADY-LOCAL scored pool (an HNSW
+    * descent path, model-sized by construction) — the seed cut is the
+    * same (sim DESC, id ASC) total order, applied driver-side, so the
+    * Spark job the DataFrame seed cut costs disappears from the serve
+    * while the rows stay identical. */
+  private[graft] def graphSearchFromLocal(spark: SparkSession, d: String,
+      pool: Seq[(Long, Double)], queryVec: Array[Float], k: Int, beam: Int,
+      iters: Int, maxEntries: Int, graphK: Int,
+      graphOverride: Option[DataFrame] = None,
+      edgesFor: Option[Seq[Long] => DataFrame] = None): DataFrame = {
+    topKCut(spark,
+      walkFromSeed(spark, d, pool.sortWith(simDescIdAsc).take(maxEntries),
+        queryVec, beam, iters, graphK, graphOverride, edgesFor), k)
+  }
+
   /** The ONE (vec_id, rk, sim) emission contract every driver-side
     * serve shares — same (sim DESC, vec_id) total order as the old
     * window form, the round left as a Spark expression so the emitted
@@ -1277,6 +1292,23 @@ object SrpBanded {
       iters: Int, maxEntries: Int, graphK: Int,
       graphOverride: Option[DataFrame] = None,
       edgesFor: Option[Seq[Long] => DataFrame] = None): Seq[(Long, Double)] = {
+    // seed cut: keep the best maxEntries of the scored pool — the one
+    // collect whose input is corpus-sized is still cut distributed
+    val seed = scoredPool
+      .orderBy(col("sim").desc, col("vec_id")).limit(maxEntries)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    walkFromSeed(spark, d, seed, queryVec, beam, iters, graphK,
+      graphOverride, edgesFor)
+  }
+
+  /** The beam hops alone, from an already-cut seed — shared by the
+    * DataFrame-pool path above and the local-pool serves
+    * ([[graphSearchFromLocal]], the filtered walks). */
+  private[graft] def walkFromSeed(spark: SparkSession, d: String,
+      seed: Seq[(Long, Double)], queryVec: Array[Float], beam: Int,
+      iters: Int, graphK: Int,
+      graphOverride: Option[DataFrame] = None,
+      edgesFor: Option[Seq[Long] => DataFrame] = None): Seq[(Long, Double)] = {
     // frontier's out-edges WITH destination embeddings in-row: either
     // a pruned point read against a persisted edge store (`edgesFor` —
     // the v28/v32 path, PartitionFilters decided in the file index) or
@@ -1290,11 +1322,6 @@ object SrpBanded {
         .select(col("src"), col("dst"), col("dst_emb"))
     }
     val q = typedLit(queryVec)
-    // seed cut: keep the best maxEntries of the scored pool — the one
-    // collect whose input is corpus-sized is still cut distributed
-    val seed = scoredPool
-      .orderBy(col("sim").desc, col("vec_id")).limit(maxEntries)
-      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
     val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
     seed.foreach { case (id, s) => visited.update(id, s) }
     var frontier: Seq[Long] = seed.map(_._1).toSeq

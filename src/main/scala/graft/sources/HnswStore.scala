@@ -128,28 +128,94 @@ object HnswStore {
   /** executed plan of the last descent-step layer read — spec hook
     * for the partition-pruning assertion */
   @volatile var lastLayerPlan: String = ""
+  /** which layers the last serve's descent answered from the driver
+    * cache — spec hook for the local-descent contract */
+  @volatile var lastLocalLayers: Set[Int] = Set.empty
+
+  /** Driver-side upper-layer cache budget. The hierarchy thins 4× per
+    * level, so the TOP layers are always tiny; whether a given layer
+    * fits the driver is a byte question, answered per store from the
+    * layer's edge count. Layers over budget keep the distributed
+    * pruned point read — at 100 TB that is layer 1 (and the budget is
+    * the honesty: nothing corpus-sized is ever collected). `var` so
+    * specs can force the distributed path (set 0) and assert identity
+    * against the cached one. */
+  @volatile var LayerCacheBudgetBytes: Long = 256L << 20
+  /** conservative JVM bytes per cached edge: ids + boxed tuple/array
+    * overhead + Dim floats */
+  private def edgeBytes: Long = 96L + 4L * SrpBanded.Dim
+
+  private val localLayerCache =
+    new graft.SessionCache[(String, Long), Map[Int, Map[Long, Array[(Long, Array[Float])]]]](8)
+  graft.Tables.onInvalidate { p =>
+    localLayerCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+  }
+
+  /** The upper layers that fit [[LayerCacheBudgetBytes]], collected
+    * ONCE per opened store (top layer first — the exponential thinning
+    * means the cheapest layers admit first) as driver-side maps
+    * layer → src → (dst, dst_emb). V32Probe attributed the ~1 s
+    * single-query floor to ~21 dependent point-read JOBS × driver
+    * scheduling overhead; the descent over cached layers runs with
+    * zero jobs, leaving only the layer-0 beam hops distributed. */
+  private[graft] def localLayers(spark: SparkSession,
+      dir: String): Map[Int, Map[Long, Array[(Long, Array[Float])]]] =
+    localLayerCache.getOrElseUpdate(spark, (dir, LayerCacheBudgetBytes)) {
+      val layers = layersFrame(spark, dir)
+      val counts = layers.groupBy(col("layer")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+      val admit = counts.foldLeft((LayerCacheBudgetBytes, Set.empty[Int])) {
+        case ((left, ok), (l, n)) =>
+          val b = n * edgeBytes
+          if (b <= left) (left - b, ok + l) else (left, ok)
+      }._2
+      if (admit.isEmpty) Map.empty
+      else layers.filter(col("layer").isin(admit.toSeq: _*))
+        .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.groupBy(_.getLong(1)).map { case (s, es) =>
+            s -> es.map(r => (r.getLong(2), r.getSeq[Float](3).toArray))
+          }
+        }
+    }
+
+  /** The store-backed descent fetch: driver-cache hit where the layer
+    * is admitted, pruned (layer, pb) point read otherwise — the SAME
+    * edges and bit-identical scores either way. */
+  private def storeFetch(spark: SparkSession, dir: String,
+      queryVec: Array[Float]): (Int, Seq[Long]) => Map[Long, Array[(Long, Double)]] = {
+    val cached = localLayers(spark, dir)
+    lastLocalLayers = cached.keySet
+    val layers = layersFrame(spark, dir)
+    (l, frontier) =>
+      cached.get(l) match {
+        case Some(m) => Hnsw.fetchScoredLocal(m, frontier, queryVec)
+        case None =>
+          val pbs = frontier.map(Math.floorMod(_, LayerPartitions.toLong)).distinct
+          val step = layers
+            .filter(col("layer") === l && col("pb").isin(pbs: _*) &&
+              col("src").isin(frontier: _*))
+          lastLayerPlan = step.queryExecution.executedPlan.toString
+          Hnsw.fetchScoredDf(step, queryVec)
+      }
+  }
 
   /** v32: v31's search served ENTIRELY from the persisted artifacts —
-    * entry from `entry/`, walk steps from pruned (layer, pb)
-    * partitions, layer-0 hops from the stored [[EdgeStore]] — all of
-    * which carry their embeddings in-row, so no stage of the serve
-    * path reads the corpus table (note the signature: no corpus dir).
-    * Identical rows to the in-memory path (same edges, same IEEE
-    * scores), so it shares v31's oracle. */
+    * entry from `entry/`, walk steps from the driver layer cache (or
+    * pruned (layer, pb) partitions where over budget), layer-0 hops
+    * from the stored [[EdgeStore]] — all of which carry their
+    * embeddings in-row, so no stage of the serve path reads the corpus
+    * table (note the signature: no corpus dir). Identical rows to the
+    * in-memory path (same edges, same IEEE scores), so it shares v31's
+    * oracle. */
   def search(spark: SparkSession, dir: String,
              queryVec: Array[Float], k: Int = 10, beam: Int = 16,
              iters: Int = 3, maxEntries: Int = 64): DataFrame = {
-    val layers = layersFrame(spark, dir)
     val pool = Hnsw.descentPoolBy(spark, storedEntry(spark, dir), queryVec,
-      (l, frontier) => {
-        val pbs = frontier.map(Math.floorMod(_, LayerPartitions.toLong)).distinct
-        val step = layers
-          .filter(col("layer") === l && col("pb").isin(pbs: _*) &&
-            col("src").isin(frontier: _*))
-        lastLayerPlan = step.queryExecution.executedPlan.toString
-        step
-      })
-    SrpBanded.graphSearchFrom(spark, dir, pool, queryVec,
+      storeFetch(spark, dir, queryVec))
+    SrpBanded.graphSearchFromLocal(spark, dir, pool, queryVec,
       k, beam, iters, maxEntries, graphK = 5,
       edgesFor = Some(fr => EdgeStore.edgesFor(spark, s"$dir/l0", fr)))
   }
@@ -170,15 +236,11 @@ object HnswStore {
                      exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame =
     FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
       exactScanMax) { f =>
-      val layers = layersFrame(spark, dir)
       val pool = Hnsw.descentPoolBy(spark, storedEntry(spark, dir), queryVec,
-        (l, frontier) => {
-          val pbs = frontier.map(Math.floorMod(_, LayerPartitions.toLong)).distinct
-          layers.filter(col("layer") === l && col("pb").isin(pbs: _*) &&
-            col("src").isin(frontier: _*))
-        })
-      SrpBanded.graphWalkVisited(spark, dir, pool, queryVec,
-        beam * math.min(f, 4), iters, maxEntries * f, graphK = 5,
+        storeFetch(spark, dir, queryVec))
+      SrpBanded.walkFromSeed(spark, dir,
+        pool.sortWith(SrpBanded.simDescIdAsc).take(maxEntries * f), queryVec,
+        beam * math.min(f, 4), iters, graphK = 5,
         edgesFor = Some(fr => EdgeStore.edgesFor(spark, s"$dir/l0", fr)))
     }
 

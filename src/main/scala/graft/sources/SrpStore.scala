@@ -339,6 +339,63 @@ object SrpStore {
     }
   }
 
+  /** Driver-side probed-seed cache budget — the v32 layer-cache move
+    * applied to this store's seed read. Whether the banded layout fits
+    * the driver is a byte question answered per store (row count ×
+    * conservative JVM bytes); over budget — every 100 TB corpus — the
+    * serve keeps the distributed partition-pruned scan below. `var` so
+    * specs can force the distributed path and assert identity. */
+  @volatile var BucketCacheBudgetBytes: Long = 256L << 20
+  private def bucketRowBytes: Long = 96L + 4L * SrpBanded.Dim
+  /** which seed source the last single-query serve took — spec hook */
+  @volatile var lastSeedSource: String = ""
+
+  private val localBucketCache = new graft.SessionCache[(String, Long),
+    Option[Map[(Int, Long), Array[(Long, Array[Float])]]]](4)
+  graft.Tables.onInvalidate { p =>
+    localBucketCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+  }
+
+  /** The banded bucket layout as a driver map (band, bk) → members,
+    * collected once per opened store IF it fits the budget (None
+    * otherwise — the cache never holds anything corpus-sized). The
+    * single-query serve's remaining floor is Spark jobs × scheduling
+    * overhead; with the buckets local, the seed stage runs with zero
+    * jobs, like the HNSW descent over [[HnswStore.localLayers]]. */
+  private[graft] def localBuckets(spark: SparkSession,
+      dir: String): Option[Map[(Int, Long), Array[(Long, Array[Float])]]] =
+    localBucketCache.getOrElseUpdate(spark, (dir, BucketCacheBudgetBytes)) {
+      val banded = bandedFrame(spark, dir)
+        .select(col("band").cast("int").as("band"), col("bk").cast("long").as("bk"),
+          col("vec_id"), col("embedding"))
+      if (banded.count() * bucketRowBytes > BucketCacheBudgetBytes) None
+      else Some(banded.collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getLong(2), r.getSeq[Float](3).toArray))
+        })
+    }
+
+  /** [[scoredPool]] computed driver-side from the bucket cache: probed
+    * buckets looked up locally, scored by the kernel's bit-identical
+    * local twin ([[graft.functions.vectors.cosine_sim_local]]), deduped
+    * per vec_id (band copies carry bit-identical sims, so keeping any
+    * one equals the DataFrame path's dropDuplicates). None when the
+    * store is over budget — caller falls back to the pruned scan. */
+  private[graft] def scoredPoolLocal(spark: SparkSession, dir: String,
+      queryVec: Array[Float],
+      probeRadius: Int = 2): Option[Seq[(Long, Double)]] =
+    localBuckets(spark, dir).map { m =>
+      val keys = SrpBanded.queryProbeKeys(queryVec, probeRadius,
+        storeRpb(spark, dir))
+      keys.iterator
+        .flatMap(k => m.getOrElse(k, Array.empty[(Long, Array[Float])]))
+        .toSeq.distinctBy(_._1)
+        .map { case (id, emb) =>
+          (id, graft.functions.vectors.cosine_sim_local(emb, queryVec))
+        }
+    }
+
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val rpb = storeRpb(spark, dir)
@@ -362,9 +419,17 @@ object SrpStore {
                   queryVec: Array[Float], k: Int = 10, beam: Int = 8,
                   iters: Int = 2, maxEntries: Int = 64, graphK: Int = 5,
                   probeRadius: Int = 2): DataFrame =
-    SrpBanded.graphSearchFrom(spark, d,
-      scoredPool(spark, dir, queryVec, probeRadius),
-      queryVec, k, beam, iters, maxEntries, graphK)
+    scoredPoolLocal(spark, dir, queryVec, probeRadius) match {
+      case Some(pool) =>
+        lastSeedSource = "local"
+        SrpBanded.graphSearchFromLocal(spark, d, pool,
+          queryVec, k, beam, iters, maxEntries, graphK)
+      case None =>
+        lastSeedSource = "pruned"
+        SrpBanded.graphSearchFrom(spark, d,
+          scoredPool(spark, dir, queryVec, probeRadius),
+          queryVec, k, beam, iters, maxEntries, graphK)
+    }
 
   /** v28: FULLY store-backed serving — seeds read from this store's
     * pruned bucket partitions AND hops over a persisted
@@ -382,10 +447,32 @@ object SrpStore {
                       k: Int = 10, beam: Int = 8, iters: Int = 2,
                       maxEntries: Int = 64, graphK: Int = 5,
                       probeRadius: Int = 2): DataFrame =
-    SrpBanded.graphSearchFrom(spark, dir,
-      scoredPool(spark, dir, queryVec, probeRadius),
-      queryVec, k, beam, iters, maxEntries, graphK,
-      edgesFor = Some(fr => EdgeStore.edgesFor(spark, edgeDir, fr)))
+    SrpBanded.topKCut(spark,
+      walkVisitedCold(spark, dir, edgeDir, queryVec, beam, iters,
+        maxEntries, graphK, probeRadius), k)
+
+  /** v28's walk returning the FULL visited set (the filtered serve's
+    * candidate generator) — seeds from the driver bucket cache when
+    * the store fits [[BucketCacheBudgetBytes]], from the pruned
+    * bucket scan otherwise; identical candidates either way. */
+  private[graft] def walkVisitedCold(spark: SparkSession, dir: String,
+      edgeDir: String, queryVec: Array[Float], beam: Int, iters: Int,
+      maxEntries: Int, graphK: Int,
+      probeRadius: Int): Seq[(Long, Double)] = {
+    val edges = Some((fr: Seq[Long]) => EdgeStore.edgesFor(spark, edgeDir, fr))
+    scoredPoolLocal(spark, dir, queryVec, probeRadius) match {
+      case Some(pool) =>
+        lastSeedSource = "local"
+        SrpBanded.walkFromSeed(spark, dir,
+          pool.sortWith(SrpBanded.simDescIdAsc).take(maxEntries),
+          queryVec, beam, iters, graphK, edgesFor = edges)
+      case None =>
+        lastSeedSource = "pruned"
+        SrpBanded.graphWalkVisited(spark, dir,
+          scoredPool(spark, dir, queryVec, probeRadius),
+          queryVec, beam, iters, maxEntries, graphK, edgesFor = edges)
+    }
+  }
 
   /** Incremental maintenance — the SRP analogue of
     * [[IvfStore.upsert]]: new/updated vectors are banded against the

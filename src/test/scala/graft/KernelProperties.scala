@@ -26,6 +26,27 @@ object KernelProperties extends Properties("graft.kernels") {
   private def dot(a: Array[Float], b: Array[Float]): Double =
     DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Double]
 
+  property("cosine_sim_local is BIT-identical to the CosineSimilarity kernel") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      // raw-bit equality, not epsilon: the driver-side walk steps score
+      // with the local twin, and any divergence (even 1 ulp) could flip
+      // a (sim DESC, id) ordering the oracle hash-checks
+      java.lang.Double.doubleToRawLongBits(graft.functions.vectors.cosine_sim_local(a, b)) ==
+        java.lang.Double.doubleToRawLongBits(cos(a, b))
+    }
+
+  property("cosine_sim_local twin holds on edge shapes (zero vec, length mismatch, NaN/Inf)") = {
+    val edgeGen: Gen[Array[Float]] = Gen.oneOf(
+      Gen.const(Array.fill(8)(0.0f)),
+      Gen.choose(1, 8).map(n => Array.fill(n)(1.0f)),
+      vecGen.map(v => { if (v.nonEmpty) v(0) = Float.NaN; v }),
+      vecGen.map(v => { if (v.nonEmpty) v(v.length - 1) = Float.PositiveInfinity; v }))
+    forAll(edgeGen, edgeGen) { (a, b) =>
+      java.lang.Double.doubleToRawLongBits(graft.functions.vectors.cosine_sim_local(a, b)) ==
+        java.lang.Double.doubleToRawLongBits(cos(a, b))
+    }
+  }
+
   property("cosine is within [-1,1] and symmetric") =
     forAll(vecGen, vecGen) { (a, b) =>
       val c = cos(a, b)

@@ -1621,8 +1621,23 @@ class OperatorsSpec extends AnyFunSuite {
     val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
     val cold = graft.sources.SrpStore.graphSearchCold(spark, dir, edgeDir, q)
     val refined = SrpBanded.graphSearchRefined(spark, sf, q)
-    assert(cold.collect().map(_.toSeq).toSeq == refined.collect().map(_.toSeq).toSeq,
+    val coldRows = cold.collect().map(_.toSeq).toSeq
+    assert(coldRows == refined.collect().map(_.toSeq).toSeq,
       "cold-start serve diverged from the in-memory refined path")
+    // the spec corpus fits the driver bucket cache, so the default
+    // serve seeds locally (zero seed jobs); forcing the budget to 0
+    // must take the pruned distributed scan and return IDENTICAL rows
+    assert(graft.sources.SrpStore.lastSeedSource == "local",
+      s"seed not served from the bucket cache: ${graft.sources.SrpStore.lastSeedSource}")
+    val prevBudget = graft.sources.SrpStore.BucketCacheBudgetBytes
+    try {
+      graft.sources.SrpStore.BucketCacheBudgetBytes = 0L
+      val dist = graft.sources.SrpStore.graphSearchCold(spark, dir, edgeDir, q)
+        .collect().map(_.toSeq).toSeq
+      assert(graft.sources.SrpStore.lastSeedSource == "pruned")
+      assert(dist == coldRows,
+        s"pruned-seed serve diverged from cached-seed: $dist vs $coldRows")
+    } finally graft.sources.SrpStore.BucketCacheBudgetBytes = prevBudget
     // the persisted edge table really is what the hops read — a
     // pruned, SELF-CONTAINED point read: dst embeddings in-row, pb
     // partitions pruned in the file index, no corpus table anywhere

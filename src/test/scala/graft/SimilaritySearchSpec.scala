@@ -766,7 +766,7 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(meanRef >= 0.55, s"refined mean recall $meanRef below the serve floor")
   }
 
-  test("v32 stored HNSW: equals in-memory serve, layer read is partition-pruned, zero corpus access") {
+  test("v32 stored HNSW: equals in-memory serve, local descent == pruned distributed descent, zero corpus access") {
     val q = FakeEmbedder.embed(queryText)
     val dir = graft.sources.HnswStore.storeFor(spark, sf)
     // the search signature takes ONLY the store dir: entry, layer
@@ -778,11 +778,28 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"), r.getAs[Double]("sim")))
     assert(stored.sameElements(inMem),
       s"stored HNSW diverged: ${stored.toSeq} vs ${inMem.toSeq}")
-    val plan = graft.sources.HnswStore.lastLayerPlan
-    assert(plan.contains("PartitionFilters") && plan.contains("layer"),
-      s"no partition pruning in stored layer read:\n$plan")
-    assert(!plan.contains("embeddings.parquet"),
-      s"stored layer read touches the corpus table:\n$plan")
+    // the default serve walks the upper layers from the driver cache
+    // (the single-query latency floor fix) — every layer fits budget
+    assert(graft.sources.HnswStore.lastLocalLayers ==
+      (1 to graft.operators.Hnsw.MaxLevel).toSet,
+      s"descent not served from the driver layer cache: ${graft.sources.HnswStore.lastLocalLayers}")
+    // force the DISTRIBUTED descent (budget 0): identical rows — the
+    // local kernel twin and the pruned point read are the same serve —
+    // and the layer read is partition-pruned with no corpus access
+    val prevBudget = graft.sources.HnswStore.LayerCacheBudgetBytes
+    try {
+      graft.sources.HnswStore.LayerCacheBudgetBytes = 0L
+      val dist = graft.sources.HnswStore.search(spark, dir, q).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rk"), r.getAs[Double]("sim")))
+      assert(dist.sameElements(stored),
+        s"distributed descent diverged from cached: ${dist.toSeq} vs ${stored.toSeq}")
+      assert(graft.sources.HnswStore.lastLocalLayers.isEmpty)
+      val plan = graft.sources.HnswStore.lastLayerPlan
+      assert(plan.contains("PartitionFilters") && plan.contains("layer"),
+        s"no partition pruning in stored layer read:\n$plan")
+      assert(!plan.contains("embeddings.parquet"),
+        s"stored layer read touches the corpus table:\n$plan")
+    } finally graft.sources.HnswStore.LayerCacheBudgetBytes = prevBudget
     // the layer-0 hop read is the pruned EdgeStore point read, with
     // the destination embedding in-row — also corpus-free
     val edgePlan = graft.sources.EdgeStore.lastEdgePlan
@@ -889,9 +906,11 @@ class SimilaritySearchSpec extends AnyFunSuite {
         .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
       assert(stream == batch, s"query $qid: stream $stream != batch $batch")
     }
-    val plan = graft.sources.HnswStore.lastLayerPlan
-    assert(plan.contains("PartitionFilters") && plan.contains("layer"),
-      s"no partition pruning in streaming layer read:\n$plan")
+    // streaming serves share the batch serve's descent: the upper
+    // layers come from the driver cache (zero jobs per walk step)
+    assert(graft.sources.HnswStore.lastLocalLayers ==
+      (1 to graft.operators.Hnsw.MaxLevel).toSet,
+      s"descent not served from the driver layer cache: ${graft.sources.HnswStore.lastLocalLayers}")
   }
 
   test("v33 batched HNSW: equals the single-query walk per query, no query broadcast") {
