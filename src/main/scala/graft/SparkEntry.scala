@@ -328,6 +328,20 @@ object SparkEntry {
         graft.sources.EdgeStore.refinedStoreFor(s, d),
         FakeEmbedder.embed(SearchText),
         Seq("lang" -> "de", "source" -> "src3"), k = 10)),
+    // the same planner's MID-SELECTIVITY tier (r13): the per-value
+    // CODE index — partition-pruned scan of only the matching rows'
+    // 192-bit sign sketches (embedding column never read), Hamming
+    // shortlist, exact rerank. Forced past the exact tier
+    // (exactScanMax = 0); the shortlist floor covers every matching
+    // row at this scale, so the serve is the exact filtered top-k
+    // the oracle replays — the covering-shortlist contract
+    // FilteredSearchSpec pins.
+    "v40_filtered_code_search" -> ((s, d) =>
+      graft.sources.FilteredServe.searchFiltered(s, d,
+        graft.sources.SrpStore.storeFor(s, d),
+        graft.sources.EdgeStore.refinedStoreFor(s, d),
+        FakeEmbedder.embed(SearchText),
+        Seq("lang" -> "en"), k = 10, exactScanMax = 0L)),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -583,6 +597,19 @@ object SparkEntry {
          |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS sim
          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
          |  WHERE d.lang = 'de' AND d.source = 'src3')
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // code tier with a covering shortlist (W = 256 ≥ matching rows at
+    // this scale): the serve IS the exact filtered ranking, so the
+    // twin is the same filtered exact top-k shape as v39's
+    "v40_filtered_code_search" ->
+      s"""SELECT vec_id, rk, sim FROM (
+         |  SELECT e.vec_id AS vec_id,
+         |    row_number() OVER (ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])) DESC,
+         |      e.vec_id) AS rk,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en')
          |WHERE rk <= 10 ORDER BY rk""".stripMargin,
   )
 }

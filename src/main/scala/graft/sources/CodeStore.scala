@@ -169,16 +169,26 @@ object CodeStore {
   def searchFiltered(spark: SparkSession, dir: String, metaDir: String,
                      queryVec: Array[Float], pred: Seq[(String, String)],
                      k: Int = 10, shortlist: Int = HammingIndex.Shortlist,
-                     exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame = {
+                     exactScanMax: Long = FilteredServe.ExactScanMax,
+                     codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame = {
     val matching = FilteredServe.matchCount(spark, metaDir, pred)
     if (matching <= exactScanMax) {
       FilteredServe.lastFilteredPath = "exact"
       FilteredServe.exactFiltered(spark, metaDir, queryVec, pred, k)
+    } else if (matching <= codeScanMax) {
+      // mid-selectivity: the shared per-value code tier — a
+      // partition-pruned scan of only the MATCHING rows' codes beats
+      // this store's full-corpus scan + post-filter at any sub-unit
+      // selectivity (fewer code bytes, zero post-filter loss)
+      FilteredServe.codeFiltered(spark, metaDir, queryVec, pred, k, matching)
     } else {
+      val f0 = FilteredServe.walkStartFactor(matching,
+        FilteredServe.totalCount(spark, metaDir))
       val qk = SrpBanded.queryBandKeys(queryVec).map(_._2)
       val scan = codesFrame(spark, dir)
         .select(col("vec_id"), HammingIndex.hammingCol(qk).as("ham"))
-      val hit = FilteredServe.EscalateFactors.iterator.map { f =>
+      val hit = FilteredServe.EscalateFactors.iterator.map { e =>
+        val f = math.min(e * f0, 64)
         val ids = scan.orderBy(col("ham").asc, col("vec_id").asc)
           .limit(shortlist * f).collect().map(_.getLong(0)).toSeq
         val ok = FilteredServe.matchingIds(spark, metaDir, pred, ids)

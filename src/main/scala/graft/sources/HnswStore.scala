@@ -233,9 +233,10 @@ object HnswStore {
                      queryVec: Array[Float], pred: Seq[(String, String)],
                      k: Int = 10, beam: Int = 16, iters: Int = 3,
                      maxEntries: Int = 64,
-                     exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame =
+                     exactScanMax: Long = FilteredServe.ExactScanMax,
+                     codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
     FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
-      exactScanMax) { f =>
+      exactScanMax, codeScanMax) { f =>
       val pool = Hnsw.descentPoolBy(spark, storedEntry(spark, dir), queryVec,
         storeFetch(spark, dir, queryVec))
       SrpBanded.walkFromSeed(spark, dir,

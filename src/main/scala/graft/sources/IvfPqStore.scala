@@ -148,9 +148,10 @@ object IvfPqStore {
                              source: DataFrame, vecCol: String, idCol: String,
                              queryVec: Array[Float], pred: Seq[(String, String)],
                              k: Int = 10, nprobe: Int = 4, rerank: Int = 4,
-                             exactScanMax: Long = FilteredServe.ExactScanMax): DataFrame =
+                             exactScanMax: Long = FilteredServe.ExactScanMax,
+                             codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
     FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
-      exactScanMax) { f =>
+      exactScanMax, codeScanMax) { f =>
       val (ivf, pq) = readModels(spark, dir)
       val rc = ivf.centroids.map(_.map(x => math.floor(x).toLong))
       val model = IvfPqResidual.Model(ivf, rc, pq)

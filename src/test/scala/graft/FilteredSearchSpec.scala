@@ -70,12 +70,15 @@ class FilteredSearchSpec extends AnyFunSuite {
     val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
     FilteredServe.ensureMeta(spark, sf, srpDir)
     val pred = Seq("lang" -> "en") // 193 of 500 docs
-    // force the walk branch (exactScanMax = 0): the plumbing under test
-    // is the broad-predicate plan a 100 TB corpus would take
+    // force the walk tier (exactScanMax = codeScanMax = 0): the
+    // plumbing under test is the very-broad-predicate plan a 100 TB
+    // corpus would take
     val res = FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir, q,
-      pred, k = 5, exactScanMax = 0L)
-    assert(FilteredServe.lastFilteredPath.startsWith("walk:"),
-      s"expected the walk branch, took ${FilteredServe.lastFilteredPath}")
+      pred, k = 5, exactScanMax = 0L, codeScanMax = 0L)
+    // the start factor is SELECTIVITY-KEYED from the stats artifact:
+    // 193 of 500 matching → ceil(500/193) = 3, not the old fixed ×1
+    assert(FilteredServe.lastFilteredPath == "walk:3",
+      s"expected the selectivity-keyed walk, took ${FilteredServe.lastFilteredPath}")
     val got = res.collect()
     assert(got.length == 5)
     // every returned row satisfies the predicate and carries the exact
@@ -104,8 +107,45 @@ class FilteredSearchSpec extends AnyFunSuite {
       s"byid read not partition-pruned:\n${FilteredServe.lastByIdPlan}")
     // deterministic: same serve, same rows
     val again = FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir, q,
-      pred, k = 5, exactScanMax = 0L)
+      pred, k = 5, exactScanMax = 0L, codeScanMax = 0L)
     assert(again.collect().map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
+  test("mid-selectivity: per-value code tier serves matching-only candidates, embedding bytes never scanned") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val pred = Seq("lang" -> "en") // 193 matching > exactScanMax=0 → code tier
+    val res = FilteredServe.searchFiltered(spark, sf, srpDir,
+      edgeDir = "/nonexistent/edge-store", q, pred, k = 5, exactScanMax = 0L)
+    assert(FilteredServe.lastFilteredPath == s"code:${FilteredServe.CodeShortlist}",
+      s"expected the code tier, took ${FilteredServe.lastFilteredPath}")
+    // W = 256 ≥ 193 matching: the shortlist covers every matching row,
+    // so the tier IS the exact filtered ranking here — assert equality
+    val got = res.collect().map(_.toSeq).toSeq
+    assert(got == exactFiltered(pred, 5),
+      "code tier with covering shortlist diverged from the exact filtered ranking")
+    // the shortlist scan is partition-pruned AND column-projected:
+    // keys read, the ~3 KB embedding column untouched
+    assert(FilteredServe.lastCodeScanPlan.contains("PartitionFilters") &&
+      FilteredServe.lastCodeScanPlan.contains("keys"),
+      s"code scan not pruned/projected:\n${FilteredServe.lastCodeScanPlan}")
+    assert(!FilteredServe.lastCodeScanPlan.contains("embedding"),
+      s"code-tier shortlist scan read embedding bytes:\n${FilteredServe.lastCodeScanPlan}")
+    // deterministic: same serve, same rows
+    val again = FilteredServe.searchFiltered(spark, sf, srpDir,
+      edgeDir = "/nonexistent/edge-store", q, pred, k = 5, exactScanMax = 0L)
+    assert(again.collect().map(_.toSeq).toSeq == got)
+    // all three stored families converge on the same tier for
+    // mid-selectivity predicates (the planner is the meta artifact's,
+    // not the family's) — and none of them opens its own index
+    val viaHnsw = graft.sources.HnswStore.searchFiltered(spark,
+      "/nonexistent/hnsw-store", srpDir, q, pred, k = 5, exactScanMax = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaHnsw == got && FilteredServe.lastFilteredPath.startsWith("code:"))
+    val viaCode = graft.sources.CodeStore.searchFiltered(spark,
+      "/nonexistent/code-store", srpDir, q, pred, k = 5, exactScanMax = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCode == got && FilteredServe.lastFilteredPath.startsWith("code:"))
   }
 
   test("escalation exhausts into the exact fallback: recall cannot collapse under selective predicates") {
@@ -118,7 +158,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     // construction, never a silent k-shortfall
     val pred = Seq("lang" -> "de", "source" -> "src11")
     val res = FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir, q,
-      pred, k = 10, exactScanMax = 0L)
+      pred, k = 10, exactScanMax = 0L, codeScanMax = 0L)
     assert(FilteredServe.lastFilteredPath == "fallback",
       s"expected escalation fallback, took ${FilteredServe.lastFilteredPath}")
     val got = res.collect().map(_.toSeq).toSeq
@@ -136,7 +176,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     // rerank exactly, every row satisfies the predicate
     val pred = Seq("lang" -> "en")
     val got = CodeStore.searchFiltered(spark, codeDir, srpDir, q, pred,
-      k = 5, exactScanMax = 0L).collect()
+      k = 5, exactScanMax = 0L, codeScanMax = 0L).collect()
     assert(FilteredServe.lastFilteredPath.startsWith("scan:"),
       s"expected the scan branch, took ${FilteredServe.lastFilteredPath}")
     assert(got.length == 5)
@@ -153,7 +193,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     // surface k matches — the serve must end in the exact fallback
     val sel = Seq("lang" -> "de", "source" -> "src11")
     val fb = CodeStore.searchFiltered(spark, codeDir, srpDir, q, sel,
-      k = 10, exactScanMax = 0L).collect().map(_.toSeq).toSeq
+      k = 10, exactScanMax = 0L, codeScanMax = 0L).collect().map(_.toSeq).toSeq
     assert(FilteredServe.lastFilteredPath == "fallback")
     assert(fb == exactFiltered(sel, 10) && fb.size == 1)
   }
@@ -165,7 +205,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     FilteredServe.ensureMeta(spark, sf, srpDir)
     val pred = Seq("lang" -> "en")
     val got = HnswStore.searchFiltered(spark, hnswDir, srpDir, q, pred,
-      k = 5, exactScanMax = 0L).collect()
+      k = 5, exactScanMax = 0L, codeScanMax = 0L).collect()
     assert(FilteredServe.lastFilteredPath.startsWith("walk:"),
       s"expected the walk branch, took ${FilteredServe.lastFilteredPath}")
     assert(got.length == 5)
@@ -181,7 +221,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     // one matching doc, k = 10 → escalation exhausts into exact
     val sel = Seq("lang" -> "de", "source" -> "src11")
     val fb = HnswStore.searchFiltered(spark, hnswDir, srpDir, q, sel,
-      k = 10, exactScanMax = 0L).collect().map(_.toSeq).toSeq
+      k = 10, exactScanMax = 0L, codeScanMax = 0L).collect().map(_.toSeq).toSeq
     assert(FilteredServe.lastFilteredPath == "fallback")
     assert(fb == exactFiltered(sel, 10) && fb.size == 1)
   }
@@ -194,7 +234,8 @@ class FilteredSearchSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val pred = Seq("lang" -> "en")
     val got = IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
-      emb, "embedding", "vec_id", q, pred, k = 5, exactScanMax = 0L).collect()
+      emb, "embedding", "vec_id", q, pred, k = 5, exactScanMax = 0L,
+      codeScanMax = 0L).collect()
     assert(FilteredServe.lastFilteredPath.startsWith("walk:"),
       s"expected the shortlist branch, took ${FilteredServe.lastFilteredPath}")
     assert(got.length == 5)
@@ -210,8 +251,8 @@ class FilteredSearchSpec extends AnyFunSuite {
     // one matching doc, k = 10 → escalation exhausts into exact
     val sel = Seq("lang" -> "de", "source" -> "src11")
     val fb = IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
-      emb, "embedding", "vec_id", q, sel, k = 10, exactScanMax = 0L)
-      .collect().map(_.toSeq).toSeq
+      emb, "embedding", "vec_id", q, sel, k = 10, exactScanMax = 0L,
+      codeScanMax = 0L).collect().map(_.toSeq).toSeq
     assert(FilteredServe.lastFilteredPath == "fallback")
     assert(fb == exactFiltered(sel, 10) && fb.size == 1)
   }
