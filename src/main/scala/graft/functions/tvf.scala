@@ -57,6 +57,13 @@ object tvf {
 
   private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** trailing (col, val) literal pairs → the predicate every filtered
+    * serve takes (one parser, so the four family TVFs cannot drift) */
+  private def predOf(xs: Seq[Expression]): Seq[(String, String)] =
+    xs.grouped(2).map { p =>
+      litStr(p(0), "predicate column") -> litStr(p(1), "predicate value")
+    }.toSeq
+
   /** name → (arity range, builder) — one table per serve family, so
     * the injection and the runtime registration share one source */
   private[graft] val builders: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
@@ -96,13 +103,46 @@ object tvf {
         require(xs.length >= 7 && (xs.length - 5) % 2 == 0,
           s"graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col, val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        val pred = xs.drop(5).grouped(2).map { p =>
-          litStr(p(0), "predicate column") -> litStr(p(1), "predicate value")
-        }.toSeq
+        val pred = predOf(xs.drop(5))
         planOf(graft.sources.FilteredServe.searchFiltered(spark,
           litStr(xs(0), "corpus_dir"), litStr(xs(1), "srp_dir"),
           litStr(xs(2), "edge_dir"),
           FakeEmbedder.embed(litStr(xs(3), "query_text")), pred,
+          k = litLong(xs(4), "k").toInt))
+      }),
+    ("graft_code_filtered_search",
+      "graft_code_filtered_search(code_dir, meta_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered code-scan ANN",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 6 && (xs.length - 4) % 2 == 0,
+          s"graft_code_filtered_search(code_dir, meta_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.CodeStore.searchFiltered(spark,
+          litStr(xs(0), "code_dir"), litStr(xs(1), "meta_dir"),
+          FakeEmbedder.embed(litStr(xs(2), "query_text")), predOf(xs.drop(4)),
+          k = litLong(xs(3), "k").toInt))
+      }),
+    ("graft_hnsw_filtered_search",
+      "graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered hierarchical ANN",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 6 && (xs.length - 4) % 2 == 0,
+          s"graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.HnswStore.searchFiltered(spark,
+          litStr(xs(0), "hnsw_dir"), litStr(xs(1), "meta_dir"),
+          FakeEmbedder.embed(litStr(xs(2), "query_text")), predOf(xs.drop(4)),
+          k = litLong(xs(3), "k").toInt))
+      }),
+    ("graft_ivfpq_filtered_search",
+      "graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered quantization ANN",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 7 && (xs.length - 5) % 2 == 0,
+          s"graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.IvfPqStore.searchFilteredResidual(spark,
+          litStr(xs(0), "pq_dir"), litStr(xs(1), "meta_dir"),
+          graft.Tables.embeddings(spark, litStr(xs(2), "corpus_dir")),
+          "embedding", "vec_id",
+          FakeEmbedder.embed(litStr(xs(3), "query_text")), predOf(xs.drop(5)),
           k = litLong(xs(4), "k").toInt))
       }),
     ("graft_dedup_check",

@@ -94,14 +94,16 @@ object FilteredServe {
     * to the filter and costs corpus-independent IO. */
   val CodeScanMax = 50000000L
 
-  /** code-tier shortlist floor (the HammingIndex default, sized for
-    * the hard near-random regime) */
-  val CodeShortlist = 256
+  /** code-tier shortlist floor — 2× the HammingIndex default: the
+    * rerank cost (W embedding point-reads) is trivial next to the
+    * code scan, and the hard near-random regime measured 0.88
+    * recall@10 at 256 vs ~0.95 at 512 on the 10× replica corpus */
+  val CodeShortlist = 512
 
   /** shortlist width grows with the matching count at this ratio
     * (W = matching/ratio, floored at [[CodeShortlist]]) so recall is
     * roughly scale-free across matching-set decades */
-  val ShortlistRatio = 128L
+  val ShortlistRatio = 64L
 
   /** driver-side shortlist cap — the collect-then-InSet point fetch
     * stays O(k-ish); past ~1M matching rows the W/matching ratio

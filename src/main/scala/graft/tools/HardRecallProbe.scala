@@ -38,38 +38,18 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_CPUS. Prints one JSON line.
   */
 object HardRecallProbe {
-  private val Dim = graft.operators.SrpBanded.Dim
-  private val Tiers = Seq(0.70, 0.80, 0.90, 0.95)
+  // corpus construction (vectors, seeds, tiers) lives in [[HardCorpus]]
+  // — shared with FilteredHardRecallProbe, bit-identical to the r11
+  // artifacts this probe's outputs compare against
+  private val Tiers = HardCorpus.Tiers
   private val QueriesPerTier = 100
-  private val PlantedPerQuery = 4
   private val K = 5
   private val MaxEntries = 64
-  private val Mod = 1000
+  private val Mod = HardCorpus.Mod
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
   }
-
-  private def gaussian(seed: Long): Array[Float] = {
-    val r = new scala.util.Random(seed)
-    Array.fill(Dim)(r.nextGaussian().toFloat)
-  }
-  private def normalize(v: Array[Float]): Array[Float] = {
-    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-    v.map(x => (x / n).toFloat)
-  }
-  /** exact-cosine plant: c·û + √(1−c²)·ŵ⊥ with ŵ⊥ ⊥ û. */
-  private def plant(u: Array[Float], c: Double, seed: Long): Array[Float] = {
-    val w = gaussian(seed)
-    val du = w.lazyZip(u).map((a, b) => a.toDouble * b).sum
-    val perp = normalize(w.lazyZip(u).map((a, b) => (a - du * b).toFloat).toArray)
-    val s = math.sqrt(1 - c * c)
-    u.lazyZip(perp).map((a, b) => (c * a + s * b).toFloat).toArray
-  }
-  /** x-th positive integer NOT divisible by Mod — background/planted
-    * ids must never enter the query slice (vec_id % Mod == 0). */
-  private def nonQueryId(x: Long): Long =
-    (x / (Mod - 1)) * Mod + (x % (Mod - 1)) + 1
 
   def main(args: Array[String]): Unit = {
     val nBg = sys.env.getOrElse("SPARK_GRAFT_HARD_N", "200000").toLong
@@ -89,30 +69,7 @@ object HardRecallProbe {
 
     val nQ = Tiers.size * QueriesPerTier
     // query ids are the multiples of Mod; tier = (id/Mod − 1) / QueriesPerTier
-    val queryVecs: Seq[(Long, Array[Float])] = (0 until nQ).map { qi =>
-      ((qi + 1).toLong * Mod, normalize(gaussian(0xA11CE + qi)))
-    }
-    val plantedRows: Seq[(Long, Array[Float])] = (0 until nQ).flatMap { qi =>
-      val (_, u) = queryVecs(qi)
-      val c = Tiers(qi / QueriesPerTier)
-      (0 until PlantedPerQuery).map { p =>
-        (nonQueryId(nBg + qi.toLong * PlantedPerQuery + p),
-          plant(u, c, 0xBEEF00L + qi * 131L + p))
-      }
-    }
-
-    val embPath = s"$dir/embeddings.parquet"
-    if (!new java.io.File(embPath).exists()) {
-      val bg = spark.range(nBg).map { x =>
-        (nonQueryId(x), gaussian(0x5EED0000L + x))
-      }.toDF("vec_id", "embedding")
-      val qp = spark.createDataFrame((queryVecs ++ plantedRows))
-        .toDF("vec_id", "embedding")
-      bg.unionByName(qp)
-        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(embPath)
-    }
+    HardCorpus.writeEmbeddings(spark, dir, nBg, nQ, QueriesPerTier)
 
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))

@@ -99,8 +99,9 @@ object ServeGateway {
     }
 
     // tools.yaml:22-27 with the caller's metadata filter — the v39
-    // filtered serve from the stored path (selective predicates take
-    // the pruned exact plan, broad ones the walk + post-filter)
+    // filtered serve from the stored path, COMPLETE across the four
+    // index families (the r13 matrix): every family answers the same
+    // filtered request through the shared three-tier planner
     locally {
       val srpDir = graft.sources.SrpStore.storeFor(spark, sfDir)
       val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sfDir)
@@ -108,6 +109,21 @@ object ServeGateway {
       serve("filtered-search via FilteredServe.searchFiltered (lang=en)") { text =>
         graft.sources.FilteredServe.searchFiltered(spark, sfDir, srpDir,
           edgeDir, embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
+      }
+      serve("filtered-search via CodeStore.searchFiltered (lang=en)") { text =>
+        graft.sources.CodeStore.searchFiltered(spark, codeDir, srpDir,
+          embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
+      }
+      serve("filtered-search via HnswStore.searchFiltered (lang=en)") { text =>
+        graft.sources.HnswStore.searchFiltered(spark, hnswDir, srpDir,
+          embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
+      }
+      val pqDir = graft.sources.IvfPqStore.residualStoreFor(spark, sfDir)
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      serve("filtered-search via IvfPqStore.searchFilteredResidual (lang=en)") { text =>
+        graft.sources.IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
+          emb, "embedding", "vec_id",
+          embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
       }
     }
 
@@ -164,6 +180,68 @@ object ServeGateway {
     concurrentBench("HnswStore.search", nReq = 16, inFlight = Seq(1, 4, 16)) { text =>
       graft.sources.HnswStore
         .search(spark, hnswDir, embedder.embed(text), k = 10).collect()
+    }
+
+    // ---- MIXED workload through bounded admission (r13) ----
+    // A real gateway doesn't serve one family at a time: requests of
+    // different classes (ANN lookup, hierarchical ANN, dedup check)
+    // arrive interleaved and share the driver + executor slots. The
+    // RequestQueue in front bounds the in-flight set (16) and the
+    // waiting set (32); arrivals past both are REJECTED (load shed)
+    // rather than queued unboundedly. Measured: p50/p99 per class in
+    // the mix + overall throughput → docs/SERVING.md.
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val sigDir = graft.sources.SigStore.storeFor(spark, sfDir)
+      val dupText = docs.filter(col("doc_id") % 3 =!= 0)
+        .orderBy(col("doc_id")).limit(1)
+        .select(col("text")).head().getString(0)
+      val classes: Seq[(String, Int => Array[org.apache.spark.sql.Row])] = Seq(
+        ("code", i => graft.sources.CodeStore.search(spark, codeDir,
+          embedder.embed(s"mixed request $i"), k = 10).collect()),
+        ("hnsw", i => graft.sources.HnswStore.search(spark, hnswDir,
+          embedder.embed(s"mixed request $i"), k = 10).collect()),
+        ("dedup", i => graft.sources.SigStore.incrementalNearDup(spark, sigDir,
+          Seq((2000000000L + i, dupText)).toDF("doc_id", "text")).collect()))
+      // warm each class once (plan/codegen), then measure the mix
+      classes.foreach { case (_, f) => f(-1): Unit }
+      val nReq = 48
+      val queue = new RequestQueue(maxInFlight = 16, maxQueued = 32)
+      val lat = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Double)]())
+      val t0 = System.nanoTime()
+      val futures = (0 until nReq).flatMap { i =>
+        val (tag, f) = classes(i % classes.size)
+        queue.submit {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            s"req-${i % 16}")
+          val r0 = System.nanoTime()
+          f(i): Unit
+          lat.add((tag, (System.nanoTime() - r0) / 1e6)): Unit
+        }
+      }
+      futures.foreach(_.get())
+      val wallS = (System.nanoTime() - t0) / 1e9
+      queue.shutdown()
+      import scala.jdk.CollectionConverters._
+      val byTag = lat.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      println(s"== mixed workload (code+hnsw+dedup), 16 in-flight / 32 queued, $nReq requests")
+      println(f"  throughput=${nReq / wallS}%6.2f req/s  wall=${wallS}%6.2f s  " +
+        s"admitted=${queue.admitted} rejected=${queue.rejected}")
+      byTag.toSeq.sortBy(_._1).foreach { case (tag, ls) =>
+        println(f"  $tag%-6s n=${ls.size}%-3d p50=${percentile(ls, 0.5)}%7.1f ms  " +
+          f"p99=${percentile(ls, 0.99)}%7.1f ms")
+      }
+      // past-capacity arrivals shed: a burst beyond 16+32 must reject,
+      // not queue — the admission contract GatewayQueueSpec pins
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val burstQ = new RequestQueue(maxInFlight = 2, maxQueued = 2)
+      val burst = (0 until 8).map(_ => burstQ.submit { gate.await() })
+      gate.countDown()
+      burst.flatten.foreach(_.get())
+      println(s"  burst-of-8 at capacity 2+2: admitted=${burstQ.admitted} rejected=${burstQ.rejected}")
+      burstQ.shutdown()
     }
     spark.stop()
   }

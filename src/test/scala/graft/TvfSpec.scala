@@ -45,6 +45,36 @@ class TvfSpec extends AnyFunSuite {
         q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
       "graft_filtered_search diverged from FilteredServe.searchFiltered")
 
+    // the COMPLETE filtered matrix through pure SQL (r13): the three
+    // remaining families' filtered serves, each held to its Scala call.
+    // Predicates span all three planner tiers: selective (exact),
+    // mid-selectivity (code tier — 'lang=en' is past the spec's forced
+    // exactScanMax=0 but here it rides the default planner, so it's
+    // exact; the tier dispatch itself is FilteredSearchSpec's job) —
+    // what this test pins is SQL-vs-Scala row identity per family.
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_code_filtered_search('$codeDir', '$srpDir',
+         |'$queryText', 10, 'lang', 'en')""".stripMargin)) ==
+      rows(graft.sources.CodeStore.searchFiltered(spark, codeDir, srpDir,
+        q, Seq("lang" -> "en"), k = 10)),
+      "graft_code_filtered_search diverged from CodeStore.searchFiltered")
+
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_hnsw_filtered_search('$hnswDir', '$srpDir',
+         |'$queryText', 10, 'lang', 'de', 'source', 'src11')""".stripMargin)) ==
+      rows(graft.sources.HnswStore.searchFiltered(spark, hnswDir, srpDir,
+        q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
+      "graft_hnsw_filtered_search diverged from HnswStore.searchFiltered")
+
+    val pqDir = graft.sources.IvfPqStore.residualStoreFor(spark, sf)
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_ivfpq_filtered_search('$pqDir', '$srpDir', '$sf',
+         |'$queryText', 10, 'lang', 'fr')""".stripMargin)) ==
+      rows(graft.sources.IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
+        Tables.embeddings(spark, sf), "embedding", "vec_id",
+        q, Seq("lang" -> "fr"), k = 10)),
+      "graft_ivfpq_filtered_search diverged from IvfPqStore.searchFilteredResidual")
+
     // the TVF result composes like any table: outer SQL filters/projects
     val filtered = spark.sql(
       s"""SELECT vec_id FROM graft_hnsw_search('$hnswDir', '$queryText', 10)
