@@ -342,6 +342,16 @@ object SparkEntry {
         graft.sources.EdgeStore.refinedStoreFor(s, d),
         FakeEmbedder.embed(SearchText),
         Seq("lang" -> "en"), k = 10, exactScanMax = 0L)),
+    // the BATCHED filtered serve (r13): the whole query table against
+    // one predicate in one set-based plan — pruned code scan ×
+    // broadcast query codes, per-query Hamming top-W aggregate, exact
+    // rerank over pruned byval embeddings. The covering regime (W ≥
+    // matching at verify scale) makes it the exact filtered per-query
+    // top-k the oracle replays.
+    "v41_filtered_code_batch" -> ((s, d) =>
+      graft.sources.FilteredServe.searchFilteredBatch(s, d,
+        graft.sources.SrpStore.storeFor(s, d),
+        queryMod = JoinQueryFilter, Seq("lang" -> "en"), k = 5)),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -362,6 +372,12 @@ object SparkEntry {
       ReferenceParity.findSimilarLive(s, d, SearchText)),
     "r2_ref_record_lookup" -> ((s, d) =>
       ReferenceParity.recordById(s, d, "POL-00000042")),
+    // the reference's exact tool predicate (withdrawn=0 AND
+    // type='POLICY') on the STORED filtered path: meta artifacts
+    // DECLARED over the reference's own columns (writeMetaFrom +
+    // storeMetaCols inference), served by the planner's code tier
+    "r3_ref_filtered_stored" -> ((s, d) =>
+      ReferenceParity.findSimilarLiveStored(s, d, SearchText)),
     // text analysis
     "t1_lang_profile" -> TextOps.langProfile _,
     "t2_quality_score" -> TextOps.qualityScore _,
@@ -512,6 +528,7 @@ object SparkEntry {
     "v21_nn_descent" -> SrpBanded.nnDescentGraphSql(),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
+    "r3_ref_filtered_stored" -> ReferenceParity.findSimilarLiveStoredSql(queryVecSql),
     "t1_lang_profile" -> TextOps.langProfileSql,
     "t2_quality_score" -> TextOps.qualityScoreSql,
     "t3_token_count" -> TextOps.tokenCountSql,
@@ -611,5 +628,24 @@ object SparkEntry {
          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
          |  WHERE d.lang = 'en')
          |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // batched code tier with a covering shortlist: per-query exact
+    // filtered top-k over the matching rows, query set = corpus slice
+    "v41_filtered_code_batch" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, v FROM e WHERE vec_id % $JoinQueryFilter = 0),
+         |m AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en')
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+         |  round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.query_id, m.vec_id,
+         |    list_cosine_similarity(m.v, q.v) AS sim,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      list_cosine_similarity(m.v, q.v) DESC, m.vec_id) AS rk
+         |  FROM m, q)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
   )
 }

@@ -106,4 +106,69 @@ object ReferenceParity {
        |SELECT id, type, number, country, date, title, kind, num_claims,
        |  filename, withdrawn
        |FROM cr WHERE id = '$id'""".stripMargin
+
+  // ---- r3: the reference predicate on the STORED filtered path ----
+
+  // meta artifacts DECLARED over the reference's own filter columns
+  // (withdrawn/type, sql/02_schema.sql) — the columns ride the store's
+  // stats schema, so every FilteredServe read path serves them with
+  // zero configuration (the storeMetaCols inference)
+  private val metaCache = new graft.SessionCache[String, String](
+    4, graft.sources.TempStores.delete)
+  graft.Tables.onInvalidate { p =>
+    metaCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
+
+  /** build-once (vec_id, withdrawn, type)-declared meta store for the
+    * corpus at `d` — same derivation arithmetic as
+    * [[customerRecords]], values as partition-safe strings */
+  def refMetaStoreFor(spark: SparkSession, d: String): String =
+    metaCache.getOrElseUpdate(spark, d) {
+      val dir = graft.sources.TempStores.track(
+        java.nio.file.Files.createTempDirectory("refmeta").toString)
+      val docs = Tables.documents(spark, d).select(
+        col("doc_id").as("vec_id"),
+        when(col("doc_id") % 5 === 0, lit("1")).otherwise(lit("0")).as("withdrawn"),
+        when(col("doc_id") % 2 === 0, lit("POLICY")).otherwise(lit("ARTICLE")).as("type"))
+      val emb = Tables.embeddings(spark, d)
+        .filter(col("embedding").isNotNull &&
+          size(col("embedding")) === graft.operators.SrpBanded.Dim)
+        .select(col("vec_id"), col("embedding"))
+      graft.sources.FilteredServe.writeMetaFrom(spark, dir, docs,
+        Seq("withdrawn", "type"), emb)
+      dir
+    }
+
+  /** r3: `find_similar_customer_records` over LIVE POLICIES served
+    * from the STORED filtered path — the reference's exact tool
+    * predicate (`withdrawn = 0 AND type = 'POLICY'`, tools.yaml:22-27)
+    * through the three-tier planner's meta-only serve. Forced past the
+    * exact tier so the per-value code tier carries it (a 100 TB corpus
+    * cannot exact-scan its 40% live-policy slice); the covering
+    * shortlist at verify scale makes the result the exact filtered
+    * ranking the oracle replays. Output carries the reference id. */
+  def findSimilarLiveStored(spark: SparkSession, d: String,
+                            queryText: String, k: Int = 10): DataFrame = {
+    val metaDir = refMetaStoreFor(spark, d)
+    graft.sources.FilteredServe.searchFilteredMeta(spark, metaDir,
+      FakeEmbedder.embed(queryText),
+      Seq("withdrawn" -> "0", "type" -> "POLICY"), k, exactScanMax = 0L)
+      .select(concat(lit("POL-"), lpad(col("vec_id").cast("string"), 8, "0"))
+          .as("id"),
+        col("rk"), col("sim"))
+      .orderBy(col("rk"))
+  }
+
+  def findSimilarLiveStoredSql(queryVecSql: String, k: Int = 10): String =
+    s"""SELECT concat('POL-', lpad(CAST(vec_id AS VARCHAR), 8, '0')) AS id,
+       |  CAST(rk AS INTEGER) AS rk, sim
+       |FROM (
+       |  SELECT e.vec_id,
+       |    row_number() OVER (ORDER BY
+       |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])) DESC,
+       |      e.vec_id) AS rk,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  WHERE d.doc_id % 2 = 0 AND d.doc_id % 5 <> 0)
+       |WHERE rk <= $k ORDER BY rk""".stripMargin
 }

@@ -125,19 +125,36 @@ object FilteredServe {
     * (the column-pruning claim: no embedding bytes in ReadSchema) */
   @volatile private[graft] var lastCodeScanPlan: String = ""
 
-  /** Write the meta artifacts under an existing SRP store dir. The
-    * `stats/` write comes LAST and carries parquet's _SUCCESS marker,
-    * so its presence commits the whole artifact set (a crash mid-write
-    * leaves [[ensureMeta]] rebuilding — never serving a torn copy). */
-  def writeMeta(spark: SparkSession, d: String, srpDir: String): Unit = {
+  /** Write the meta artifacts under an existing SRP store dir with
+    * the default corpus wiring ([[MetaCols]] over the documents
+    * table). The `stats/` write comes LAST and carries parquet's
+    * _SUCCESS marker, so its presence commits the whole artifact set
+    * (a crash mid-write leaves [[ensureMeta]] rebuilding — never
+    * serving a torn copy). */
+  def writeMeta(spark: SparkSession, d: String, srpDir: String): Unit =
+    writeMetaFrom(spark, srpDir,
+      Tables.documents(spark, d)
+        .select((col("doc_id").as("vec_id") +: MetaCols.map(col)): _*),
+      MetaCols,
+      Tables.embeddings(spark, d)
+        .filter(col("embedding").isNotNull &&
+          size(col("embedding")) === SrpBanded.Dim)
+        .select(col("vec_id"), col("embedding")))
+
+  /** The generalized meta build: a deployment DECLARES its own filter
+    * columns (the reference's are `withdrawn`/`type`,
+    * sql/02_schema.sql) by handing the (vec_id, <metaCols...>) frame
+    * and the embedding source directly — every read path afterwards
+    * infers the declared columns from the store's own `stats/` schema
+    * ([[storeMetaCols]]), so serves/upserts need no column
+    * configuration. Same commit contract as [[writeMeta]]. */
+  def writeMetaFrom(spark: SparkSession, srpDir: String, docs: DataFrame,
+                    metaCols: Seq[String], emb: DataFrame): Unit = {
+    require(metaCols.nonEmpty, "at least one declared meta column")
+    metaCols.foreach(c => require(docs.columns.contains(c),
+      s"docs frame must carry declared meta column '$c'"))
     val f = Hfs.fs(spark, srpDir)
     f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta"), true): Unit
-    val docs = Tables.documents(spark, d)
-      .select((col("doc_id").as("vec_id") +: MetaCols.map(col)): _*)
-    val emb = Tables.embeddings(spark, d)
-      .filter(col("embedding").isNotNull &&
-        size(col("embedding")) === SrpBanded.Dim)
-      .select(col("vec_id"), col("embedding"))
     val joined = emb.join(docs, Seq("vec_id"))
     // value-partitioned embedding copy: the selective path's pruned
     // exact scan (partition count = distinct value combinations — the
@@ -150,10 +167,10 @@ object FilteredServe {
     joined
       .withColumn("keys",
         SrpBanded.bandKeysCol(col("embedding"), SrpBanded.Dim, CodeRpb))
-      .repartition(MetaCols.map(col): _*)
-      .sortWithinPartitions((MetaCols :+ "vec_id").map(col): _*)
+      .repartition(metaCols.map(col): _*)
+      .sortWithinPartitions((metaCols :+ "vec_id").map(col): _*)
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(MetaCols: _*)
+      .partitionBy(metaCols: _*)
       .parquet(s"$srpDir/meta/byval")
     // id-keyed metadata rows: the walk path's bounded post-filter
     // point read (no embedding — a candidate's meta is a few bytes)
@@ -164,7 +181,7 @@ object FilteredServe {
       .partitionBy("mb")
       .parquet(s"$srpDir/meta/byid")
     // value counts — the planner's statistics (written last: commit)
-    joined.groupBy(MetaCols.map(col): _*)
+    joined.groupBy(metaCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
@@ -202,14 +219,17 @@ object FilteredServe {
     * rewrite-minimality spec asserts against). */
   def upsertMeta(spark: SparkSession, srpDir: String,
                  updates: DataFrame): Seq[Seq[String]] = {
-    MetaCols.foreach(c => require(updates.columns.contains(c),
+    // declared columns come from the store's own stats artifact —
+    // read BEFORE the uncommit drops the cache entry
+    val cols = storeMetaCols(spark, srpDir)
+    cols.foreach(c => require(updates.columns.contains(c),
       s"upsertMeta updates must carry meta column '$c'"))
     val upd = updates
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
       .select((Seq(col("vec_id"), col("embedding"),
         SrpBanded.bandKeysCol(col("embedding"), SrpBanded.Dim, CodeRpb)
-          .as("keys")) ++ MetaCols.map(col)): _*)
+          .as("keys")) ++ cols.map(col)): _*)
       .localCheckpoint(true)
     val updIds = upd.select(col("vec_id")).distinct()
     val byvalRaw = spark.read.parquet(s"$srpDir/meta/byval")
@@ -219,12 +239,12 @@ object FilteredServe {
         "would rank null-key rows first in the Hamming shortlist)")
     val byval = byvalRaw
       .select((Seq(col("vec_id"), col("embedding"), col("keys")) ++
-        MetaCols.map(c => col(c).cast("string").as(c))): _*)
+        cols.map(c => col(c).cast("string").as(c))): _*)
     val oldVals = byval.join(broadcast(updIds), Seq("vec_id"))
-      .select(MetaCols.map(col): _*).distinct()
-      .collect().map(r => MetaCols.indices.map(r.getString)).toSeq
-    val newVals = upd.select(MetaCols.map(col): _*).distinct()
-      .collect().map(r => MetaCols.indices.map(r.getString)).toSeq
+      .select(cols.map(col): _*).distinct()
+      .collect().map(r => cols.indices.map(r.getString)).toSeq
+    val newVals = upd.select(cols.map(col): _*).distinct()
+      .collect().map(r => cols.indices.map(r.getString)).toSeq
     val touched = (oldVals ++ newVals).distinct
     if (touched.nonEmpty) {
       // uncommit FIRST: from here to the final stats write the store
@@ -238,13 +258,13 @@ object FilteredServe {
       // commit marker and rebuild, not trust a stale "verified"
       metaVerified.remove(srpDir): Unit
       val touchedPred = touched.map(vs =>
-        MetaCols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        cols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
         .reduce(_ || _)
       val survivors = byval.filter(touchedPred)
         .join(broadcast(updIds), Seq("vec_id"), "left_anti")
       val merged = survivors
         .unionByName(upd.select(byval.columns.map(col): _*))
-        .repartition(MetaCols.map(col): _*)
+        .repartition(cols.map(col): _*)
         .localCheckpoint(true)
       try {
         // sort AFTER the checkpoint so the writer sees the ordering
@@ -252,15 +272,15 @@ object FilteredServe {
         // partition-column re-sort would drop the vec_id sub-order
         // the shortlist point fetch row-group-prunes on)
         merged
-          .sortWithinPartitions((MetaCols :+ "vec_id").map(col): _*)
+          .sortWithinPartitions((cols :+ "vec_id").map(col): _*)
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(MetaCols: _*)
+          .partitionBy(cols: _*)
           .parquet(s"$srpDir/meta/byval")
         // a value partition emptied by a move survives dynamic
         // overwrite — delete it (the SrpStore.upsert emptied-bucket move)
-        val present = merged.select(MetaCols.map(col): _*).distinct()
-          .collect().map(r => MetaCols.indices.map(i => String.valueOf(r.get(i)))).toSet
+        val present = merged.select(cols.map(col): _*).distinct()
+          .collect().map(r => cols.indices.map(i => String.valueOf(r.get(i)))).toSet
         val f = Hfs.fs(spark, srpDir)
         touched.filterNot(present).foreach { vs =>
           // partition dirs on disk carry Spark's Hive-style escaping
@@ -268,7 +288,7 @@ object FilteredServe {
           // SAME escaping or an emptied partition with such a value
           // survives and keeps serving its stale rows
           val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
-          val sub = MetaCols.zip(vs).map { case (c, v) => s"${esc(c)}=${esc(v)}" }.mkString("/")
+          val sub = cols.zip(vs).map { case (c, v) => s"${esc(c)}=${esc(v)}" }.mkString("/")
           f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta/byval/$sub"), true): Unit
         }
       } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
@@ -276,12 +296,12 @@ object FilteredServe {
       val mbs = updIds.collect().map(r =>
         Math.floorMod(r.getLong(0), IdPartitions.toLong)).distinct.toSeq
       val byid = spark.read.parquet(s"$srpDir/meta/byid")
-        .select((Seq(col("vec_id")) ++ MetaCols.map(c => col(c).cast("string").as(c)) :+
+        .select((Seq(col("vec_id")) ++ cols.map(c => col(c).cast("string").as(c)) :+
           col("mb").cast("long").as("mb")): _*)
       val idSurvivors = byid.filter(col("mb").isin(mbs: _*))
         .join(broadcast(updIds), Seq("vec_id"), "left_anti")
       val idMerged = idSurvivors
-        .unionByName(upd.select((Seq(col("vec_id")) ++ MetaCols.map(col)): _*)
+        .unionByName(upd.select((Seq(col("vec_id")) ++ cols.map(col)): _*)
           .withColumn("mb", pmod(col("vec_id"), lit(IdPartitions.toLong))))
         .repartition(col("mb"))
         .localCheckpoint(true)
@@ -292,7 +312,7 @@ object FilteredServe {
       finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(idMerged)
       // stats last (the ensureMeta gate): partition-column-only scan
       spark.read.parquet(s"$srpDir/meta/byval")
-        .groupBy(MetaCols.map(c => col(c).cast("string").as(c)): _*)
+        .groupBy(cols.map(c => col(c).cast("string").as(c)): _*)
         .agg(count(lit(1)).as("cnt"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$srpDir/meta/stats")
@@ -318,9 +338,14 @@ object FilteredServe {
       metaVerified.put(srpDir, true): Unit
     }
 
-  // stats are a handful of rows per store — memoized like centroids
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Map[String, String], Long)]]
+  // stats are a handful of rows per store — memoized like centroids.
+  // The cache entry also carries the store's DECLARED meta columns
+  // (the stats schema minus "cnt"): every read path infers them from
+  // the artifact itself, so stores declared over different columns
+  // (the reference's withdrawn/type vs the corpus default
+  // lang/source) serve through the same code with no configuration.
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[String], Seq[(Map[String, String], Long)])]
   private val metaVerified =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
   graft.Tables.onInvalidate { p =>
@@ -328,19 +353,30 @@ object FilteredServe {
     metaVerified.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
   }
 
-  private def stats(spark: SparkSession, srpDir: String): Seq[(Map[String, String], Long)] =
+  private def statsEntry(spark: SparkSession,
+                         srpDir: String): (Seq[String], Seq[(Map[String, String], Long)]) =
     statsCache.getOrElseUpdate(srpDir, {
-      spark.read.parquet(s"$srpDir/meta/stats").collect().toSeq.map { r =>
-        (MetaCols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap,
+      val df = spark.read.parquet(s"$srpDir/meta/stats")
+      val cols = df.schema.fieldNames.filterNot(_ == "cnt").toSeq
+      (cols, df.collect().toSeq.map { r =>
+        (cols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap,
           r.getAs[Long]("cnt"))
-      }
+      })
     })
+
+  /** the store's declared filter columns, read from its own stats
+    * artifact */
+  def storeMetaCols(spark: SparkSession, srpDir: String): Seq[String] =
+    statsEntry(spark, srpDir)._1
+
+  private def stats(spark: SparkSession, srpDir: String): Seq[(Map[String, String], Long)] =
+    statsEntry(spark, srpDir)._2
 
   /** matching-row count for an equality conjunction over [[MetaCols]]
     * (subset allowed) — read from the write-time stats artifact */
   def matchCount(spark: SparkSession, srpDir: String,
                  pred: Seq[(String, String)]): Long = {
-    requirePred(pred)
+    requirePred(spark, srpDir, pred)
     stats(spark, srpDir)
       .filter { case (vals, _) => pred.forall { case (c, v) => vals(c) == v } }
       .map(_._2).sum
@@ -361,11 +397,13 @@ object FilteredServe {
     else math.min(MaxWalkFactor.toLong,
       math.max(1L, (total + matching - 1) / matching)).toInt
 
-  private def requirePred(pred: Seq[(String, String)]): Unit = {
+  private def requirePred(spark: SparkSession, srpDir: String,
+                          pred: Seq[(String, String)]): Unit = {
     require(pred.nonEmpty, "filtered search needs at least one predicate term")
-    val bad = pred.map(_._1).filterNot(MetaCols.contains)
+    val declared = storeMetaCols(spark, srpDir)
+    val bad = pred.map(_._1).filterNot(declared.contains)
     require(bad.isEmpty,
-      s"predicate columns ${bad.mkString(",")} not in declared meta columns ${MetaCols.mkString(",")}")
+      s"predicate columns ${bad.mkString(",")} not in declared meta columns ${declared.mkString(",")}")
   }
 
   private def predCol(pred: Seq[(String, String)]): Column =
@@ -376,7 +414,7 @@ object FilteredServe {
     * file-index pruning. */
   def byValPruned(spark: SparkSession, srpDir: String,
                   pred: Seq[(String, String)]): DataFrame = {
-    requirePred(pred)
+    requirePred(spark, srpDir, pred)
     val pruned = spark.read.parquet(s"$srpDir/meta/byval")
       .filter(predCol(pred))
       .select(col("vec_id"), col("embedding"))
@@ -452,6 +490,82 @@ object FilteredServe {
     topKDf(spark, cands, k)
   }
 
+  /** The BATCHED filtered serve (r13): the whole query table answered
+    * against one predicate in one set-based plan — the filtered
+    * analogue of the unfiltered batch matrix (v26/v29/v33/v38), built
+    * on the code tier because its candidates match by construction
+    * (a batched walk would post-filter per query and re-inherit the
+    * recall cliff). Plan shape is [[graft.operators.HammingIndex]]'s
+    * batch contract over the PRUNED byval artifact:
+    *
+    *  1. code scan: only the matching partitions' (vec_id, keys) rows
+    *     — partition-pruned, embedding column never read — with band
+    *     keys flattened to primitive columns before the pair stream
+    *     (the r11 element_at lesson);
+    *  2. pair stream: pruned codes × broadcast query codes (|Q|·M
+    *     integer ops on 64 B rows), per-query Hamming top-W via the
+    *     bounded [[graft.functions.TopKPairs]] aggregate (asc) — the
+    *     map-side partials cap per (query, partition), nothing sorts
+    *     or collects the pair stream;
+    *  3. rerank: shortlist joined back to the pruned byval embeddings
+    *     (shuffle-hash, W·|Q| rows) + the query vectors, exact cosine,
+    *     per-query (sim DESC, vec_id) top-k.
+    *
+    * W follows the single-query policy (max([[CodeShortlist]],
+    * matching/[[ShortlistRatio]]) capped [[MaxShortlist]]) — here it
+    * bounds the AGGREGATE buffers and the rerank join width, with no
+    * driver collect anywhere. When W ≥ matching the result is the
+    * exact filtered per-query top-k (the covering contract v41's
+    * oracle replays). */
+  def searchFilteredBatch(spark: SparkSession, d: String, metaDir: String,
+                          queryMod: Int, pred: Seq[(String, String)],
+                          k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureMeta(spark, d, metaDir)
+    val matching = matchCount(spark, metaDir, pred)
+    val w = math.min(MaxShortlist.toLong,
+      math.max(CodeShortlist.toLong, matching / ShortlistRatio)).toInt
+    val emb = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val bands = SrpBanded.Bands
+    val qFlat = queries.select(col("query_id") +:
+      (0 until bands).map(b => element_at(
+        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb), b + 1)
+        .as(s"q$b")): _*)
+    val cFlat = spark.read.parquet(s"$metaDir/meta/byval")
+      .filter(predCol(pred))
+      .select(col("vec_id") +:
+        (0 until bands).map(b => element_at(col("keys"), b + 1).as(s"c$b")): _*)
+    lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
+    val ham = (0 until bands).map { b =>
+      bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
+    }.reduce(_ + _).cast("int")
+    val short = cFlat.crossJoin(broadcast(qFlat))
+      .select(col("query_id"), col("vec_id"), ham.as("ham"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("vec_id"), col("ham"), w, asc = true).as("__tk"))
+      .select(col("query_id"),
+        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    lastFilteredPath = s"code_batch:$w"
+    short
+      .join(byValPruned(spark, metaDir, pred), Seq("vec_id"))
+      .join(queries.hint("shuffle_hash"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** The family-generic filtered-serve core — a three-tier
     * cardinality planner (the catalog-statistics decision pgvector-
     * class systems make, extended with the per-value code index):
@@ -505,6 +619,21 @@ object FilteredServe {
       }
     }
   }
+
+  /** Filtered serve from the meta artifacts ALONE — no index store
+    * opened: the exact tier or the code tier by cardinality. A
+    * predicate past `codeScanMax` has no walk to escalate into (there
+    * is no index here) and lands in the exact fallback; a caller
+    * wanting O(budget) very-broad serves wires a family's
+    * `searchFiltered` instead. This is the minimal deployment shape:
+    * `writeMetaFrom` + this method IS a filtered vector store. */
+  def searchFilteredMeta(spark: SparkSession, metaDir: String,
+                         queryVec: Array[Float], pred: Seq[(String, String)],
+                         k: Int = 10,
+                         exactScanMax: Long = ExactScanMax,
+                         codeScanMax: Long = CodeScanMax): DataFrame =
+    searchFilteredBy(spark, metaDir, queryVec, pred, k, exactScanMax,
+      codeScanMax)(_ => Seq.empty)
 
   /** v39: metadata-filtered stored graph search. Same result schema as
     * v28 — (vec_id, rk, sim) — restricted to rows matching `pred`. */

@@ -14,7 +14,7 @@ package graft.sources
   * Best-effort by design: deletion failures are swallowed (a temp dir
   * that outlives the JVM is garbage, not corruption — every store
   * read path re-validates its own commit markers). */
-private[sources] object TempStores {
+private[graft] object TempStores {
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   sys.addShutdownHook {
     dirs.forEach(d => delete(d))

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.FilteredServe
+import graft.functions.FakeEmbedder
+
+/** Streaming METADATA-FILTERED serving against the persisted meta
+  * artifacts (r13) — the filtered twin of the per-family probe
+  * streams, extending the streaming matrix to the filtered surface.
+  * Each stream record carries its own predicate value (the reference's
+  * request shape: every find_similar call arrives with the caller's
+  * `withdrawn/type` filter), so one stream exercises the whole
+  * three-tier planner: a selective value takes the pruned exact scan,
+  * a broad one the per-value code tier — decided per request from the
+  * stats artifact, exactly as the batch serve does.
+  *
+  * At 100 TB a micro-batch costs |batch| pruned serves whose bytes are
+  * keyed to each request's MATCHING set (never the corpus): the exact
+  * tier reads one value partition, the code tier that partition's
+  * 64 B/row code column plus a W-row rerank. `foreachBatch` is the
+  * supported seam, as in the other probe streams. */
+object FilteredProbeStream {
+
+  /** One batch of filtered queries against the meta artifacts: the
+    * shared kernel of the stream and its batch twin
+    * ([[FilteredServe.searchFiltered]] per query). */
+  def probeBatch(spark: SparkSession, d: String, srpDir: String,
+                 edgeDir: String,
+                 queries: Seq[(Long, Array[Float], String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val perQuery = queries.map { case (qid, qv, lang) =>
+      FilteredServe.searchFiltered(spark, d, srpDir, edgeDir, qv,
+        Seq("lang" -> lang), k = k)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rk"), col("sim"))
+    }
+    if (perQuery.isEmpty)
+      Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rk", "sim")
+    else perQuery.reduce(_ unionAll _)
+  }
+
+  /** Drain a filtered-query stream through the meta artifacts once
+    * (AvailableNow), returning all emitted rows. Records are
+    * `{query_id, query_text, lang}` — the predicate rides the request. */
+  def runOnce(spark: SparkSession, queriesDir: String, d: String,
+              srpDir: String, edgeDir: String, k: Int = 10,
+              embedder: graft.functions.Embedder = FakeEmbedder): DataFrame = {
+    import spark.implicits._
+    FilteredServe.ensureMeta(spark, d, srpDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    val queries = spark.readStream
+      .schema("query_id LONG, query_text STRING, lang STRING")
+      .json(queriesDir)
+    val q = queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val qs = batch.collect()
+          .map(r => (r.getLong(0), embedder.embed(r.getString(1)), r.getString(2)))
+          .toSeq
+        if (qs.nonEmpty) {
+          val rows = probeBatch(spark, d, srpDir, edgeDir, qs, k).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          out.synchronized { out ++= rows: Unit }
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // read under the same lock the streaming thread appended under —
+    // awaitTermination alone gives no formal happens-before edge
+    out.synchronized(out.toSeq).toDF("query_id", "neighbor_id", "rk", "sim")
+  }
+}

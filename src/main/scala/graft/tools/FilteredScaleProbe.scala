@@ -175,6 +175,30 @@ object FilteredScaleProbe {
     }
     val meanUnfiltered = unfiltered.sum / unfiltered.length
 
+    // the BATCHED filtered serve (v41) at the decade: ~500 queries in
+    // one set-based plan; recall against the exact filtered per-query
+    // top-10, both sides computed batched (one TopKPairs job each)
+    val batchMod = math.max(40L, n / 500L)
+    val (batchGot, batchS) = time {
+      FilteredServe.searchFilteredBatch(spark, dir, srpDir,
+        batchMod.toInt, broadPred, k = 10).collect()
+    }
+    val nBatchQ = batchGot.map(_.getLong(0)).distinct.length
+    val batchTruth = exactBase
+      .crossJoin(broadcast(
+        spark.read.parquet(embPath)
+          .filter(col("vec_id") % batchMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(col("vec_id"), col("sim"), 10).as("__tk"))
+      .select(col("query_id"), explode(col("__tk").getField("neighbor_id")).as("nid"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val batchRecall = batchGot.groupBy(_.getLong(0)).map { case (qid, rs) =>
+      rs.map(_.getLong(1)).count(batchTruth(qid)).toDouble / batchTruth(qid).size
+    }.sum / nBatchQ
+
     println(s"""{"metric":"filtered_scale","copies":$copies,"rows":$n,"rpb":$rpb,""" +
       s""""sel_matching":$selMatching,"exact_ms_per_q":${f"$exactMsQ%.1f"},"exact_path":"$exactPath",""" +
       s""""byval_partitions_read":$partsRead,"byval_partitions_total":100,""" +
@@ -182,6 +206,8 @@ object FilteredScaleProbe {
       s""""code_recall_at_10":${f"$codeRecall%.3f"},""" +
       s""""walk_ms_per_q":${f"$walkMsQ%.1f"},"walk_path":"$walkPath",""" +
       s""""walk_recall_at_10":${f"$walkRecall%.3f"},"unfiltered_recall_at_10":${f"$meanUnfiltered%.3f"},""" +
+      s""""batch_queries":$nBatchQ,"batch_ms_per_q":${f"${batchS / nBatchQ * 1000}%.1f"},""" +
+      s""""batch_recall_at_10":${f"$batchRecall%.3f"},""" +
       s""""builds":{${builds.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",")}}}""")
     spark.stop()
   }

@@ -332,6 +332,143 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(!gone.exists(), s"emptied escaped partition dir survived: $gone")
   }
 
+  test("batched filtered serve: covering shortlist equals per-query exact filtered top-k, scan pruned + projected") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val pred = Seq("lang" -> "en")
+    val got = FilteredServe.searchFilteredBatch(spark, sf, srpDir,
+      queryMod = 50, pred, k = 3).collect()
+    assert(FilteredServe.lastFilteredPath.startsWith("code_batch:"))
+    // ground truth: per query, the exact filtered top-3 by the serve's
+    // own total order (W = 512 ≥ 193 matching → covering)
+    val qs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0 && col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding")).collect()
+    assert(qs.nonEmpty && got.length == qs.length * 3)
+    val enIds = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val emb = Tables.embeddings(spark, sf)
+    qs.foreach { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1).toArray
+      val truth = emb
+        .filter(col("vec_id").isin(enIds.toSeq: _*))
+        .select(col("vec_id"),
+          graft.functions.vectors.cosine_sim(col("embedding"), typedLit(qv)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val mine = got.filter(_.getLong(0) == qid).sortBy(_.getInt(2))
+        .map(_.getLong(1)).toSeq
+      assert(mine == truth, s"batch filtered serve diverged for query $qid")
+    }
+    // the batch code scan is partition-pruned and never reads embeddings
+    assert(FilteredServe.lastCodeScanPlan.contains("PartitionFilters") &&
+      !FilteredServe.lastCodeScanPlan.contains("embedding"),
+      s"batch code scan not pruned/projected:\n${FilteredServe.lastCodeScanPlan}")
+  }
+
+  test("streaming filtered probe: per-request predicates equal their batch serves across micro-batches") {
+    import spark.implicits._
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    // two files → two micro-batches; predicates span the planner's
+    // tiers (en = 193 matching, de = 71 matching — both exact-tier at
+    // defaults, the TIER dispatch itself is pinned above; what this
+    // spec pins is stream == batch per request)
+    val reqs = Seq(
+      (1L, "fast vector search over spark tables", "en"),
+      (2L, "customer support policy for refunds", "de"),
+      (3L, "streaming ingestion with upserts", "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("filtered_q").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/a.json"),
+      s"""{"query_id": 1, "query_text": "${reqs(0)._2}", "lang": "en"}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/b.json"),
+      Seq(
+        s"""{"query_id": 2, "query_text": "${reqs(1)._2}", "lang": "de"}""",
+        s"""{"query_id": 3, "query_text": "${reqs(2)._2}", "lang": "en"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val out = graft.streaming.FilteredProbeStream
+      .runOnce(spark, tmp, sf, srpDir, edgeDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._3)).toSeq
+    val batch = reqs.flatMap { case (qid, text, lang) =>
+      FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir,
+        FakeEmbedder.embed(text), Seq("lang" -> lang), k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1), r.getDouble(2)))
+    }.sortBy(r => (r._1, r._3))
+    assert(out == batch, "streaming filtered probe diverged from batch serves")
+    // every row satisfies its own request's predicate
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (qid, nid, _, _) =>
+      val want = reqs.find(_._1 == qid).get._3
+      assert(langOf(nid) == want, s"query $qid row $nid has lang ${langOf(nid)} != $want")
+    }
+  }
+
+  test("declared meta columns: a withdrawn/type store serves, validates, and upserts with zero configuration") {
+    import spark.implicits._
+    // a store DECLARED over the reference's own filter columns
+    // (sql/02_schema.sql withdrawn/type) — every read path must infer
+    // them from the stats artifact, no MetaCols involvement anywhere
+    val dir = java.nio.file.Files.createTempDirectory("refcols_meta").toString
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id").as("vec_id"),
+      when(col("doc_id") % 5 === 0, lit("1")).otherwise(lit("0")).as("withdrawn"),
+      when(col("doc_id") % 2 === 0, lit("POLICY")).otherwise(lit("ARTICLE")).as("type"))
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.FilteredServe.writeMetaFrom(spark, dir, docs,
+      Seq("withdrawn", "type"), emb)
+    assert(FilteredServe.storeMetaCols(spark, dir) == Seq("withdrawn", "type"))
+    // the corpus default's columns are UNDECLARED here — rejected loudly
+    intercept[IllegalArgumentException] {
+      FilteredServe.matchCount(spark, dir, Seq("lang" -> "en"))
+    }
+    // stats match the derivation arithmetic
+    val pred = Seq("withdrawn" -> "0", "type" -> "POLICY")
+    val live = docs.filter(col("withdrawn") === "0" && col("type") === "POLICY")
+      .join(emb, Seq("vec_id"), "left_semi").count()
+    assert(FilteredServe.matchCount(spark, dir, pred) == live)
+    // the meta-only serve (code tier forced) equals the exact filtered
+    // ranking — covering shortlist at this scale
+    val got = FilteredServe.searchFilteredMeta(spark, dir, q, pred,
+      k = 5, exactScanMax = 0L).collect().map(_.toSeq).toSeq
+    assert(FilteredServe.lastFilteredPath.startsWith("code:"))
+    val liveIds = docs.filter(col("withdrawn") === "0" && col("type") === "POLICY")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val truth = emb.filter(col("vec_id").isin(liveIds.toSeq: _*))
+      .select(col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("embedding"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().toSeq.zipWithIndex.map { case (r, i) =>
+        Seq[Any](r.getLong(0), i + 1,
+          BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got == truth, "declared-columns serve diverged from exact filtered ranking")
+    // upsert on the declared columns: doc 42 (live POLICY) is WITHDRAWN
+    // — the value move must be served immediately, no stale copy
+    val emb42 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 42L).select(col("embedding")).head().getSeq[Float](0).toArray
+    val touched = FilteredServe.upsertMeta(spark, dir,
+      Seq((42L, emb42, "1", "POLICY"))
+        .toDF("vec_id", "embedding", "withdrawn", "type"))
+    assert(touched.contains(Seq("0", "POLICY")) && touched.contains(Seq("1", "POLICY")),
+      s"touched partitions wrong: $touched")
+    assert(FilteredServe.matchCount(spark, dir, pred) == live - 1)
+    assert(FilteredServe.matchCount(spark, dir,
+      Seq("withdrawn" -> "1", "type" -> "POLICY")) > 0L)
+    val after = FilteredServe.searchFilteredMeta(spark, dir, q, pred, k = 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(!after(42L), "withdrawn doc still served as live")
+  }
+
   test("meta stats match the corpus and reject undeclared columns") {
     val srpDir = SrpStore.storeFor(spark, sf)
     FilteredServe.ensureMeta(spark, sf, srpDir)
