@@ -352,6 +352,15 @@ object SparkEntry {
       graft.sources.FilteredServe.searchFilteredBatch(s, d,
         graft.sources.SrpStore.storeFor(s, d),
         queryMod = JoinQueryFilter, Seq("lang" -> "en"), k = 5)),
+    // filtered RANGE search from the meta artifacts (v13's range
+    // contract composed with v39's predicate): every matching row at
+    // sim ≥ t, exact over the pruned partitions, any result size
+    "v42_filtered_range" -> ((s, d) => {
+      val srpDir = graft.sources.SrpStore.storeFor(s, d)
+      graft.sources.FilteredServe.ensureMeta(s, d, srpDir)
+      graft.sources.FilteredServe.rangeFilteredMeta(s, srpDir,
+        FakeEmbedder.embed(SearchText), Seq("lang" -> "en"), minSim = 0.15)
+    }),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -647,5 +656,13 @@ object SparkEntry {
          |      list_cosine_similarity(m.v, q.v) DESC, m.vec_id) AS rk
          |  FROM m, q)
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // filtered range: all matching rows at (rounded) sim ≥ t
+    "v42_filtered_range" ->
+      s"""SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en')
+         |WHERE sim >= 0.15 ORDER BY sim DESC, vec_id""".stripMargin,
   )
 }

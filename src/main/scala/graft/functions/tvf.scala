@@ -35,11 +35,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object tvf {
 
-  /** Escape a runtime string into a SQL string-literal token —
-    * ANSI single-quote doubling, wrapped in quotes. The ONE sanctioned
-    * way to build a TVF statement from untrusted request text:
-    * {{{ s"SELECT * FROM graft_hnsw_search('$dir', ${tvf.sqlLit(userText)}, 10)" }}} */
-  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Escape a runtime string into a SQL string-literal token, wrapped
+    * in quotes. The ONE sanctioned way to build a TVF statement from
+    * untrusted request text:
+    * {{{ s"SELECT * FROM graft_hnsw_search('$dir', ${tvf.sqlLit(userText)}, 10)" }}}
+    * Spark's DEFAULT lexer (escapedStringLiterals=false) treats `\\'`
+    * as an escaped quote inside a literal, so quote-doubling alone is
+    * NOT enough: text ending in a backslash swallows the closing
+    * quote, and `\\'` + tail breaks out of the literal entirely.
+    * Backslashes are doubled FIRST, then quotes doubled — safe under
+    * both lexer modes (verified against this repo's Spark: `''`
+    * doubling works with escapes on or off). */
+  def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   private def litStr(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -144,6 +152,17 @@ object tvf {
           "embedding", "vec_id",
           FakeEmbedder.embed(litStr(xs(3), "query_text")), predOf(xs.drop(5)),
           k = litLong(xs(4), "k").toInt))
+      }),
+    ("graft_meta_filtered_search",
+      "graft_meta_filtered_search(meta_dir, query_text, k, col1, val1[, col2, val2]) - filtered ANN from the meta artifacts alone (exact or code tier)",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 5 && (xs.length - 3) % 2 == 0,
+          s"graft_meta_filtered_search(meta_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        val spark = SparkSession.active
+        planOf(graft.sources.FilteredServe.searchFilteredMeta(spark,
+          litStr(xs(0), "meta_dir"),
+          FakeEmbedder.embed(litStr(xs(1), "query_text")), predOf(xs.drop(3)),
+          k = litLong(xs(2), "k").toInt))
       }),
     ("graft_dedup_check",
       "graft_dedup_check(sig_dir, doc_id, text) - near-dups of one document vs the persisted signature store",

@@ -114,6 +114,13 @@ object FilteredServe {
   /** cap on the selectivity-keyed walk start factor */
   val MaxWalkFactor = 8
 
+  /** THE code-tier shortlist policy — one definition, so the
+    * single-query and batched serves cannot fork on W (the covering
+    * contract "W ≥ matching ⇒ exact" must hold for both) */
+  def shortlistWidth(matching: Long): Int =
+    math.min(MaxShortlist.toLong,
+      math.max(CodeShortlist.toLong, matching / ShortlistRatio)).toInt
+
   /** which plan the last serve took ("exact" | "walk:<f>" |
     * "fallback") — spec hook */
   @volatile private[graft] var lastFilteredPath: String = ""
@@ -155,7 +162,13 @@ object FilteredServe {
       s"docs frame must carry declared meta column '$c'"))
     val f = Hfs.fs(spark, srpDir)
     f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta"), true): Unit
-    val joined = emb.join(docs, Seq("vec_id"))
+    // the store is STRING-canonical in its declared columns: partition
+    // values are path strings anyway, every read path casts to string,
+    // and upsertMeta reads update values as strings — an int-typed
+    // declaration would build a store whose first upsert throws
+    val docsS = docs.select((col("vec_id") +:
+      metaCols.map(c => col(c).cast("string").as(c))): _*)
+    val joined = emb.join(docsS, Seq("vec_id"))
     // value-partitioned embedding copy: the selective path's pruned
     // exact scan (partition count = distinct value combinations — the
     // tenant/category layout a production corpus already has). Rows
@@ -174,7 +187,7 @@ object FilteredServe {
       .parquet(s"$srpDir/meta/byval")
     // id-keyed metadata rows: the walk path's bounded post-filter
     // point read (no embedding — a candidate's meta is a few bytes)
-    docs
+    docsS
       .withColumn("mb", pmod(col("vec_id"), lit(IdPartitions.toLong)))
       .repartition(col("mb"))
       .write.mode(SaveMode.Overwrite)
@@ -229,7 +242,10 @@ object FilteredServe {
         size(col("embedding")) === SrpBanded.Dim)
       .select((Seq(col("vec_id"), col("embedding"),
         SrpBanded.bandKeysCol(col("embedding"), SrpBanded.Dim, CodeRpb)
-          .as("keys")) ++ cols.map(col)): _*)
+          .as("keys")) ++
+        // string-cast like the store itself (writeMetaFrom): an
+        // int-typed updates frame must merge, not throw on getString
+        cols.map(c => col(c).cast("string").as(c))): _*)
       .localCheckpoint(true)
     val updIds = upd.select(col("vec_id")).distinct()
     val byvalRaw = spark.read.parquet(s"$srpDir/meta/byval")
@@ -469,8 +485,7 @@ object FilteredServe {
                                   queryVec: Array[Float],
                                   pred: Seq[(String, String)], k: Int,
                                   matching: Long): DataFrame = {
-    val w = math.min(MaxShortlist.toLong,
-      math.max(CodeShortlist.toLong, matching / ShortlistRatio)).toInt
+    val w = shortlistWidth(matching)
     val qk = SrpBanded.queryBandKeys(queryVec, SrpBanded.Dim, CodeRpb).map(_._2)
     val scan = spark.read.parquet(s"$metaDir/meta/byval")
       .filter(predCol(pred))
@@ -523,8 +538,7 @@ object FilteredServe {
     import org.apache.spark.sql.expressions.Window
     ensureMeta(spark, d, metaDir)
     val matching = matchCount(spark, metaDir, pred)
-    val w = math.min(MaxShortlist.toLong,
-      math.max(CodeShortlist.toLong, matching / ShortlistRatio)).toInt
+    val w = shortlistWidth(matching)
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
@@ -532,10 +546,14 @@ object FilteredServe {
     val queries = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     val bands = SrpBanded.Bands
-    val qFlat = queries.select(col("query_id") +:
-      (0 until bands).map(b => element_at(
-        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb), b + 1)
-        .as(s"q$b")): _*)
+    // keys computed ONCE per query row, then flattened (the CodeStore
+    // batch shape — inlining the kernel into each element_at leans on
+    // codegen subexpression elimination instead of guaranteeing it)
+    val qFlat = queries
+      .select(col("query_id"),
+        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb).as("q_keys"))
+      .select(col("query_id") +:
+        (0 until bands).map(b => element_at(col("q_keys"), b + 1).as(s"q$b")): _*)
     val cFlat = spark.read.parquet(s"$metaDir/meta/byval")
       .filter(predCol(pred))
       .select(col("vec_id") +:
@@ -635,6 +653,25 @@ object FilteredServe {
     searchFilteredBy(spark, metaDir, queryVec, pred, k, exactScanMax,
       codeScanMax)(_ => Seq.empty)
 
+  /** Filtered RANGE search from the meta artifacts: every matching
+    * row within the similarity radius — the reference's
+    * `WHERE <meta> AND similarity ≥ t` shape (v13's range contract
+    * composed with v39's predicate). Exact by construction: the
+    * pruned byval partitions are scanned in full (the matching set IS
+    * the candidate set — a range result has no k to shortlist
+    * toward), distributed end-to-end with no driver-side candidate
+    * state, so the result may be any size. The filter applies to the
+    * ROUNDED similarity, the emission contract both engines share. */
+  def rangeFilteredMeta(spark: SparkSession, metaDir: String,
+                        queryVec: Array[Float], pred: Seq[(String, String)],
+                        minSim: Double): DataFrame =
+    byValPruned(spark, metaDir, pred)
+      .select(col("vec_id"),
+        round(vectors.cosine_sim(col("embedding"), typedLit(queryVec)), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy(col("sim").desc, col("vec_id"))
+
   /** v39: metadata-filtered stored graph search. Same result schema as
     * v28 — (vec_id, rk, sim) — restricted to rows matching `pred`. */
   def searchFiltered(spark: SparkSession, d: String, srpDir: String,
@@ -647,10 +684,12 @@ object FilteredServe {
     ensureMeta(spark, d, srpDir)
     searchFilteredBy(spark, srpDir, queryVec, pred, k, exactScanMax,
       codeScanMax) { f =>
-      SrpBanded.graphWalkVisited(spark, srpDir,
-        SrpStore.scoredPool(spark, srpDir, queryVec, probeRadius),
-        queryVec, beam * math.min(f, 4), iters, maxEntries * f, graphK,
-        edgesFor = Some(fr => EdgeStore.edgesFor(spark, edgeDir, fr)))
+      // the v28 serve's own seed path: driver bucket cache when the
+      // store fits its byte budget (zero seed Spark jobs — and the
+      // escalation rungs re-seed, so this is paid up to 3× per serve),
+      // pruned distributed read when over
+      SrpStore.walkVisitedCold(spark, srpDir, edgeDir, queryVec,
+        beam * math.min(f, 4), iters, maxEntries * f, graphK, probeRadius)
     }
   }
 }

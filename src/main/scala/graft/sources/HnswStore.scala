@@ -139,14 +139,19 @@ object HnswStore {
     * pruned point read — at 100 TB that is layer 1 (and the budget is
     * the honesty: nothing corpus-sized is ever collected). `var` so
     * specs can force the distributed path (set 0) and assert identity
-    * against the cached one. */
+    * against the cached one. The budget is the AGGREGATE across every
+    * cached store: per-entry admission gets budget/[[LayerCacheEntries]],
+    * so a gateway opening many stores cannot pin entries×budget of
+    * driver heap while each entry individually claims honesty. */
   @volatile var LayerCacheBudgetBytes: Long = 256L << 20
+  /** cache slots; per-store admission ceiling = budget / entries */
+  val LayerCacheEntries = 8
   /** conservative JVM bytes per cached edge: ids + boxed tuple/array
     * overhead + Dim floats */
   private def edgeBytes: Long = 96L + 4L * SrpBanded.Dim
 
   private val localLayerCache =
-    new graft.SessionCache[(String, Long), Map[Int, Map[Long, Array[(Long, Array[Float])]]]](8)
+    new graft.SessionCache[(String, Long), Map[Int, Map[Long, Array[(Long, Array[Float])]]]](LayerCacheEntries)
   graft.Tables.onInvalidate { p =>
     localLayerCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
@@ -164,7 +169,8 @@ object HnswStore {
       val layers = layersFrame(spark, dir)
       val counts = layers.groupBy(col("layer")).count().collect()
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
-      val admit = counts.foldLeft((LayerCacheBudgetBytes, Set.empty[Int])) {
+      val perStore = LayerCacheBudgetBytes / LayerCacheEntries
+      val admit = counts.foldLeft((perStore, Set.empty[Int])) {
         case ((left, ok), (l, n)) =>
           val b = n * edgeBytes
           if (b <= left) (left - b, ok + l) else (left, ok)

@@ -222,17 +222,19 @@ object IvfStore {
   def driftMetric(spark: SparkSession, dir: String, vecCol: String): Drift = {
     val root = currentRoot(spark, dir)
     val model = readCentroids(spark, dir)
-    // empty store (zero lists): every aggregate below is null and the
-    // unboxing getters would NPE — a maintenance poller hitting a
-    // fresh/empty store must read "nothing to drift", not an exception
-    if (spark.read.parquet(s"$root/stats").isEmpty)
-      return Drift(0, 1.0, 1.0, 1.0, 1.0) // neutral ratios: never tripped
     val base = spark.read.parquet(s"$root/stats")
       .agg(count(lit(1)).cast("long").as("k"),
         max(col("n")).cast("double").as("mx"),
         avg(col("n")).as("mean_n"),
         (sum(col("mean_dist") * col("n")) / sum(col("n"))).as("md"))
       .head()
+    // empty store (zero lists): the non-count aggregates are null and
+    // the unboxing getters would NPE — a maintenance poller hitting a
+    // fresh/empty store must read "nothing to drift", not an
+    // exception. Decided from the SAME aggregate row (max(n) is null
+    // exactly when stats is empty), not a separate isEmpty scan.
+    if (base.isNullAt(1))
+      return Drift(0, 1.0, 1.0, 1.0, 1.0) // neutral ratios: never tripped
     val now = spark.read.parquet(s"$root/lists")
       .select(col("list_id"),
         vectors.nearest_centroid_dist(

@@ -344,14 +344,19 @@ object SrpStore {
     * the driver is a byte question answered per store (row count ×
     * conservative JVM bytes); over budget — every 100 TB corpus — the
     * serve keeps the distributed partition-pruned scan below. `var` so
-    * specs can force the distributed path and assert identity. */
+    * specs can force the distributed path and assert identity. The
+    * budget is the AGGREGATE across cached stores (per-entry admission
+    * = budget / [[BucketCacheEntries]] — the HnswStore layer-cache
+    * convention), bounding the driver heap a many-store gateway pins. */
   @volatile var BucketCacheBudgetBytes: Long = 256L << 20
+  /** cache slots; per-store admission ceiling = budget / entries */
+  val BucketCacheEntries = 4
   private def bucketRowBytes: Long = 96L + 4L * SrpBanded.Dim
   /** which seed source the last single-query serve took — spec hook */
   @volatile var lastSeedSource: String = ""
 
   private val localBucketCache = new graft.SessionCache[(String, Long),
-    Option[Map[(Int, Long), Array[(Long, Array[Float])]]]](4)
+    Option[Map[(Int, Long), Array[(Long, Array[Float])]]]](BucketCacheEntries)
   graft.Tables.onInvalidate { p =>
     localBucketCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
@@ -368,7 +373,8 @@ object SrpStore {
       val banded = bandedFrame(spark, dir)
         .select(col("band").cast("int").as("band"), col("bk").cast("long").as("bk"),
           col("vec_id"), col("embedding"))
-      if (banded.count() * bucketRowBytes > BucketCacheBudgetBytes) None
+      if (banded.count() * bucketRowBytes >
+          BucketCacheBudgetBytes / BucketCacheEntries) None
       else Some(banded.collect()
         .groupBy(r => (r.getInt(0), r.getLong(1)))
         .map { case (k, rows) =>

@@ -31,14 +31,27 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
 
   /** Admit-or-reject: `Some(future)` if the request got a slot
     * (executing now or queued behind ≤ maxQueued others), `None` if
-    * the gateway is saturated — the caller's signal to shed load. */
+    * the gateway is saturated — the caller's signal to shed load.
+    * A submit racing (or following) [[shutdown]] is also `None`, not
+    * an exception: the pool's RejectedExecutionException is caught
+    * and the already-acquired permit RELEASED — without that, a
+    * drain-time straggler would both see an undocumented throw and
+    * permanently shrink capacity by one. */
   def submit[A](f: => A): Option[Future[A]] =
     if (!slots.tryAcquire()) { rejectedCount.incrementAndGet(); None }
     else {
-      admittedCount.incrementAndGet()
-      Some(pool.submit(new Callable[A] {
-        override def call(): A = try f finally slots.release()
-      }))
+      try {
+        val fut = pool.submit(new Callable[A] {
+          override def call(): A = try f finally slots.release()
+        })
+        admittedCount.incrementAndGet()
+        Some(fut)
+      } catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          slots.release()
+          rejectedCount.incrementAndGet()
+          None
+      }
     }
 
   def rejected: Long = rejectedCount.get()

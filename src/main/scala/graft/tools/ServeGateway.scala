@@ -125,6 +125,14 @@ object ServeGateway {
           emb, "embedding", "vec_id",
           embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
       }
+      // the reference's own tool predicate from a store DECLARED over
+      // its columns (withdrawn/type) — the r3 serve as an endpoint
+      val refMeta = graft.operators.ReferenceParity.refMetaStoreFor(spark, sfDir)
+      serve("find_similar live policies via searchFilteredMeta (withdrawn=0, type=POLICY)") { text =>
+        graft.sources.FilteredServe.searchFilteredMeta(spark, refMeta,
+          embedder.embed(text),
+          Seq("withdrawn" -> "0", "type" -> "POLICY"), k = 10).collect()
+      }
     }
 
     // ---- concurrency: overlapped requests on FAIR scheduler pools ----

@@ -410,6 +410,30 @@ class FilteredSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered range search: pruned exact scan over matching partitions, rounded-sim threshold") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val pred = Seq("lang" -> "en")
+    val got = FilteredServe.rangeFilteredMeta(spark, srpDir, q, pred, minSim = 0.15)
+      .collect()
+    assert(got.nonEmpty)
+    val enIds = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => enIds(r.getLong(0))), "a non-matching row leaked through")
+    assert(got.forall(_.getDouble(1) >= 0.15))
+    assert(got.map(_.getDouble(1)).toSeq ==
+      got.map(_.getDouble(1)).sorted.reverse.toSeq, "not ordered sim DESC")
+    // equals the exact filtered range from the corpus tables
+    val truth = exactFiltered(pred, 500)
+      .filter(_(2).asInstanceOf[Double] >= 0.15)
+      .map(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Double])).toSet
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSet == truth,
+      "range result diverged from the exact filtered range")
+    // the scan pruned to the matching partitions
+    assert(FilteredServe.lastByValPlan.contains("PartitionFilters"),
+      s"range byval read not partition-pruned:\n${FilteredServe.lastByValPlan}")
+  }
+
   test("declared meta columns: a withdrawn/type store serves, validates, and upserts with zero configuration") {
     import spark.implicits._
     // a store DECLARED over the reference's own filter columns

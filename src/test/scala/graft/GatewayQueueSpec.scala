@@ -28,6 +28,18 @@ class GatewayQueueSpec extends AnyFunSuite {
     q.shutdown()
   }
 
+  test("submit after shutdown sheds (None), never throws, and leaks no permit") {
+    val q = new graft.tools.RequestQueue(maxInFlight = 2, maxQueued = 2)
+    assert(q.submit(1).map(_.get()) == Some(1))
+    q.shutdown()
+    // drain-time straggler: documented load-shed signal, not an
+    // undocumented RejectedExecutionException
+    assert(q.submit(2).isEmpty && q.rejected == 1)
+    // the permit the racing tryAcquire took was released — capacity
+    // would otherwise shrink by one per post-shutdown submit
+    assert(q.submit(3).isEmpty && q.rejected == 2)
+  }
+
   test("work executes with at most maxInFlight concurrently") {
     val q = new graft.tools.RequestQueue(maxInFlight = 2, maxQueued = 6)
     val active = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -75,6 +75,13 @@ class TvfSpec extends AnyFunSuite {
         q, Seq("lang" -> "fr"), k = 10)),
       "graft_ivfpq_filtered_search diverged from IvfPqStore.searchFilteredResidual")
 
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_meta_filtered_search('$srpDir',
+         |'$queryText', 10, 'lang', 'de', 'source', 'src11')""".stripMargin)) ==
+      rows(graft.sources.FilteredServe.searchFilteredMeta(spark, srpDir,
+        q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
+      "graft_meta_filtered_search diverged from FilteredServe.searchFilteredMeta")
+
     // the TVF result composes like any table: outer SQL filters/projects
     val filtered = spark.sql(
       s"""SELECT vec_id FROM graft_hnsw_search('$hnswDir', '$queryText', 10)
@@ -100,6 +107,28 @@ class TvfSpec extends AnyFunSuite {
       Seq((1000000000L, dup)).toDF("doc_id", "text")))
     assert(viaSql == viaScala && viaSql.nonEmpty,
       s"dedup-check diverged (sql=${viaSql.size} scala=${viaScala.size})")
+  }
+
+  test("sqlLit round-trips adversarial request text (quotes, backslashes, breakout attempts)") {
+    graft.functions.tvf.register(spark)
+    val hnswDir = graft.sources.HnswStore.storeFor(spark, sf)
+    // each text embeds differently, so SQL==Scala row equality proves
+    // the text reached the builder VERBATIM — including the backslash
+    // cases that, pre-fix, either swallowed the closing quote or broke
+    // out of the literal into live SQL (Spark's default lexer treats
+    // \' as an escaped quote)
+    val nasty = Seq(
+      "it's a 'quoted' query",
+      "trailing backslash \\",
+      "break \\', 999999) --out",
+      "mix \\\\ '' \\' end\\")
+    nasty.foreach { text =>
+      val viaSql = rows(spark.sql(
+        s"SELECT * FROM graft_hnsw_search('$hnswDir', ${graft.functions.tvf.sqlLit(text)}, 5)"))
+      val viaScala = rows(graft.sources.HnswStore.search(spark, hnswDir,
+        FakeEmbedder.embed(text), 5))
+      assert(viaSql == viaScala, s"sqlLit round-trip diverged for <$text>")
+    }
   }
 
   test("non-literal TVF arguments fail analysis loudly") {
