@@ -39,6 +39,12 @@ object FilteredScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    // code-only mode (SPARK_GRAFT_FILTERED_CODE_ONLY=1): build ONLY the
+    // meta artifacts and measure the exact/code/batch tiers — the walk
+    // and unfiltered comparators need the SRP+edge stores, whose build
+    // cost caps the measurable decade; the code tier alone reaches a
+    // 4th decade (20M rows) on the same box
+    val codeOnly = sys.env.get("SPARK_GRAFT_FILTERED_CODE_ONLY").contains("1")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_filtered_scale_$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -74,12 +80,12 @@ object FilteredScaleProbe {
     val rpb = SrpBanded.rowsPerBandFor(n)
     val srpDir = s"$dir/srpstore"
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (!new java.io.File(s"$srpDir/_keyspace").exists()) {
+    if (!codeOnly && !new java.io.File(s"$srpDir/_keyspace").exists()) {
       val (_, s) = time(SrpStore.write(spark, dir, srpDir, rpb))
       builds += "srp_store" -> s
     }
     val edgeDir = s"$dir/edgestore"
-    if (!new java.io.File(s"$edgeDir/edges/_commits").exists()) {
+    if (!codeOnly && !new java.io.File(s"$edgeDir/edges/_commits").exists()) {
       val (_, s) = time(EdgeStore.write(spark,
         SrpBanded.materializedGraph(spark, dir, 5), edgeDir))
       builds += "edge_store" -> s
@@ -133,7 +139,8 @@ object FilteredScaleProbe {
     // the r13 default for the broad predicate: the per-value code tier
     val (codeMsQ, codePath) = runPath(broadPred, 0L, FilteredServe.CodeScanMax)
     // the very-broad tier, forced: selectivity-keyed walk + post-filter
-    val (walkMsQ, walkPath) = runPath(broadPred, 0L, 0L)
+    val (walkMsQ, walkPath) =
+      if (codeOnly) (-1.0, "skipped") else runPath(broadPred, 0L, 0L)
 
     // recall@10 vs the exact filtered ranking (the byval pruned scan IS
     // the ground truth — same rows the exact branch would serve),
@@ -155,7 +162,7 @@ object FilteredScaleProbe {
       rs.sum / rs.length
     }
     val codeRecall = recallOf(FilteredServe.CodeScanMax) // code tier
-    val walkRecall = recallOf(0L)                        // forced walk tier
+    val walkRecall = if (codeOnly) -1.0 else recallOf(0L) // forced walk tier
     // the attribution baseline: the UNFILTERED walk's recall@10 vs the
     // unfiltered exact top-10 at the identical budget — the bar the
     // code tier must meet ("filtered within noise of unfiltered"); on
@@ -163,17 +170,21 @@ object FilteredScaleProbe {
     // itself decays with N (the r11 HardRecallProbe analysis), which is
     // exactly why the code tier's matching-keyed shortlist wins
     val emb = spark.read.parquet(embPath)
-    val unfiltered = qVecs.map { v =>
-      val walk = SrpStore.graphSearchCold(spark, srpDir, edgeDir, v, k = 10)
-        .collect().map(_.getLong(0)).toSet
-      val truth = emb
-        .select(col("vec_id"),
-          graft.functions.vectors.cosine_sim(col("embedding"), typedLit(v)).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id")).limit(10)
-        .collect().map(_.getLong(0)).toSet
-      walk.count(truth).toDouble / truth.size
-    }
-    val meanUnfiltered = unfiltered.sum / unfiltered.length
+    val meanUnfiltered =
+      if (codeOnly) -1.0
+      else {
+        val rs = qVecs.map { v =>
+          val walk = SrpStore.graphSearchCold(spark, srpDir, edgeDir, v, k = 10)
+            .collect().map(_.getLong(0)).toSet
+          val truth = emb
+            .select(col("vec_id"),
+              graft.functions.vectors.cosine_sim(col("embedding"), typedLit(v)).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id")).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          walk.count(truth).toDouble / truth.size
+        }
+        rs.sum / rs.length
+      }
 
     // the BATCHED filtered serve (v41) at the decade: ~500 queries in
     // one set-based plan; recall against the exact filtered per-query
