@@ -43,11 +43,27 @@ object tvf {
     * as an escaped quote inside a literal, so quote-doubling alone is
     * NOT enough: text ending in a backslash swallows the closing
     * quote, and `\\'` + tail breaks out of the literal entirely.
-    * Backslashes are doubled FIRST, then quotes doubled — safe under
-    * both lexer modes (verified against this repo's Spark: `''`
-    * doubling works with escapes on or off). */
-  def sqlLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    * Backslashes are doubled FIRST, then quotes doubled. Under the
+    * LEGACY lexer (escapedStringLiterals=true) literals "remain
+    * escaped": neither `\\\\` nor `''` collapses (measured on this
+    * repo's Spark — `''` stays two quotes), so backslashes must stay
+    * RAW and quote-bearing text is UNREPRESENTABLE in a single-quoted
+    * legacy literal — sqlLit refuses it loudly (use the Scala API or
+    * the default lexer for such text) rather than silently corrupting
+    * the query. The active session's conf decides the mode; with no
+    * active session the default-mode escaping applies. */
+  def sqlLit(s: String): String = {
+    val legacyLexer = SparkSession.getActiveSession.exists(
+      _.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean)
+    if (legacyLexer) {
+      require(!s.contains("'"),
+        "sqlLit cannot represent a single quote under " +
+          "spark.sql.parser.escapedStringLiterals=true (literals remain " +
+          "escaped — no collapse for '' or \\'): pass the text through " +
+          "the Scala API instead, or use the default lexer")
+      "'" + s + "'"
+    } else "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+  }
 
   private def litStr(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString

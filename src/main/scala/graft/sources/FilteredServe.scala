@@ -372,6 +372,14 @@ object FilteredServe {
   private def statsEntry(spark: SparkSession,
                          srpDir: String): (Seq[String], Seq[(Map[String, String], Long)]) =
     statsCache.getOrElseUpdate(srpDir, {
+      // the crash contract's read-side gate, enforced at the ONE entry
+      // every serve path (matchCount/byValPruned/range/meta serves)
+      // funnels through: a torn store (upsertMeta uncommitted before
+      // its rewrites, then died) still has readable stats FILES but no
+      // _SUCCESS — it must refuse loudly, never serve stale rows
+      require(metaCommitted(spark, srpDir),
+        s"meta artifacts at $srpDir are uncommitted (crashed " +
+          "write/upsert?) — rebuild via ensureMeta/writeMeta before serving")
       val df = spark.read.parquet(s"$srpDir/meta/stats")
       val cols = df.schema.fieldNames.filterNot(_ == "cnt").toSeq
       (cols, df.collect().toSeq.map { r =>

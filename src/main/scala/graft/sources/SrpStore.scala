@@ -459,7 +459,9 @@ object SrpStore {
 
   /** v28's walk returning the FULL visited set (the filtered serve's
     * candidate generator) — seeds from the driver bucket cache when
-    * the store fits [[BucketCacheBudgetBytes]], from the pruned
+    * the store fits its per-store admission share
+    * ([[BucketCacheBudgetBytes]] / [[BucketCacheEntries]] — the
+    * budget is the aggregate across cached stores), from the pruned
     * bucket scan otherwise; identical candidates either way. */
   private[graft] def walkVisitedCold(spark: SparkSession, dir: String,
       edgeDir: String, queryVec: Array[Float], beam: Int, iters: Int,

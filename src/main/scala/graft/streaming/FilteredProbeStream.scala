@@ -28,11 +28,12 @@ object FilteredProbeStream {
     * ([[FilteredServe.searchFiltered]] per query). */
   def probeBatch(spark: SparkSession, d: String, srpDir: String,
                  edgeDir: String,
-                 queries: Seq[(Long, Array[Float], String)], k: Int): DataFrame = {
+                 queries: Seq[(Long, Array[Float], Seq[(String, String)])],
+                 k: Int): DataFrame = {
     import spark.implicits._
-    val perQuery = queries.map { case (qid, qv, lang) =>
+    val perQuery = queries.map { case (qid, qv, pred) =>
       FilteredServe.searchFiltered(spark, d, srpDir, edgeDir, qv,
-        Seq("lang" -> lang), k = k)
+        pred, k = k)
         .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
           col("rk"), col("sim"))
     }
@@ -44,7 +45,8 @@ object FilteredProbeStream {
 
   /** Drain a filtered-query stream through the meta artifacts once
     * (AvailableNow), returning all emitted rows. Records are
-    * `{query_id, query_text, lang}` — the predicate rides the request. */
+    * `{query_id, query_text, lang[, source]}` — the predicate rides
+    * the request, `source` optional (a present value conjoins). */
   def runOnce(spark: SparkSession, queriesDir: String, d: String,
               srpDir: String, edgeDir: String, k: Int = 10,
               embedder: graft.functions.Embedder = FakeEmbedder): DataFrame = {
@@ -52,13 +54,21 @@ object FilteredProbeStream {
     FilteredServe.ensureMeta(spark, d, srpDir)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
     val queries = spark.readStream
-      .schema("query_id LONG, query_text STRING, lang STRING")
+      .schema("query_id LONG, query_text STRING, lang STRING, source STRING")
       .json(queriesDir)
     val q = queries.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val qs = batch.collect()
-          .map(r => (r.getLong(0), embedder.embed(r.getString(1)), r.getString(2)))
-          .toSeq
+          .map { r =>
+            // lang is REQUIRED: a null would build ('lang', null),
+            // match nothing, and the request would vanish from the
+            // output indistinguishable from "no similar documents"
+            require(!r.isNullAt(2),
+              s"filtered query record ${r.getLong(0)} missing required 'lang'")
+            val pred = Seq("lang" -> r.getString(2)) ++
+              (if (r.isNullAt(3)) Nil else Seq("source" -> r.getString(3)))
+            (r.getLong(0), embedder.embed(r.getString(1)), pred)
+          }.toSeq
         if (qs.nonEmpty) {
           val rows = probeBatch(spark, d, srpDir, edgeDir, qs, k).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))

@@ -374,39 +374,47 @@ class FilteredSearchSpec extends AnyFunSuite {
     val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
     FilteredServe.ensureMeta(spark, sf, srpDir)
     // two files → two micro-batches; predicates span the planner's
-    // tiers (en = 193 matching, de = 71 matching — both exact-tier at
-    // defaults, the TIER dispatch itself is pinned above; what this
-    // spec pins is stream == batch per request)
-    val reqs = Seq(
-      (1L, "fast vector search over spark tables", "en"),
-      (2L, "customer support policy for refunds", "de"),
-      (3L, "streaming ingestion with upserts", "en"))
+    // shapes: broad single term (en = 193 matching), a TWO-TERM
+    // conjunction riding the optional source field (de+src11 = exactly
+    // 1 matching — the request shape of the reference's
+    // withdrawn AND type filter), and another single term; what this
+    // spec pins is stream == batch per request, per predicate arity
+    val reqs: Seq[(Long, String, Seq[(String, String)])] = Seq(
+      (1L, "fast vector search over spark tables", Seq("lang" -> "en")),
+      (2L, "customer support policy for refunds",
+        Seq("lang" -> "de", "source" -> "src11")),
+      (3L, "streaming ingestion with upserts", Seq("lang" -> "en")))
     val tmp = java.nio.file.Files.createTempDirectory("filtered_q").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/a.json"),
       s"""{"query_id": 1, "query_text": "${reqs(0)._2}", "lang": "en"}"""
         .getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/b.json"),
       Seq(
-        s"""{"query_id": 2, "query_text": "${reqs(1)._2}", "lang": "de"}""",
+        s"""{"query_id": 2, "query_text": "${reqs(1)._2}", "lang": "de", "source": "src11"}""",
         s"""{"query_id": 3, "query_text": "${reqs(2)._2}", "lang": "en"}""")
         .mkString("\n").getBytes("UTF-8"))
     val out = graft.streaming.FilteredProbeStream
       .runOnce(spark, tmp, sf, srpDir, edgeDir, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sortBy(r => (r._1, r._3)).toSeq
-    val batch = reqs.flatMap { case (qid, text, lang) =>
+    val batch = reqs.flatMap { case (qid, text, pred) =>
       FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir,
-        FakeEmbedder.embed(text), Seq("lang" -> lang), k = 5)
+        FakeEmbedder.embed(text), pred, k = 5)
         .collect().map(r => (qid, r.getLong(0), r.getInt(1), r.getDouble(2)))
     }.sortBy(r => (r._1, r._3))
     assert(out == batch, "streaming filtered probe diverged from batch serves")
-    // every row satisfies its own request's predicate
-    val langOf = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang")).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the conjunction request really matched its single row
+    assert(out.count(_._1 == 2L) == 1, "two-term request should match exactly 1 doc")
+    // every row satisfies its own request's FULL predicate
+    val metaOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => r.getLong(0) -> Map("lang" -> r.getString(1), "source" -> r.getString(2)))
+      .toMap
     out.foreach { case (qid, nid, _, _) =>
-      val want = reqs.find(_._1 == qid).get._3
-      assert(langOf(nid) == want, s"query $qid row $nid has lang ${langOf(nid)} != $want")
+      val pred = reqs.find(_._1 == qid).get._3
+      pred.foreach { case (c, v) =>
+        assert(metaOf(nid)(c) == v, s"query $qid row $nid violates $c=$v")
+      }
     }
   }
 

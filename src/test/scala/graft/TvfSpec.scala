@@ -131,6 +131,27 @@ class TvfSpec extends AnyFunSuite {
     }
   }
 
+  test("sqlLit follows the session's lexer mode (legacy escapedStringLiterals keeps backslashes raw)") {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.get(key, "false")
+    try {
+      spark.conf.set(key, "false")
+      assert(graft.functions.tvf.sqlLit("""a\b'c""") == """'a\\b''c'""")
+      // legacy lexer: literals "remain escaped" — backslashes stay
+      // RAW (doubling would corrupt) and quote-bearing text is
+      // unrepresentable, so sqlLit refuses it loudly
+      spark.conf.set(key, "true")
+      intercept[IllegalArgumentException] {
+        graft.functions.tvf.sqlLit("""a\b'c""")
+      }
+      // quote-free text round-trips raw through a live legacy parse
+      val lit = graft.functions.tvf.sqlLit("""a\b c""")
+      assert(lit == """'a\b c'""")
+      val got = spark.sql(s"SELECT $lit AS s").head().getString(0)
+      assert(got == """a\b c""", s"legacy-mode literal parsed to <$got>")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("non-literal TVF arguments fail analysis loudly") {
     graft.functions.tvf.register(spark)
     val e = intercept[Exception] {
