@@ -61,6 +61,20 @@ object tvf {
           "spark.sql.parser.escapedStringLiterals=true (literals remain " +
           "escaped — no collapse for '' or \\'): pass the text through " +
           "the Scala API instead, or use the default lexer")
+      // The STRING lexer rule consumes backslash+next-char as a unit in
+      // BOTH modes (only the unescaping is conf-gated), so text ending
+      // in an ODD backslash run would pair its final backslash with the
+      // closing quote and extend the literal past its boundary — a
+      // parse break, and a literal-boundary shift when two sqlLit'd
+      // values are adjacent in one statement. Mid-string backslashes
+      // and even trailing runs lex as self-contained units and stay
+      // raw (round-trip measured in TvfSpec), so only the odd-trailing
+      // shape is unrepresentable.
+      require(s.reverseIterator.takeWhile(_ == '\\').size % 2 == 0,
+        "sqlLit cannot represent text ending in an odd run of backslashes " +
+          "under spark.sql.parser.escapedStringLiterals=true (the final " +
+          "backslash would swallow the closing quote): pass the text " +
+          "through the Scala API instead, or use the default lexer")
       "'" + s + "'"
     } else "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
   }

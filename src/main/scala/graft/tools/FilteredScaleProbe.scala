@@ -211,7 +211,7 @@ object FilteredScaleProbe {
     }.sum / nBatchQ
 
     println(s"""{"metric":"filtered_scale","copies":$copies,"rows":$n,"rpb":$rpb,""" +
-      s""""sel_matching":$selMatching,"exact_ms_per_q":${f"$exactMsQ%.1f"},"exact_path":"$exactPath",""" +
+      s""""sel_matching":$selMatching,"sel_ms_per_q":${f"$exactMsQ%.1f"},"sel_path":"$exactPath",""" +
       s""""byval_partitions_read":$partsRead,"byval_partitions_total":100,""" +
       s""""code_ms_per_q":${f"$codeMsQ%.1f"},"code_path":"$codePath",""" +
       s""""code_recall_at_10":${f"$codeRecall%.3f"},""" +

@@ -1,7 +1,7 @@
 package graft.tools
 
-import java.util.concurrent.{Callable, ExecutorService, Executors, Future, Semaphore}
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{Callable, ExecutorService, Executors, Future, FutureTask, Semaphore, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 /** Admission control for a serving gateway: at most `maxInFlight`
   * requests execute concurrently and at most `maxQueued` wait behind
@@ -15,6 +15,17 @@ import java.util.concurrent.atomic.AtomicLong
   * and the queue bound keeps that set small enough that p99 stays a
   * multiple of p50 rather than a multiple of the backlog length.
   *
+  * Admitted requests can carry a DEADLINE ([[submit(spark:*]]): a
+  * request that has not completed `timeoutMs` after admission is
+  * cancelled — its Spark job group is killed (tasks interrupted, so
+  * executor slots come back, not just the driver thread) and its
+  * permit + pool thread are recycled. Without this, one hung request
+  * pins a permit and a worker forever and the measured p99 bound
+  * silently assumes every request completes. The deadline clock spans
+  * queue wait + execution — a caller's deadline is end-to-end, and
+  * cancelling a still-queued request at its deadline is exactly the
+  * load-shedding a saturated gateway owes its fastest-failing callers.
+  *
   * Not a Spark component — pure JVM admission control in front of
   * whatever closure serves the request (everything here runs
   * driver-side; the Spark jobs a request submits are already bounded
@@ -26,8 +37,16 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
   // tryAcquire is the admission decision, made without blocking
   private val slots = new Semaphore(maxInFlight + maxQueued)
   private val pool: ExecutorService = Executors.newFixedThreadPool(maxInFlight)
+  // watchdog timer: one daemon thread arms/disarms deadlines; the
+  // cancellation work it does per firing is O(1) driver-side calls
+  private lazy val timer: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-request-deadlines"); t.setDaemon(true); t
+    }
   private val rejectedCount = new AtomicLong(0L)
   private val admittedCount = new AtomicLong(0L)
+  private val timedOutCount = new AtomicLong(0L)
+  private val reqSeq = new AtomicLong(0L)
 
   /** Admit-or-reject: `Some(future)` if the request got a slot
     * (executing now or queued behind ≤ maxQueued others), `None` if
@@ -54,7 +73,87 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
       }
     }
 
+  /** [[submit]] with an end-to-end deadline. At `timeoutMs` after
+    * admission an incomplete request is cancelled:
+    *
+    *  - its Spark JOB GROUP is cancelled with `interruptOnCancel` —
+    *    running tasks are interrupted and their executor slots freed,
+    *    so a wedged distributed scan cannot hold the cluster (the
+    *    job group is set thread-locally on the worker before `f`
+    *    runs, the same thread-local channel the FAIR pool tag uses);
+    *  - the worker thread is interrupted via `FutureTask.cancel(true)`
+    *    (which interrupts ONLY while this task is the one running —
+    *    a completion racing the deadline can never poison the pool
+    *    thread for the next request);
+    *  - a request still QUEUED at its deadline never starts, and its
+    *    permit is released here (its callable will never run the
+    *    releasing `finally`).
+    *
+    * The returned future reports cancellation as
+    * `CancellationException` from `get()`. Capacity accounting is
+    * exact either way: one release per admitted request, whether it
+    * completed, was interrupted mid-run, or was cancelled in queue. */
+  def submit[A](spark: org.apache.spark.sql.SparkSession, timeoutMs: Long)
+               (f: => A): Option[Future[A]] = {
+    require(timeoutMs > 0, s"timeoutMs must be positive, got $timeoutMs")
+    if (!slots.tryAcquire()) { rejectedCount.incrementAndGet(); None }
+    else {
+      val jobGroup = s"graft-req-${reqSeq.incrementAndGet()}"
+      val started = new AtomicBoolean(false)
+      // exactly-once permit release however the cancel/run race lands:
+      // the watchdog can win FutureTask's state CAS in the instant
+      // between run()'s state check and the callable's first statement,
+      // in which case BOTH the watchdog (started still false) and the
+      // callable's finally would release — the CAS collapses them
+      val released = new AtomicBoolean(false)
+      def releaseOnce(): Unit = if (released.compareAndSet(false, true)) slots.release()
+      val task = new FutureTask[A](new Callable[A] {
+        override def call(): A = {
+          started.set(true)
+          val sc = spark.sparkContext
+          sc.setJobGroup(jobGroup, s"graft gateway request (deadline ${timeoutMs}ms)",
+            interruptOnCancel = true)
+          try f
+          finally {
+            sc.clearJobGroup()
+            releaseOnce()
+          }
+        }
+      })
+      try {
+        pool.execute(task)
+        admittedCount.incrementAndGet()
+        timer.schedule(new Runnable {
+          override def run(): Unit = if (!task.isDone) {
+            val cancelled = task.cancel(true)
+            if (cancelled) timedOutCount.incrementAndGet()
+            // kill the request's distributed work regardless of which
+            // race we won — cancelling an empty/finished group is a
+            // no-op, leaving it running is a leaked cluster
+            try spark.sparkContext.cancelJobGroup(jobGroup)
+            catch { case _: IllegalStateException => () /* context stopped */ }
+            if (cancelled) {
+              // cancelled BEFORE its callable ever ran (still queued):
+              // the callable's releasing `finally` will never execute.
+              // If it was (or is about to be) running, the callable's
+              // own finally releases — releaseOnce arbitrates the race.
+              if (!started.get()) releaseOnce()
+            }
+          }
+        }, timeoutMs, TimeUnit.MILLISECONDS): Unit
+        Some(task)
+      } catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          slots.release()
+          rejectedCount.incrementAndGet()
+          None
+      }
+    }
+  }
+
   def rejected: Long = rejectedCount.get()
   def admitted: Long = admittedCount.get()
-  def shutdown(): Unit = { pool.shutdown(): Unit }
+  /** admitted requests cancelled at their deadline */
+  def timedOut: Long = timedOutCount.get()
+  def shutdown(): Unit = { pool.shutdown(): Unit; timer.shutdown(): Unit }
 }

@@ -119,7 +119,8 @@ class FilteredSearchSpec extends AnyFunSuite {
       edgeDir = "/nonexistent/edge-store", q, pred, k = 5, exactScanMax = 0L)
     assert(FilteredServe.lastFilteredPath == s"code:${FilteredServe.CodeShortlist}",
       s"expected the code tier, took ${FilteredServe.lastFilteredPath}")
-    // W = 256 ≥ 193 matching: the shortlist covers every matching row,
+    // W = CodeShortlist (the asserted constant) ≥ 193 matching: the
+    // shortlist covers every matching row,
     // so the tier IS the exact filtered ranking here — assert equality
     val got = res.collect().map(_.toSeq).toSeq
     assert(got == exactFiltered(pred, 5),

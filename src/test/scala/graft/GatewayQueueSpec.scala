@@ -40,6 +40,75 @@ class GatewayQueueSpec extends AnyFunSuite {
     assert(q.submit(3).isEmpty && q.rejected == 2)
   }
 
+  test("deadline: a hung request is cancelled, its Spark jobs die, and its permit recycles") {
+    val spark = SparkTestSession.spark
+    val q = new graft.tools.RequestQueue(maxInFlight = 1, maxQueued = 0)
+    // a request whose Spark job wedges (every task sleeps far past the
+    // deadline) — without cancellation this pins the permit forever
+    val fut = q.submit(spark, timeoutMs = 1500) {
+      spark.range(0, 4, 1, 4).rdd.mapPartitions { it =>
+        Thread.sleep(120000); it
+      }.count()
+    }
+    assert(fut.isDefined, "request admitted")
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.CancellationException] { fut.get.get() }
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    assert(waitedMs < 30000, s"cancellation took ${waitedMs}ms — deadline not enforced")
+    // get() unblocks at the cancel itself; give the watchdog's counter
+    // bump (the very next statement in its runnable) a beat to land
+    val counterAt = System.currentTimeMillis() + 5000
+    while (q.timedOut == 0 && System.currentTimeMillis() < counterAt) Thread.sleep(10)
+    assert(q.timedOut == 1)
+    // the job group cancel (interruptOnCancel) kills the distributed
+    // work — the wedged tasks' executor slots come back
+    val deadlineAt = System.currentTimeMillis() + 20000
+    var active = spark.sparkContext.statusTracker.getActiveJobIds()
+    while (active.nonEmpty && System.currentTimeMillis() < deadlineAt) {
+      Thread.sleep(100); active = spark.sparkContext.statusTracker.getActiveJobIds()
+    }
+    assert(active.isEmpty, s"Spark jobs survived their request's deadline: ${active.mkString(",")}")
+    // permit recycled: the gateway serves again at full capacity
+    val again = q.submit(spark, timeoutMs = 30000) { 42 }
+    assert(again.isDefined && again.get.get() == 42)
+    q.shutdown()
+  }
+
+  test("deadline: a request still queued when its deadline fires never runs and leaks no permit") {
+    val spark = SparkTestSession.spark
+    val q = new graft.tools.RequestQueue(maxInFlight = 1, maxQueued = 1)
+    val gate = new CountDownLatch(1)
+    val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val head = q.submit { gate.await(); "head" }
+    assert(head.isDefined)
+    // queued behind head with a short end-to-end deadline: the clock
+    // covers queue wait, so it cancels before ever starting
+    val queued = q.submit(spark, timeoutMs = 300) { ran.set(true); "queued" }
+    assert(queued.isDefined)
+    intercept[java.util.concurrent.CancellationException] { queued.get.get() }
+    assert(!ran.get(), "cancelled-in-queue request must never start")
+    assert(q.timedOut == 1)
+    gate.countDown()
+    assert(head.get.get() == "head")
+    // both permits are back: a 1+1 burst admits two
+    val a = q.submit(spark, timeoutMs = 30000) { 1 }
+    val b = q.submit { 2 }
+    assert(a.isDefined && b.isDefined, "a permit leaked on queued-cancel")
+    assert(a.get.get() == 1 && b.get.get() == 2)
+    q.shutdown()
+  }
+
+  test("deadline: a fast request completes normally and is not cancelled by its stale watchdog") {
+    val spark = SparkTestSession.spark
+    val q = new graft.tools.RequestQueue(maxInFlight = 2, maxQueued = 2)
+    val r = q.submit(spark, timeoutMs = 60000) { spark.range(10).count() }
+    assert(r.map(_.get()) == Some(10L))
+    assert(q.timedOut == 0)
+    // the watchdog firing later against the finished task is a no-op
+    // (isDone short-circuits) — exercised by the shutdown sweep below
+    q.shutdown()
+  }
+
   test("work executes with at most maxInFlight concurrently") {
     val q = new graft.tools.RequestQueue(maxInFlight = 2, maxQueued = 6)
     val active = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -144,11 +144,24 @@ class TvfSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         graft.functions.tvf.sqlLit("""a\b'c""")
       }
-      // quote-free text round-trips raw through a live legacy parse
+      // text ending in an ODD backslash run is unrepresentable too:
+      // the final backslash would lex with the closing quote as one
+      // unit and extend the literal past its boundary
+      intercept[IllegalArgumentException] {
+        graft.functions.tvf.sqlLit("""abc\""")
+      }
+      intercept[IllegalArgumentException] {
+        graft.functions.tvf.sqlLit("abc" + "\\\\\\") // three trailing
+      }
+      // quote-free text round-trips raw through a live legacy parse —
+      // mid-string backslashes and EVEN trailing runs are fine
       val lit = graft.functions.tvf.sqlLit("""a\b c""")
       assert(lit == """'a\b c'""")
       val got = spark.sql(s"SELECT $lit AS s").head().getString(0)
       assert(got == """a\b c""", s"legacy-mode literal parsed to <$got>")
+      val evenLit = graft.functions.tvf.sqlLit("""ab\\""")
+      val gotEven = spark.sql(s"SELECT $evenLit AS s").head().getString(0)
+      assert(gotEven == """ab\\""", s"legacy even-trailing parsed to <$gotEven>")
     } finally spark.conf.set(key, prev)
   }
 
