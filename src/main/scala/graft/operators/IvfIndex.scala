@@ -47,6 +47,32 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
+  /** list count the pinned oracle corpora (and every `queries()`
+    * entry) replay — [[nlistsFor]] floors here so small corpora keep
+    * the oracle width */
+  val BaseNlists = 16
+  /** the corpus size [[BaseNlists]] was sized for (the sf0.01 oracle
+    * gate's ~20k embeddings) — the anchor of the √N policy */
+  val BaseRows = 20000L
+
+  /** Production list-count policy — the IVF analogue of
+    * [[SrpBanded.rowsPerBandFor]]: `nlists ∝ √N` (the published
+    * ivfflat/FAISS sizing rule), anchored so the oracle corpus keeps
+    * the pinned 16. With `nlists = c·√N`, per-list occupancy and
+    * probed candidates per query both grow as √N instead of N — the
+    * balance point of the probe's two cost terms (centroid ranking
+    * ∝ nlists, list scanning ∝ nprobe·N/nlists). A deployment picks
+    * the width from the corpus row count at store-build time
+    * ([[graft.sources.IvfStore.write]] with a [[fit]] at this k);
+    * [[graft.sources.IvfStore.retrain]]'s maintenance default re-uses
+    * the STORE's recorded width, so drift repair re-clusters without
+    * silently re-sizing. Monotone and exact at the measured decades:
+    * 20k → 16, 2M → 160 (the IvfScaleProbe width, previously
+    * hand-picked). */
+  def nlistsFor(n: Long): Int =
+    math.max(BaseNlists,
+      math.round(BaseNlists * math.sqrt(n.toDouble / BaseRows.toDouble)).toInt)
+
   /** `array<float>` → `array<long>` of floor(x·10⁶) — the exact
     * integer domain training and assignment run in. Codegen'd
     * primitive loop ([[graft.functions.QuantizeVec]]), not a

@@ -262,6 +262,19 @@ object IvfStore {
     * reclaimed by the next retrain). O(corpus) by contract: this is
     * the amortized repair for [[driftMetric]]'s trip, not a per-batch
     * path. Returns the new model. */
+  /** [[retrain]] at the STORE'S OWN recorded width — the maintenance
+    * default: a drift-tripped repair re-clusters the corpus, it does
+    * not silently re-size the index. The width a deployment chose at
+    * build time ([[IvfIndex.nlistsFor]] of the then-corpus) is read
+    * back from the centroids artifact, so a poller can wire
+    * `if (driftMetric(...).tripped) retrain(spark, dir, vecCol, idCol)`
+    * without re-deriving build-time parameters. (Re-SIZING after
+    * large growth is the explicit-k overload: pass
+    * `IvfIndex.nlistsFor(currentRows)`.) */
+  def retrain(spark: SparkSession, dir: String, vecCol: String,
+              idCol: String): IvfIndex.Model =
+    retrain(spark, dir, vecCol, idCol, readCentroids(spark, dir).k)
+
   def retrain(spark: SparkSession, dir: String, vecCol: String, idCol: String,
               k: Int, iters: Int = 5): IvfIndex.Model = {
     val vers = committedVers(spark, dir)

@@ -11,20 +11,35 @@ import graft.functions.vectors
   * an ivfflat index resident so queries never scan the corpus; this
   * is the same contract for the SRP side).
   *
-  * Layout:
+  * Layout (v2 — r14):
   * {{{
-  *   <dir>/banded/band=<b>/bk=<key>/   (vec_id, embedding) rows
+  *   <dir>/banded/band=<b>/bk=<key>/   (vec_id) rows — ids only
+  *   <dir>/embed/eg=<g>/               (vec_id, embedding), ONE copy
   *   <dir>/banding/                    compact (vec_id, band, bk)
   * }}}
-  * One row per (vector, band): the corpus is stored Bands (8) times,
-  * the standard LSH space/time trade. A multi-probe seed read
-  * compiles to a scan whose `PartitionFilters` prune to the probed
-  * buckets — ~probeKeys/(Bands·2^RowsPerBand) of the files, decided
-  * in the file index before any IO. Storing the embedding IN the row
-  * means seeding never joins back to the corpus table: the probe
-  * scores what it reads. The `banding/` copy serves BULK consumers
-  * (graph builds): same assignment, packed into few large files
-  * instead of 2048 probe-sized buckets.
+  * One banded row per (vector, band) — but the rows are ~16 bytes
+  * (id + key), NOT embedding-bearing: r13 measured the embedding-in-
+  * every-band layout at 8.03× the corpus bytes (store_bytes_r13 —
+  * 4.2 GB of banded over 527 MB of embeddings at the 1000× decade),
+  * an ingest-cost cliff that made the 10000×-decade store unbuildable
+  * on the round's box. The seed stage doesn't need them: the pool's
+  * probing-sequence signals (flip radius, collision count) are pure
+  * functions of (band, bk), the [[SrpBanded.SeedBudget]] cut picks
+  * ≤ 2048 candidates from those signals alone (the contract the
+  * batched serve has always run), and only the cut survivors are
+  * exact-scored — read from `embed/`, the store's ONE full-float
+  * copy, partition-pruned to the survivors' `eg = vec_id mod 2^E`
+  * dirs. Total footprint ≈ 1.5× corpus bytes (8 thin bands + one
+  * embedding copy + the compact banding) instead of 8×, and the
+  * serve's probed-bucket read shrinks ~16× because the probe scan
+  * carries ids instead of vectors.
+  *
+  * A multi-probe seed read still compiles to a scan whose
+  * `PartitionFilters` prune to the probed buckets —
+  * ~probeKeys/(Bands·2^RowsPerBand) of the files, decided in the
+  * file index before any IO. The `banding/` copy serves BULK
+  * consumers (graph builds): same assignment, packed into few large
+  * files instead of 2048 probe-sized buckets.
   *
   * `banding/` is merge-on-read (the same write/read split
   * [[Ingest.streamingMergeIngest]] uses): `data/__ver=N/` version
@@ -128,6 +143,37 @@ object SrpStore {
       marker.getOrElse(math.max(0, storeRpb(spark, dir) - SrpBanded.RowsPerBand))
     })
 
+  /** recorded `embed/` partition count (eg = vec_id mod this) */
+  private val egCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def storeEg(spark: SparkSession, dir: String): Long =
+    egCache.getOrElseUpdate(dir, {
+      val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
+      val f = Hfs.fs(spark, dir)
+      (if (!f.exists(kd)) None
+       else f.listStatus(kd).toSeq.map(_.getPath.getName)
+         .collectFirst { case s if s.startsWith("eg=") => s.drop(3).toLong })
+        .getOrElse(throw new IllegalStateException(
+          s"SRP store at $dir predates the v2 (single-embedding-copy) " +
+            "layout — rebuild it with SrpStore.write"))
+    })
+
+  /** v2-layout presence check — build-reuse gates (probes, benches)
+    * call this to decide rebuild-vs-reuse for persisted store dirs */
+  def isCurrentLayout(spark: SparkSession, dir: String): Boolean = {
+    val f = Hfs.fs(spark, dir)
+    val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
+    f.exists(kd) && f.listStatus(kd).toSeq
+      .exists(_.getPath.getName.startsWith("eg="))
+  }
+
+  /** `embed/` dir-count policy: ~[[DirRowTarget]] rows per dir, a
+    * power of two, capped so the dir count never exceeds 2048 (the
+    * same per-dir-write-cost budget [[layoutShift]] enforces on the
+    * bucket tree) */
+  private[graft] def embedDirsFor(n: Long): Long =
+    math.min(2048L,
+      java.lang.Long.highestOneBit(math.max(1L, n / DirRowTarget)))
+
   def write(spark: SparkSession, d: String, dir: String): Unit =
     write(spark, d, dir, SrpBanded.RowsPerBand)
 
@@ -144,10 +190,12 @@ object SrpStore {
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
-    // cached for the duration of the two writes below — the banding
-    // (quantize + Bits hyperplane dots per row) is computed once
+    // cached for the duration of the writes below — the banding
+    // (quantize + Bits hyperplane dots per row) is computed once.
+    // Embeddings do NOT ride the banded rows (v2 layout): the bucket
+    // tree stores ids only, the one full-float copy goes to embed/.
     val banded = SrpBanded.bandedOf(emb, SrpBanded.Dim, rowsPerBand)
-      .select(col("vec_id"), col("embedding"), col("band"), col("bk"))
+      .select(col("vec_id"), col("band"), col("bk"))
       .cache()
     // co-locate each bucket before the partitioned write: without
     // this every input task writes its own sliver into every bucket
@@ -155,8 +203,8 @@ object SrpStore {
     // file-open per sliver). At larger corpora add a salt column to
     // this repartition to split hot buckets across several writers.
     // (the count also materializes the cache the two writes reuse)
-    val shift = shiftOverride.getOrElse(
-      layoutShift(rowsPerBand, banded.count() / SrpBanded.Bands))
+    val nPerBand = banded.count() / SrpBanded.Bands
+    val shift = shiftOverride.getOrElse(layoutShift(rowsPerBand, nPerBand))
     if (shift == 0)
       banded.repartition(col("band"), col("bk"))
         .write.mode(SaveMode.Overwrite)
@@ -169,14 +217,29 @@ object SrpStore {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("band", "bg")
         .parquet(s"$dir/banded")
+    // the store's ONE full-embedding copy: partitioned by
+    // eg = vec_id mod 2^E so the seed stage's exact-rerank fetch of
+    // the ≤ SeedBudget cut survivors prunes to their dirs in the file
+    // index; sorted by vec_id within a dir so the id InSet residual
+    // prunes at parquet row-group min/max too
+    val nEg = embedDirsFor(nPerBand)
+    emb
+      .withColumn("eg", pmod(col("vec_id"), lit(nEg)))
+      .repartition(col("eg"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("eg")
+      .parquet(s"$dir/embed")
     val fsK = Hfs.fs(spark, dir)
     val kd = new org.apache.hadoop.fs.Path(s"$dir/_keyspace")
     fsK.delete(kd, true): Unit
     fsK.mkdirs(kd)
     fsK.create(new org.apache.hadoop.fs.Path(kd, s"rpb=$rowsPerBand"), false).close()
     fsK.create(new org.apache.hadoop.fs.Path(kd, s"shift=$shift"), false).close()
+    fsK.create(new org.apache.hadoop.fs.Path(kd, s"eg=$nEg"), false).close()
     rpbCache.remove(dir): Unit
     shiftCache.remove(dir): Unit
+    egCache.remove(dir): Unit
     // compact copy of the key assignment for BULK consumers (graph
     // builds, analytics): (vec_id, band, bk) is 12 B/row, and a
     // full-graph rebuild reading 2048 bucket dirs of point-probe-
@@ -208,9 +271,16 @@ object SrpStore {
       .foreach(rpbCache.remove)
     shiftCache.keys.filter(k => k.startsWith(p) || p.startsWith(k))
       .foreach(shiftCache.remove)
+    egCache.keys.filter(k => k.startsWith(p) || p.startsWith(k))
+      .foreach(egCache.remove)
   }
   private def bandedFrame(spark: SparkSession, dir: String): DataFrame =
     frameCache.getOrElseUpdate(spark, dir)(spark.read.parquet(s"$dir/banded"))
+
+  /** memoized handle on the store's single full-embedding copy */
+  private def embedFrame(spark: SparkSession, dir: String): DataFrame =
+    frameCache.getOrElseUpdate(spark, s"$dir/embed")(
+      spark.read.parquet(s"$dir/embed"))
 
   /** Memoized handle on the compact `banding/` artifact — bulk
     * consumers (v23 graph build, v27 batched serve) re-read it per
@@ -340,8 +410,8 @@ object SrpStore {
   }
 
   /** Driver-side probed-seed cache budget — the v32 layer-cache move
-    * applied to this store's seed read. Whether the banded layout fits
-    * the driver is a byte question answered per store (row count ×
+    * applied to this store's seed read. Whether the store fits the
+    * driver is a byte question answered per store (row count ×
     * conservative JVM bytes); over budget — every 100 TB corpus — the
     * serve keeps the distributed partition-pruned scan below. `var` so
     * specs can force the distributed path and assert identity. The
@@ -351,70 +421,145 @@ object SrpStore {
   @volatile var BucketCacheBudgetBytes: Long = 256L << 20
   /** cache slots; per-store admission ceiling = budget / entries */
   val BucketCacheEntries = 4
-  private def bucketRowBytes: Long = 96L + 4L * SrpBanded.Dim
+  // v2 layout: per-vector cache cost = one embedding row + Bands
+  // bucket-membership ids (16 B each as boxed-ish JVM state)
+  private def vectorCacheBytes: Long =
+    (96L + 4L * SrpBanded.Dim) + 24L * SrpBanded.Bands
   /** which seed source the last single-query serve took — spec hook */
   @volatile var lastSeedSource: String = ""
+  /** executed plan of the last pruned banded seed scan — spec hook */
+  @volatile var lastSeedScanPlan: String = ""
 
-  private val localBucketCache = new graft.SessionCache[(String, Long),
-    Option[Map[(Int, Long), Array[(Long, Array[Float])]]]](BucketCacheEntries)
+  /** driver image of a small store: bucket membership + the one
+    * embedding copy (the v2 on-disk split, mirrored in memory) */
+  private[graft] final case class LocalStore(
+      buckets: Map[(Int, Long), Array[Long]],
+      emb: Map[Long, Array[Float]])
+
+  private val localStoreCache = new graft.SessionCache[(String, Long),
+    Option[LocalStore]](BucketCacheEntries)
   graft.Tables.onInvalidate { p =>
-    localBucketCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
+    localStoreCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
 
-  /** The banded bucket layout as a driver map (band, bk) → members,
-    * collected once per opened store IF it fits the budget (None
-    * otherwise — the cache never holds anything corpus-sized). The
-    * single-query serve's remaining floor is Spark jobs × scheduling
-    * overhead; with the buckets local, the seed stage runs with zero
-    * jobs, like the HNSW descent over [[HnswStore.localLayers]]. */
-  private[graft] def localBuckets(spark: SparkSession,
-      dir: String): Option[Map[(Int, Long), Array[(Long, Array[Float])]]] =
-    localBucketCache.getOrElseUpdate(spark, (dir, BucketCacheBudgetBytes)) {
-      val banded = bandedFrame(spark, dir)
-        .select(col("band").cast("int").as("band"), col("bk").cast("long").as("bk"),
-          col("vec_id"), col("embedding"))
-      if (banded.count() * bucketRowBytes >
+  /** The store as a driver image — bucket membership ids plus the
+    * embedding map — collected once per opened store IF it fits the
+    * budget (None otherwise — the cache never holds anything
+    * corpus-sized). The single-query serve's remaining floor is Spark
+    * jobs × scheduling overhead; with the store local, the seed stage
+    * runs with zero jobs, like the HNSW descent over
+    * [[HnswStore.localLayers]]. */
+  private[graft] def localStore(spark: SparkSession,
+      dir: String): Option[LocalStore] =
+    localStoreCache.getOrElseUpdate(spark, (dir, BucketCacheBudgetBytes)) {
+      val embF = embedFrame(spark, dir).select(col("vec_id"), col("embedding"))
+      if (embF.count() * vectorCacheBytes >
           BucketCacheBudgetBytes / BucketCacheEntries) None
-      else Some(banded.collect()
-        .groupBy(r => (r.getInt(0), r.getLong(1)))
-        .map { case (k, rows) =>
-          k -> rows.map(r => (r.getLong(2), r.getSeq[Float](3).toArray))
-        })
+      else {
+        val buckets = bandedFrame(spark, dir)
+          .select(col("band").cast("int").as("band"),
+            col("bk").cast("long").as("bk"), col("vec_id"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getLong(1)))
+          .map { case (k, rows) => k -> rows.map(_.getLong(2)) }
+        val emb = embF.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        Some(LocalStore(buckets, emb))
+      }
     }
 
-  /** [[scoredPool]] computed driver-side from the bucket cache: probed
-    * buckets looked up locally, scored by the kernel's bit-identical
-    * local twin ([[graft.functions.vectors.cosine_sim_local]]), deduped
-    * per vec_id (band copies carry bit-identical sims, so keeping any
-    * one equals the DataFrame path's dropDuplicates). None when the
+  /** [[scoredPool]] computed driver-side from the local store image:
+    * probed buckets looked up locally, the SeedBudget probing-sequence
+    * cut applied in memory (same priority, same ties as the
+    * distributed path and the oracle), survivors scored by the
+    * kernel's bit-identical local twin
+    * ([[graft.functions.vectors.cosine_sim_local]]). None when the
     * store is over budget — caller falls back to the pruned scan. */
   private[graft] def scoredPoolLocal(spark: SparkSession, dir: String,
-      queryVec: Array[Float],
-      probeRadius: Int = 2): Option[Seq[(Long, Double)]] =
-    localBuckets(spark, dir).map { m =>
-      val keys = SrpBanded.queryProbeKeys(queryVec, probeRadius,
+      queryVec: Array[Float], probeRadius: Int = 2,
+      seedBudget: Int = SrpBanded.SeedBudget): Option[Seq[(Long, Double)]] =
+    localStore(spark, dir).map { ls =>
+      val keys = SrpBanded.queryProbeKeysPr(queryVec, probeRadius,
         storeRpb(spark, dir))
-      keys.iterator
-        .flatMap(k => m.getOrElse(k, Array.empty[(Long, Array[Float])]))
-        .toSeq.distinctBy(_._1)
-        .map { case (id, emb) =>
-          (id, graft.functions.vectors.cosine_sim_local(emb, queryVec))
+      // id → (min flip radius, collision count) over the probed buckets
+      val acc = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
+      keys.foreach { case (b, bk, pr) =>
+        ls.buckets.getOrElse((b, bk), Array.empty[Long]).foreach { id =>
+          val (p0, c0) = acc.getOrElse(id, (Int.MaxValue, 0))
+          acc.update(id, (math.min(p0, pr), c0 + 1))
+        }
+      }
+      acc.iterator
+        .map { case (id, (pr, cnt)) => (id, pr.toLong * 1000L - cnt) }
+        .toSeq
+        .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+        .take(seedBudget)
+        .map { case (id, _) =>
+          (id, graft.functions.vectors.cosine_sim_local(ls.emb(id), queryVec))
         }
     }
 
-  def scoredPool(spark: SparkSession, dir: String,
-                 queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
+  /** Exact sims for an id set, read from the store's `embed/` copy —
+    * the fetch is partition-pruned to the ids' eg dirs (file-index
+    * decision) with the id InSet pushed to parquet row-group stats
+    * (dirs are vec_id-sorted). Bounded by the caller's id set — every
+    * serve here passes ≤ SeedBudget ids. */
+  private[graft] def scoreIds(spark: SparkSession, dir: String,
+      ids: Seq[Long], queryVec: Array[Float]): DataFrame = {
+    val nEg = storeEg(spark, dir)
+    val egs = ids.map(Math.floorMod(_, nEg)).distinct
+    embedFrame(spark, dir)
+      .filter(col("eg").isin(egs: _*) && col("vec_id").isin(ids: _*))
+      .select(col("vec_id"),
+        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
+  }
+
+  /** The pruned banded seed read alone — (vec_id, band, bk) of the
+    * probed buckets, partition-pruned; the pool stage [[scoredPool]]
+    * aggregates (also the plan-shape spec's hook) */
+  private[graft] def prunedSeedRows(spark: SparkSession, dir: String,
+      queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val rpb = storeRpb(spark, dir)
     val probe = layoutPred(storeShift(spark, dir),
       SrpBanded.queryProbeKeys(queryVec, probeRadius, rpb))
-    // score BEFORE the per-id dedup: each band copy of a vector
-    // yields the same IEEE sim, so the dedup shuffle carries
-    // (vec_id, sim) — 16 bytes — instead of the embedding
     bandedFrame(spark, dir)
       .filter(probe) // partition-pruned scan
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("bk").cast("long").as("bk"))
+  }
+
+  /** The stored single-query scored pool (v2): pruned ids-only bucket
+    * read → (flip radius, collision count) per candidate → the
+    * [[SrpBanded.SeedBudget]] probing-sequence cut → exact cosine of
+    * the ≤ SeedBudget survivors from the `embed/` copy. Identical
+    * rows to the in-memory [[SrpBanded.scoredProbePool]] (same
+    * signals, same cut, same scoring kernel); the cut never binds at
+    * the oracle SFs, so pre-v2 results are reproduced bit-for-bit. */
+  def scoredPool(spark: SparkSession, dir: String,
+                 queryVec: Array[Float], probeRadius: Int = 2,
+                 seedBudget: Int = SrpBanded.SeedBudget): DataFrame = {
+    val rpb = storeRpb(spark, dir)
+    val pruned = prunedSeedRows(spark, dir, queryVec, probeRadius)
+    lastSeedScanPlan = pruned.queryExecution.executedPlan.toString
+    // per-row flip radius: popcount(bk ⊕ the query's key in that
+    // band) — a pure function of the row, no probe join needed
+    val exact = SrpBanded.queryBandKeys(queryVec, SrpBanded.Dim, rpb)
+    val qk = exact.tail.foldLeft(
+      when(col("band") === exact.head._1, lit(exact.head._2))) {
+      case (e, (b, k)) => e.when(col("band") === b, lit(k))
+    }.otherwise(lit(0L))
+    // the cut survivors collect to the driver: ≤ seedBudget ids — the
+    // same O(k)-driver license every single-query serve documents
+    val shortIds = pruned
       .select(col("vec_id"),
-        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
-      .dropDuplicates("vec_id")
+        bit_count(col("bk").bitwiseXOR(qk)).cast("int").as("pr"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
+      .orderBy(col("pr") * lit(1000) - col("cnt"), col("vec_id"))
+      .limit(seedBudget)
+      .select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    scoreIds(spark, dir, shortIds, queryVec)
   }
 
   /** v19 served from the persisted table: identical results to
@@ -510,7 +655,7 @@ object SrpStore {
         size(col("embedding")) === SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
     val newBanded0 = SrpBanded.bandedOf(upd, SrpBanded.Dim, rpb)
-      .select(col("vec_id"), col("embedding"), col("band"), col("bk"))
+      .select(col("vec_id"), col("band"), col("bk"))
     val newBanded = if (shift == 0) newBanded0
       else newBanded0.withColumn("bg", shiftright(col("bk"), shift))
     // partition-column types are inferred on read (bk fits int at
@@ -570,6 +715,28 @@ object SrpStore {
           }
         }
       } finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(merged)
+      // 2b. embed/ rewrite: eg = vec_id mod 2^E never changes with an
+      //     embedding update, so each updated id rewrites IN its own
+      //     eg dir — touched dirs = the update ids' dirs, no moves, no
+      //     emptied-dir sweep. Survivors keep the vec_id sort the
+      //     point-fetch row-group-prunes on.
+      val nEg = storeEg(spark, dir)
+      val egTouched = updIds.collect().map(r =>
+        Math.floorMod(r.getLong(0), nEg)).distinct.toSeq
+      val embSurv = embedFrame(spark, dir)
+        .withColumn("eg", col("eg").cast("long"))
+        .filter(col("eg").isin(egTouched: _*))
+        .join(broadcast(updIds), Seq("vec_id"), "left_anti")
+      val embMerged = embSurv
+        .unionByName(upd.withColumn("eg", pmod(col("vec_id"), lit(nEg))))
+        .repartition(col("eg"))
+        .sortWithinPartitions(col("vec_id"))
+        .localCheckpoint(true)
+      try embMerged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("eg")
+        .parquet(s"$dir/embed")
+      finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(embMerged)
       // 3. commit: the delta becomes visible only now that every data
       //    write above succeeded
       commitVer(spark, dir, nextVer)

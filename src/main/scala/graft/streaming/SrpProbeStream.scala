@@ -35,7 +35,10 @@ object SrpProbeStream {
     import spark.implicits._
     val perQuery = queries.map { case (qid, qv) =>
       val pool = SrpStore.scoredPool(spark, storeDir, qv)
-      lastSeedPlan = pool.queryExecution.sparkPlan.toString
+      // the probed-bucket read runs inside scoredPool (v2: the pool
+      // signals execute before the budget-cut gather) — its executed
+      // plan is the pruning evidence
+      lastSeedPlan = SrpStore.lastSeedScanPlan
       SrpBanded
         .graphSearchFrom(spark, d, pool, qv, k,
           beam = 8, iters = 2, maxEntries = 64, graphK = 5)

@@ -16,9 +16,12 @@ import org.apache.spark.sql.SparkSession
   * over a store built at a √N-scaled list count:
   *
   *   - corpus: SPARK_GRAFT_SCALE_DIR (the ScaleBench replica corpus)
-  *   - nlists: SPARK_GRAFT_IVF_NLISTS (default 160 — ≈ 16·√100 for
-  *     the 1000× / 2M-row corpus, keeping candidates/query equal to
-  *     the 100×-decade run it's compared against)
+  *   - nlists: SPARK_GRAFT_IVF_NLISTS, defaulting to the
+  *     institutional policy width [[graft.operators.IvfIndex.nlistsFor]]
+  *     (√N-scaled; 160 at the 1000× / 2M-row corpus — the width this
+  *     probe hand-picked before the policy existed, keeping
+  *     candidates/query equal to the 100×-decade run it's compared
+  *     against)
   *
   * Prints one JSON line with build (model fit + store write) and
   * warm serve timings plus ms/query, matching ScaleBench's shape. */
@@ -31,7 +34,6 @@ object IvfScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_1000")
-    val nlists = sys.env.getOrElse("SPARK_GRAFT_IVF_NLISTS", "160").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -48,6 +50,11 @@ object IvfScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val rows = graft.Tables.embeddings(spark, dir).count()
+    // the institutional policy width for this corpus (√N-scaled,
+    // IvfIndex.nlistsFor) — what a deployment would build at; the env
+    // override remains for sensitivity sweeps
+    val nlists = sys.env.get("SPARK_GRAFT_IVF_NLISTS").map(_.toInt)
+      .getOrElse(graft.operators.IvfIndex.nlistsFor(rows))
     System.err.println(s"[ivfprobe] fit nlists=$nlists over $rows rows ...")
     val (model, fitS) =
       time(graft.operators.IvfPqResidual.fitCached(spark, dir, nlists = nlists))

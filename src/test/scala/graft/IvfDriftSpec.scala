@@ -121,4 +121,67 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/v=1/lists")
       .filter(col("vec_id") === 500L).count() == 1)
   }
+
+  test("nlistsFor: √N policy anchored at the oracle width, monotone, floored") {
+    // the pinned oracle corpus keeps the pinned width
+    assert(IvfIndex.nlistsFor(IvfIndex.BaseRows) == IvfIndex.BaseNlists)
+    // small corpora floor at the oracle width, never shrink below it
+    assert(IvfIndex.nlistsFor(1L) == IvfIndex.BaseNlists)
+    assert(IvfIndex.nlistsFor(2000L) == IvfIndex.BaseNlists)
+    // the measured decades: 2M rows → 160, the width IvfScaleProbe
+    // hand-picked before the policy existed (16·√100)
+    assert(IvfIndex.nlistsFor(2000000L) == 160)
+    assert(IvfIndex.nlistsFor(200000L) == 51) // 16·√10
+    // √N: 100× the rows ⇒ 10× the lists, at any anchor
+    assert(IvfIndex.nlistsFor(200000000L) == 1600)
+    // monotone across decades
+    val widths = Seq(1L, 20000L, 200000L, 2000000L, 20000000L).map(IvfIndex.nlistsFor)
+    assert(widths == widths.sorted, s"nlistsFor not monotone: $widths")
+  }
+
+  test("a policy-width store serves correctly and retrain's maintenance default keeps the store's width") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_policy").toString
+    // 200 rows spread over 8 well-separated axis directions (dim 8) —
+    // enough structure that a width-8 policy store has non-trivial lists
+    val rows = (1 to 200).map { i =>
+      val v = new Array[Float](8)
+      v(i % 8) = 1f
+      v((i + 1) % 8) = 0.001f * (i % 11)
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // pretend this corpus sits at a bigger decade so the policy width
+    // exceeds the pinned floor; fit + store at that width
+    val width = IvfIndex.nlistsFor(IvfIndex.BaseRows * 4) // = 32
+    assert(width == 32)
+    val model = IvfIndex.fit(emb, "embedding", "vec_id", k = width, iters = 5)
+    IvfStore.write(spark, emb, "embedding", model, dir)
+    assert(IvfStore.readCentroids(spark, dir).k == width)
+    // correctness at the policy width: probing ALL lists is the exact
+    // corpus ranking — the store must reproduce brute-force top-k
+    val q2 = { val v = new Array[Float](8); v(3) = 1f; v }
+    val got = IvfStore.search(spark, dir, "embedding", "vec_id", q2,
+      topK = 5, nprobe = width).collect().map(_.getLong(0)).toSeq
+    val brute = emb.select(col("vec_id"),
+        round(graft.functions.vectors.cosine_sim(col("embedding"),
+          typedLit(q2)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == brute, s"policy-width store diverged from brute force: $got vs $brute")
+    // drift respects the policy store: baseline is the width-32 stats
+    val d0 = IvfStore.driftMetric(spark, dir, "embedding")
+    assert(d0.nLists == width && !d0.tripped, s"fresh policy store drifted: $d0")
+    // the maintenance-default retrain re-clusters at the STORE's width
+    // (no silent re-size back to a caller-side default)
+    IvfStore.retrain(spark, dir, "embedding", "vec_id")
+    assert(IvfStore.readCentroids(spark, dir).k == width,
+      "maintenance retrain re-sized the index")
+    val d1 = IvfStore.driftMetric(spark, dir, "embedding")
+    assert(d1.nLists == width && !d1.tripped, s"retrained policy store tripped: $d1")
+    // and still serves the exact ranking
+    val got2 = IvfStore.search(spark, dir, "embedding", "vec_id", q2,
+      topK = 5, nprobe = width).collect().map(_.getLong(0)).toSeq
+    assert(got2 == brute, s"post-retrain policy store diverged: $got2 vs $brute")
+  }
 }

@@ -383,10 +383,10 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "stored serve path diverged from in-memory graph search")
     // the seed read must prune to the probed (band, bk) buckets —
     // static partition pruning, decided before any IO
-    val pool = graft.sources.SrpStore.scoredPool(spark, dir, q)
-    val scan = pool.queryExecution.sparkPlan.collectLeaves()
+    val seedRows = graft.sources.SrpStore.prunedSeedRows(spark, dir, q)
+    val scan = seedRows.queryExecution.sparkPlan.collectLeaves()
       .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-      .getOrElse(fail("no file scan in scored-pool plan"))
+      .getOrElse(fail("no file scan in seed-rows plan"))
     assert(scan.toString.contains("PartitionFilters"),
       s"no partition pruning in:\n$scan")
     val probed = graft.operators.SrpBanded.queryProbeKeys(q).toSet
@@ -396,6 +396,18 @@ class SimilaritySearchSpec extends AnyFunSuite {
     info(s"seed scan read $read of $total (band, bk) partitions")
     assert(read <= probed.size && read < total,
       s"scan read $read partitions (store has $total, probe set ${probed.size})")
+    // and the exact-rerank fetch of the cut survivors prunes the
+    // embed/ copy to their eg dirs — the v2 layout's second pruned read
+    val pool = graft.sources.SrpStore.scoredPool(spark, dir, q)
+    val embScan = pool.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in scored-pool plan"))
+    assert(embScan.toString.contains("PartitionFilters") &&
+      embScan.toString.contains("eg"),
+      s"embed fetch not partition-pruned:\n$embScan")
+    // v2 byte contract: no embedding column anywhere in the banded tree
+    assert(!spark.read.parquet(s"$dir/banded").columns.contains("embedding"),
+      "v2 banded tree must not carry embeddings")
   }
 
   test("SRP store upsert: new vector searchable, moved id leaves no stale copy, only touched buckets rewritten") {
