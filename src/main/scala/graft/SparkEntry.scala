@@ -361,6 +361,39 @@ object SparkEntry {
       graft.sources.FilteredServe.rangeFilteredMeta(s, srpDir,
         FakeEmbedder.embed(SearchText), Seq("lang" -> "en"), minSim = 0.15)
     }),
+    // filtered search with a RANGE predicate (r14): the reference's
+    // `WHERE num_claims >= N AND country = 'EN' ORDER BY embedding
+    // <=> q` class (sql/02_schema.sql's BIGINT/date columns) — the
+    // partition-class term prunes statically via the enumerated stats
+    // combos, the range-class term filters in-scan over only those
+    // dirs, cardinality comes from the write-time rstats histogram;
+    // every tier is exact over the matching set
+    "v43_filtered_range_pred" -> ((s, d) => {
+      val dir = graft.sources.FilteredServe.refMetaStoreFor(s, d)
+      graft.sources.FilteredServe.searchFilteredMetaTerms(s, dir,
+        FakeEmbedder.embed(SearchText),
+        Seq(graft.sources.MetaTerm.Eq("country", "EN"),
+          graft.sources.MetaTerm.Cmp("num_claims", ">=", "22")), k = 10)
+    }),
+    // HETEROGENEOUS-predicate batched filtered serve (r14): every
+    // query carries its caller's own filter (the reference's actual
+    // request shape) — queries grouped by predicate value, one pruned
+    // code scan + batch shortlist per group, per-group plans unioned.
+    // Covering regime at verify scale (max matching 218 ≤ W = 512) ⇒
+    // per-query exact filtered top-k, which the oracle replays.
+    "v44_filtered_batch_mixed" -> ((s, d) => {
+      val srpDir = graft.sources.SrpStore.storeFor(s, d)
+      graft.sources.FilteredServe.ensureMeta(s, d, srpDir)
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull &&
+          size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      val queries = emb.filter(col("vec_id") % JoinQueryFilter === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("query_id"), col("lang")), Seq("query_id"))
+      graft.sources.FilteredServe.searchFilteredBatchMixed(s, srpDir,
+        queries, Seq("lang"), k = 5)
+    }),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -664,5 +697,38 @@ object SparkEntry {
          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
          |  WHERE d.lang = 'en')
          |WHERE sim >= 0.15 ORDER BY sim DESC, vec_id""".stripMargin,
+    // range-predicate filtered search: exact tier over the matching
+    // set (matching ≈ 106 ≤ exactScanMax) — the reference's
+    // num_claims/country columns as ReferenceParity maps them
+    "v43_filtered_range_pred" ->
+      s"""SELECT vec_id, rk, sim FROM (
+         |  SELECT e.vec_id AS vec_id,
+         |    row_number() OVER (ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])) DESC,
+         |      e.vec_id) AS rk,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE upper(substr(d.lang, 1, 2)) = 'EN' AND d.doc_id % 43 >= 22)
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    // mixed-predicate batch in the covering regime: per-query exact
+    // filtered top-k where each query's filter is its own doc's lang
+    "v44_filtered_batch_mixed" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT e.vec_id AS query_id, e.v, d.lang
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE e.vec_id % $JoinQueryFilter = 0),
+         |m AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, d.lang FROM e JOIN documents d ON e.vec_id = d.doc_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+         |  round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.query_id, m.vec_id,
+         |    list_cosine_similarity(m.v, q.v) AS sim,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      list_cosine_similarity(m.v, q.v) DESC, m.vec_id) AS rk
+         |  FROM m JOIN q ON m.lang = q.lang)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
   )
 }

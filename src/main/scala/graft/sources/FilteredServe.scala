@@ -6,6 +6,40 @@ import graft.Tables
 import graft.operators.SrpBanded
 import graft.functions.vectors
 
+/** A term of a filtered-search predicate (conjunction semantics).
+  * The reference engine is Postgres — `WHERE num_claims >= 5 AND
+  * country = 'EN' ORDER BY embedding <=> q` is squarely in its class
+  * (sql/02_schema.sql carries `num_claims BIGINT`, `date`, `country`)
+  * — so the filtered surface accepts typed comparisons, not just
+  * equality conjunctions:
+  *
+  *  - [[MetaTerm.Eq]] — equality on any declared column;
+  *  - [[MetaTerm.Cmp]] — `>= > <= < !=` with the value compared
+  *    NUMERICALLY when it parses as a number (the store is
+  *    string-canonical; a non-numeric stored value fails a numeric
+  *    comparison the way SQL's NULL does — excluded), and
+  *    lexicographically otherwise (ISO dates order correctly).
+  *
+  * Where the term's column is a PARTITION column (a declared
+  * [[FilteredServe.MetaCols]]-class column), any term — including a
+  * comparison — reduces to the set of matching value combos from the
+  * stats artifact, so byval pruning stays STATIC file-index pruning.
+  * Where it is a declared range column (in-row numeric, see
+  * `writeMetaFrom(rangeCols)`), the term becomes an in-scan residual
+  * filter over the pruned partitions, with cardinality estimated from
+  * the write-time histogram (`meta/rstats/`). */
+sealed trait MetaTerm { def column: String }
+object MetaTerm {
+  final case class Eq(column: String, value: String) extends MetaTerm
+  final case class Cmp(column: String, op: String, value: String) extends MetaTerm {
+    require(Seq(">=", ">", "<=", "<", "!=").contains(op),
+      s"unsupported comparison operator '$op'")
+  }
+  /** the legacy equality-conjunction shape, lifted */
+  def ofPairs(pred: Seq[(String, String)]): Seq[MetaTerm] =
+    pred.map { case (c, v) => Eq(c, v) }
+}
+
 /** v39: metadata-filtered ANN on the STORED serve path — the
   * reference's defining query pattern (`WHERE withdrawn = 0 AND
   * type = 'POLICY' ORDER BY embedding <=> q LIMIT k`, tools.yaml:22-27
@@ -156,10 +190,26 @@ object FilteredServe {
     * ([[storeMetaCols]]), so serves/upserts need no column
     * configuration. Same commit contract as [[writeMeta]]. */
   def writeMetaFrom(spark: SparkSession, srpDir: String, docs: DataFrame,
-                    metaCols: Seq[String], emb: DataFrame): Unit = {
+                    metaCols: Seq[String], emb: DataFrame): Unit =
+    writeMetaFrom(spark, srpDir, docs, metaCols, emb, Seq.empty)
+
+  /** [[writeMetaFrom]] with declared RANGE columns: numeric-ish
+    * columns (the reference's `num_claims`/`date`) stored IN-ROW in
+    * byval/byid — not partitioned, so a high-cardinality numeric never
+    * explodes the dir count — and summarized at write time into the
+    * `meta/rstats/` equi-width histogram ([[HistBins]] bins per
+    * column) the planner's cardinality estimate for [[MetaTerm.Cmp]]
+    * terms reads. Range terms filter in-scan over the
+    * partition-pruned matching dirs: every tier stays EXACT over the
+    * matching set; only the tier CHOICE rides the estimate. */
+  def writeMetaFrom(spark: SparkSession, srpDir: String, docs: DataFrame,
+                    metaCols: Seq[String], emb: DataFrame,
+                    rangeCols: Seq[String]): Unit = {
     require(metaCols.nonEmpty, "at least one declared meta column")
-    metaCols.foreach(c => require(docs.columns.contains(c),
+    (metaCols ++ rangeCols).foreach(c => require(docs.columns.contains(c),
       s"docs frame must carry declared meta column '$c'"))
+    require(metaCols.intersect(rangeCols).isEmpty,
+      "a column cannot be both partition-class and range-class")
     val f = Hfs.fs(spark, srpDir)
     f.delete(new org.apache.hadoop.fs.Path(s"$srpDir/meta"), true): Unit
     // the store is STRING-canonical in its declared columns: partition
@@ -167,7 +217,7 @@ object FilteredServe {
     // and upsertMeta reads update values as strings — an int-typed
     // declaration would build a store whose first upsert throws
     val docsS = docs.select((col("vec_id") +:
-      metaCols.map(c => col(c).cast("string").as(c))): _*)
+      (metaCols ++ rangeCols).map(c => col(c).cast("string").as(c))): _*)
     val joined = emb.join(docsS, Seq("vec_id"))
     // value-partitioned embedding copy: the selective path's pruned
     // exact scan (partition count = distinct value combinations — the
@@ -193,6 +243,10 @@ object FilteredServe {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("mb")
       .parquet(s"$srpDir/meta/byid")
+    // range-column histograms — the planner's cardinality source for
+    // comparison terms (before stats: stats is the commit marker)
+    if (rangeCols.nonEmpty)
+      writeRangeStats(spark, srpDir, docsS, rangeCols)
     // value counts — the planner's statistics (written last: commit)
     joined.groupBy(metaCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
@@ -200,7 +254,48 @@ object FilteredServe {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$srpDir/meta/stats")
     statsCache.remove(srpDir): Unit
+    rstatsCache.remove(srpDir): Unit
     metaVerified.remove(srpDir): Unit
+  }
+
+  /** equi-width bins per range-column histogram */
+  val HistBins = 64
+
+  /** Build + write the `meta/rstats/` histogram: per declared range
+    * column, [[HistBins]] equi-width bins over the numeric parse of
+    * the (string-canonical) values — rows `(rcol, bin, lo, hi, cnt)`.
+    * Non-numeric values land in bin −1 (the estimator counts them as
+    * always-matching: a conservative over-estimate that only ever
+    * pushes the planner toward a cheaper-per-row tier). */
+  private def writeRangeStats(spark: SparkSession, srpDir: String,
+                              docsS: DataFrame, rangeCols: Seq[String]): Unit = {
+    import spark.implicits._
+    val hists = rangeCols.map { rc =>
+      val vals = docsS.select(col(rc).cast("double").as("v"))
+      val mm = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nonnum")).head()
+      val nNonNum = if (mm.isNullAt(2)) 0L else mm.getLong(2)
+      val nonNum = Seq((rc, -1, Double.NaN, Double.NaN, nNonNum))
+        .toDF("rcol", "bin", "lo", "hi", "cnt")
+      if (mm.isNullAt(0)) nonNum
+      else {
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        val w = math.max((hi - lo) / HistBins, java.lang.Math.ulp(math.abs(hi) + 1))
+        val binned = vals.filter(col("v").isNotNull)
+          .select(least(floor((col("v") - lit(lo)) / lit(w)),
+            lit(HistBins - 1)).cast("int").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+          .select(lit(rc).as("rcol"), col("bin"),
+            (lit(lo) + col("bin") * lit(w)).as("lo"),
+            (lit(lo) + (col("bin") + 1) * lit(w)).as("hi"),
+            col("cnt"))
+        binned.unionByName(nonNum)
+      }
+    }
+    hists.reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$srpDir/meta/rstats")
   }
 
   /** Incremental meta maintenance — the [[SrpStore.upsert]] contract
@@ -232,10 +327,11 @@ object FilteredServe {
     * rewrite-minimality spec asserts against). */
   def upsertMeta(spark: SparkSession, srpDir: String,
                  updates: DataFrame): Seq[Seq[String]] = {
-    // declared columns come from the store's own stats artifact —
-    // read BEFORE the uncommit drops the cache entry
+    // declared columns come from the store's own stats/rstats
+    // artifacts — read BEFORE the uncommit drops the cache entries
     val cols = storeMetaCols(spark, srpDir)
-    cols.foreach(c => require(updates.columns.contains(c),
+    val rcols = storeRangeCols(spark, srpDir)
+    (cols ++ rcols).foreach(c => require(updates.columns.contains(c),
       s"upsertMeta updates must carry meta column '$c'"))
     val upd = updates
       .filter(col("embedding").isNotNull &&
@@ -245,7 +341,7 @@ object FilteredServe {
           .as("keys")) ++
         // string-cast like the store itself (writeMetaFrom): an
         // int-typed updates frame must merge, not throw on getString
-        cols.map(c => col(c).cast("string").as(c))): _*)
+        (cols ++ rcols).map(c => col(c).cast("string").as(c))): _*)
       .localCheckpoint(true)
     val updIds = upd.select(col("vec_id")).distinct()
     val byvalRaw = spark.read.parquet(s"$srpDir/meta/byval")
@@ -255,7 +351,7 @@ object FilteredServe {
         "would rank null-key rows first in the Hamming shortlist)")
     val byval = byvalRaw
       .select((Seq(col("vec_id"), col("embedding"), col("keys")) ++
-        cols.map(c => col(c).cast("string").as(c))): _*)
+        (cols ++ rcols).map(c => col(c).cast("string").as(c))): _*)
     val oldVals = byval.join(broadcast(updIds), Seq("vec_id"))
       .select(cols.map(col): _*).distinct()
       .collect().map(r => cols.indices.map(r.getString)).toSeq
@@ -312,12 +408,13 @@ object FilteredServe {
       val mbs = updIds.collect().map(r =>
         Math.floorMod(r.getLong(0), IdPartitions.toLong)).distinct.toSeq
       val byid = spark.read.parquet(s"$srpDir/meta/byid")
-        .select((Seq(col("vec_id")) ++ cols.map(c => col(c).cast("string").as(c)) :+
+        .select((Seq(col("vec_id")) ++
+          (cols ++ rcols).map(c => col(c).cast("string").as(c)) :+
           col("mb").cast("long").as("mb")): _*)
       val idSurvivors = byid.filter(col("mb").isin(mbs: _*))
         .join(broadcast(updIds), Seq("vec_id"), "left_anti")
       val idMerged = idSurvivors
-        .unionByName(upd.select((Seq(col("vec_id")) ++ cols.map(col)): _*)
+        .unionByName(upd.select((Seq(col("vec_id")) ++ (cols ++ rcols).map(col)): _*)
           .withColumn("mb", pmod(col("vec_id"), lit(IdPartitions.toLong))))
         .repartition(col("mb"))
         .localCheckpoint(true)
@@ -326,6 +423,16 @@ object FilteredServe {
         .partitionBy("mb")
         .parquet(s"$srpDir/meta/byid")
       finally org.apache.spark.sql.GraftBridge.unpersistPlanRdds(idMerged)
+      // range histograms rebuilt from the merged byval (cheap columns)
+      // before the committing stats write
+      if (rcols.nonEmpty) {
+        writeRangeStats(spark, srpDir,
+          spark.read.parquet(s"$srpDir/meta/byval")
+            .select((col("vec_id") +:
+              rcols.map(c => col(c).cast("string").as(c))): _*),
+          rcols)
+        rstatsCache.remove(srpDir): Unit
+      }
       // stats last (the ensureMeta gate): partition-column-only scan
       spark.read.parquet(s"$srpDir/meta/byval")
         .groupBy(cols.map(c => col(c).cast("string").as(c)): _*)
@@ -367,6 +474,7 @@ object FilteredServe {
   graft.Tables.onInvalidate { p =>
     statsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
     metaVerified.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
+    rstatsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
   }
 
   private def statsEntry(spark: SparkSession,
@@ -396,6 +504,142 @@ object FilteredServe {
   private def stats(spark: SparkSession, srpDir: String): Seq[(Map[String, String], Long)] =
     statsEntry(spark, srpDir)._2
 
+  // range-column histograms, memoized like stats; a store without the
+  // rstats artifact has no declared range columns
+  private val rstatsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Seq[(Int, Double, Double, Long)]]]
+  private def rstats(spark: SparkSession,
+                     srpDir: String): Map[String, Seq[(Int, Double, Double, Long)]] =
+    rstatsCache.getOrElseUpdate(srpDir, {
+      val p = new org.apache.hadoop.fs.Path(s"$srpDir/meta/rstats")
+      if (!Hfs.fs(spark, srpDir).exists(p)) Map.empty
+      else spark.read.parquet(s"$srpDir/meta/rstats").collect().toSeq
+        .map(r => (r.getAs[String]("rcol"), r.getAs[Int]("bin"),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("cnt")))
+        .groupBy(_._1)
+        .map { case (c, rows) => c -> rows.map(t => (t._2, t._3, t._4, t._5)) }
+    })
+
+  /** the store's declared RANGE columns (in-row numeric class) */
+  def storeRangeCols(spark: SparkSession, srpDir: String): Seq[String] =
+    rstats(spark, srpDir).keys.toSeq.sorted
+
+  // ---- typed-term machinery -------------------------------------
+
+  private def toNum(s: String): Option[Double] =
+    try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+
+  /** driver-side term evaluation against a stats combo's string
+    * values — mirrors [[termCol]]'s engine semantics exactly: a
+    * numeric-valued comparison against a non-numeric stored value is
+    * FALSE (the engine's cast yields null → filtered), a non-numeric
+    * comparison is lexicographic */
+  private def termMatches(vals: Map[String, String], t: MetaTerm): Boolean = t match {
+    case MetaTerm.Eq(c, v) => vals(c) == v
+    case MetaTerm.Cmp(c, op, v) =>
+      val s = vals(c)
+      val cmpd: Option[Int] = toNum(v) match {
+        case Some(dv) => toNum(s).map(ds => java.lang.Double.compare(ds, dv))
+        case None => Some(s.compareTo(v))
+      }
+      cmpd.exists(c0 => op match {
+        case ">=" => c0 >= 0
+        case ">" => c0 > 0
+        case "<=" => c0 <= 0
+        case "<" => c0 < 0
+        case "!=" => c0 != 0
+      })
+  }
+
+  /** a term as an engine filter Column (the in-scan/byid form) */
+  private def termCol(t: MetaTerm): Column = t match {
+    case MetaTerm.Eq(c, v) => col(c) === lit(v)
+    case MetaTerm.Cmp(c, op, v) =>
+      val (l, r) = toNum(v) match {
+        case Some(dv) => (col(c).cast("double"), lit(dv))
+        case None => (col(c), lit(v))
+      }
+      op match {
+        case ">=" => l >= r
+        case ">" => l > r
+        case "<=" => l <= r
+        case "<" => l < r
+        case "!=" => l =!= r
+      }
+  }
+
+  private def termsCol(ts: Seq[MetaTerm]): Column =
+    ts.map(termCol).reduce(_ && _)
+
+  private def requireTerms(spark: SparkSession, srpDir: String,
+                           terms: Seq[MetaTerm]): Unit = {
+    require(terms.nonEmpty, "filtered search needs at least one predicate term")
+    val declared = storeMetaCols(spark, srpDir) ++ storeRangeCols(spark, srpDir)
+    val bad = terms.map(_.column).filterNot(declared.contains)
+    require(bad.isEmpty,
+      s"predicate columns ${bad.mkString(",")} not in declared columns ${declared.mkString(",")}")
+    val partCols = storeMetaCols(spark, srpDir)
+    terms.foreach {
+      case MetaTerm.Eq(c, _) => require(partCols.contains(c),
+        s"equality column '$c' is range-class — spell it as a Cmp or declare it partition-class")
+      case _ => ()
+    }
+  }
+
+  /** the stats combos a term conjunction's PARTITION-class terms admit
+    * — any term over a partition column (equality or comparison)
+    * reduces to this enumerated set, so byval pruning stays static */
+  private def matchingCombos(spark: SparkSession, srpDir: String,
+                             terms: Seq[MetaTerm]): Seq[(Map[String, String], Long)] = {
+    val partCols = storeMetaCols(spark, srpDir).toSet
+    val partTerms = terms.filter(t => partCols.contains(t.column))
+    stats(spark, srpDir)
+      .filter { case (vals, _) => partTerms.forall(termMatches(vals, _)) }
+  }
+
+  /** histogram selectivity of one range-class comparison ∈ [0, 1]:
+    * full bins count whole, the boundary bin pro-rata (uniform-within-
+    * bin, the Selinger assumption), non-numeric rows (bin −1) count as
+    * matching — a conservative over-estimate */
+  private[graft] def histFrac(bins: Seq[(Int, Double, Double, Long)],
+                              t: MetaTerm.Cmp): Double = {
+    val total = bins.map(_._4).sum.toDouble
+    if (total == 0) return 1.0
+    toNum(t.value) match {
+      case None => 1.0 // lexicographic term: no numeric histogram to read
+      case Some(v) =>
+        def binFrac(lo: Double, hi: Double): Double = t.op match {
+          case ">=" | ">" =>
+            if (lo >= v) 1.0 else if (hi <= v) 0.0 else (hi - v) / (hi - lo)
+          case "<=" | "<" =>
+            if (hi <= v) 1.0 else if (lo >= v) 0.0 else (v - lo) / (hi - lo)
+          case "!=" => 1.0
+        }
+        val matched = bins.map {
+          case (-1, _, _, cnt) => cnt.toDouble // non-numeric: conservative
+          case (_, lo, hi, cnt) => cnt * binFrac(lo, hi)
+        }.sum
+        math.min(1.0, matched / total)
+    }
+  }
+
+  /** Planner cardinality for a typed-term conjunction: the EXACT
+    * combo-count for the partition-class terms × the histogram
+    * selectivity of each range-class term (attribute independence —
+    * the Selinger estimate; the tiers stay exact whatever this says,
+    * only the tier CHOICE rides it). */
+  def estimateCount(spark: SparkSession, srpDir: String,
+                    terms: Seq[MetaTerm]): Long = {
+    requireTerms(spark, srpDir, terms)
+    val comboCnt = matchingCombos(spark, srpDir, terms).map(_._2).sum
+    val rCols = storeRangeCols(spark, srpDir).toSet
+    val frac = terms.collect {
+      case t: MetaTerm.Cmp if rCols.contains(t.column) =>
+        histFrac(rstats(spark, srpDir)(t.column), t)
+    }.product
+    math.ceil(comboCnt * frac).toLong
+  }
+
   /** matching-row count for an equality conjunction over [[MetaCols]]
     * (subset allowed) — read from the write-time stats artifact */
   def matchCount(spark: SparkSession, srpDir: String,
@@ -404,6 +648,20 @@ object FilteredServe {
     stats(spark, srpDir)
       .filter { case (vals, _) => pred.forall { case (c, v) => vals(c) == v } }
       .map(_._2).sum
+  }
+
+  /** planner cardinality for a typed-term conjunction: EXACT (the
+    * combo sum) when every term is partition-class, the histogram
+    * estimate otherwise */
+  private def plannerCount(spark: SparkSession, srpDir: String,
+                           terms: Seq[MetaTerm]): Long = {
+    val rCols = storeRangeCols(spark, srpDir).toSet
+    if (terms.exists(t => rCols.contains(t.column)))
+      estimateCount(spark, srpDir, terms)
+    else {
+      requireTerms(spark, srpDir, terms)
+      matchingCombos(spark, srpDir, terms).map(_._2).sum
+    }
   }
 
   /** total indexed rows — the selectivity denominator, from the same
@@ -433,14 +691,39 @@ object FilteredServe {
   private def predCol(pred: Seq[(String, String)]): Column =
     pred.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 
+  /** The byval rows matching a typed-term conjunction, ALL columns:
+    * partition-class terms (equality or comparison) reduce to the
+    * enumerated matching combos — an OR of partition-column equality
+    * conjunctions, i.e. STATIC file-index pruning even for a range on
+    * a partition column — and range-class terms apply as in-scan
+    * residual filters over only those pruned dirs. Exact over the
+    * matching set by construction. */
+  private def byValMatching(spark: SparkSession, srpDir: String,
+                            terms: Seq[MetaTerm]): DataFrame = {
+    requireTerms(spark, srpDir, terms)
+    val partCols = storeMetaCols(spark, srpDir)
+    val rowTerms = terms.filterNot(t => partCols.contains(t.column))
+    val combos = matchingCombos(spark, srpDir, terms)
+    val raw = spark.read.parquet(s"$srpDir/meta/byval")
+    val prunedPart =
+      if (combos.isEmpty) raw.filter(lit(false))
+      else raw.filter(combos.map { case (vals, _) =>
+        partCols.map(c => col(c) === lit(vals(c))).reduce(_ && _)
+      }.reduce(_ || _))
+    rowTerms.foldLeft(prunedPart)((df, t) => df.filter(termCol(t)))
+  }
+
   /** Pruned exact read: (vec_id, embedding) of the rows matching the
     * predicate — partition columns only, so the filter is static
     * file-index pruning. */
   def byValPruned(spark: SparkSession, srpDir: String,
-                  pred: Seq[(String, String)]): DataFrame = {
-    requirePred(spark, srpDir, pred)
-    val pruned = spark.read.parquet(s"$srpDir/meta/byval")
-      .filter(predCol(pred))
+                  pred: Seq[(String, String)]): DataFrame =
+    byValPrunedTerms(spark, srpDir, MetaTerm.ofPairs(pred))
+
+  /** [[byValPruned]] for typed terms (range residuals in-scan) */
+  def byValPrunedTerms(spark: SparkSession, srpDir: String,
+                       terms: Seq[MetaTerm]): DataFrame = {
+    val pruned = byValMatching(spark, srpDir, terms)
       .select(col("vec_id"), col("embedding"))
     lastByValPlan = pruned.queryExecution.executedPlan.toString
     pruned
@@ -450,12 +733,19 @@ object FilteredServe {
     * predicate — returns the id set that SATISFIES it. Bounded by the
     * walk's visited-set size (≤ maxEntries + iters·beam·graphK). */
   def matchingIds(spark: SparkSession, srpDir: String,
-                  pred: Seq[(String, String)], ids: Seq[Long]): Set[Long] = {
+                  pred: Seq[(String, String)], ids: Seq[Long]): Set[Long] =
+    matchingIdsTerms(spark, srpDir, MetaTerm.ofPairs(pred), ids)
+
+  /** [[matchingIds]] for typed terms — the byid rows carry the
+    * declared range columns too, so the post-filter evaluates the
+    * full comparison conjunction in the same pruned point read */
+  def matchingIdsTerms(spark: SparkSession, srpDir: String,
+                       terms: Seq[MetaTerm], ids: Seq[Long]): Set[Long] = {
     if (ids.isEmpty) return Set.empty
     val mbs = ids.map(Math.floorMod(_, IdPartitions.toLong)).distinct
     val read = spark.read.parquet(s"$srpDir/meta/byid")
       .filter(col("mb").isin(mbs: _*) && col("vec_id").isin(ids: _*) &&
-        predCol(pred))
+        termsCol(terms))
       .select(col("vec_id"))
     lastByIdPlan = read.queryExecution.executedPlan.toString
     read.collect().map(_.getLong(0)).toSet
@@ -470,9 +760,14 @@ object FilteredServe {
     * shared with the other families' filtered serves (CodeStore) */
   private[sources] def exactFiltered(spark: SparkSession, srpDir: String,
                             queryVec: Array[Float],
-                            pred: Seq[(String, String)], k: Int): DataFrame = {
+                            pred: Seq[(String, String)], k: Int): DataFrame =
+    exactFilteredTerms(spark, srpDir, queryVec, MetaTerm.ofPairs(pred), k)
+
+  private[sources] def exactFilteredTerms(spark: SparkSession, srpDir: String,
+                            queryVec: Array[Float],
+                            terms: Seq[MetaTerm], k: Int): DataFrame = {
     val q = typedLit(queryVec)
-    val cands = byValPruned(spark, srpDir, pred)
+    val cands = byValPrunedTerms(spark, srpDir, terms)
       .select(col("vec_id"), vectors.cosine_sim(col("embedding"), q).as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
@@ -492,11 +787,20 @@ object FilteredServe {
   private[graft] def codeFiltered(spark: SparkSession, metaDir: String,
                                   queryVec: Array[Float],
                                   pred: Seq[(String, String)], k: Int,
+                                  matching: Long): DataFrame =
+    codeFilteredTerms(spark, metaDir, queryVec, MetaTerm.ofPairs(pred), k, matching)
+
+  private[graft] def codeFilteredTerms(spark: SparkSession, metaDir: String,
+                                  queryVec: Array[Float],
+                                  terms: Seq[MetaTerm], k: Int,
                                   matching: Long): DataFrame = {
     val w = shortlistWidth(matching)
     val qk = SrpBanded.queryBandKeys(queryVec, SrpBanded.Dim, CodeRpb).map(_._2)
-    val scan = spark.read.parquet(s"$metaDir/meta/byval")
-      .filter(predCol(pred))
+    // range-class residuals ride the same pruned code scan (the keys
+    // and range columns are both in-row), so every shortlist candidate
+    // matches the FULL conjunction by construction — tier purity holds
+    // for typed terms exactly as for equality conjunctions
+    val scan = byValMatching(spark, metaDir, terms)
       .select(col("vec_id"),
         graft.operators.HammingIndex.hammingCol(qk).as("ham"))
     lastCodeScanPlan = scan.queryExecution.executedPlan.toString
@@ -504,7 +808,7 @@ object FilteredServe {
     // same O(k-ish) license every single-query serve here documents
     val ids = scan.orderBy(col("ham").asc, col("vec_id").asc)
       .limit(w).collect().map(_.getLong(0)).toSeq
-    val cands = byValPruned(spark, metaDir, pred)
+    val cands = byValPrunedTerms(spark, metaDir, terms)
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"),
         vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
@@ -543,16 +847,26 @@ object FilteredServe {
   def searchFilteredBatch(spark: SparkSession, d: String, metaDir: String,
                           queryMod: Int, pred: Seq[(String, String)],
                           k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ensureMeta(spark, d, metaDir)
-    val matching = matchCount(spark, metaDir, pred)
-    val w = shortlistWidth(matching)
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
       .select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    searchFilteredBatchFrom(spark, metaDir, queries,
+      MetaTerm.ofPairs(pred), k)
+  }
+
+  /** The batch plan over an explicit (query_id, q_vec) frame and a
+    * typed-term conjunction — the single-predicate building block the
+    * mixed-predicate serve ([[searchFilteredBatchMixed]]) unions. */
+  def searchFilteredBatchFrom(spark: SparkSession, metaDir: String,
+                              queries: DataFrame, terms: Seq[MetaTerm],
+                              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matching = plannerCount(spark, metaDir, terms)
+    val w = shortlistWidth(matching)
     val bands = SrpBanded.Bands
     // keys computed ONCE per query row, then flattened (the CodeStore
     // batch shape — inlining the kernel into each element_at leans on
@@ -562,8 +876,7 @@ object FilteredServe {
         SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb).as("q_keys"))
       .select(col("query_id") +:
         (0 until bands).map(b => element_at(col("q_keys"), b + 1).as(s"q$b")): _*)
-    val cFlat = spark.read.parquet(s"$metaDir/meta/byval")
-      .filter(predCol(pred))
+    val cFlat = byValMatching(spark, metaDir, terms)
       .select(col("vec_id") +:
         (0 until bands).map(b => element_at(col("keys"), b + 1).as(s"c$b")): _*)
     lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
@@ -581,7 +894,7 @@ object FilteredServe {
       .orderBy(col("sim").desc, col("vec_id"))
     lastFilteredPath = s"code_batch:$w"
     short
-      .join(byValPruned(spark, metaDir, pred), Seq("vec_id"))
+      .join(byValPrunedTerms(spark, metaDir, terms), Seq("vec_id"))
       .join(queries.hint("shuffle_hash"), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
@@ -590,6 +903,54 @@ object FilteredServe {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The HETEROGENEOUS-predicate batched filtered serve (r14): every
+    * query arrives with its caller's own filter — the reference's
+    * actual request shape (each `find_similar_customer_records` call
+    * carries its caller's WHERE) — and the whole table is answered
+    * set-based. `queries` carries (query_id, q_vec, <predCols...>),
+    * the predicate being the equality conjunction of each row's own
+    * predCol values.
+    *
+    * Plan: GROUP BY PREDICATE VALUE — the queries are grouped on
+    * their predicate combo (driver-enumerated; bounded by the stats
+    * artifact's value universe, the same small-by-declaration license
+    * the planner's statistics already carry), each group runs ONE
+    * pruned code scan + batch shortlist + rerank
+    * ([[searchFilteredBatchFrom]] — the single-predicate plan over
+    * just that group's queries against just its matching partitions),
+    * and the per-group plans union. No per-request orchestration, no
+    * driver collect of anything query- or corpus-sized; each group's
+    * scan reads only ITS predicate's partitions, so total scan bytes
+    * across the union equal the single-predicate serve's, however the
+    * batch mixes. Per-query rows are identical to running the
+    * single-query filtered serve with that query's own predicate at
+    * the same tier (spec-asserted). */
+  def searchFilteredBatchMixed(spark: SparkSession, metaDir: String,
+                               queries: DataFrame, predCols: Seq[String],
+                               k: Int = 5): DataFrame = {
+    require(predCols.nonEmpty, "mixed batch needs at least one predicate column")
+    val declared = storeMetaCols(spark, metaDir)
+    predCols.foreach(c => require(declared.contains(c),
+      s"predicate column '$c' not in declared meta columns ${declared.mkString(",")}"))
+    val qs = queries.select((Seq(col("query_id"), col("q_vec")) ++
+        predCols.map(c => col(c).cast("string").as(c))): _*)
+      .localCheckpoint(true) // each group's plan re-reads the slice
+    val groups = qs.select(predCols.map(col): _*).distinct().collect()
+      .map(r => predCols.indices.map(i => predCols(i) -> r.getString(i)).toSeq)
+      .sortBy(_.map(_._2).mkString(" "))
+    val plans = groups.map { pred =>
+      val g = qs.filter(pred.map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _))
+        .select(col("query_id"), col("q_vec"))
+      searchFilteredBatchFrom(spark, metaDir, g, MetaTerm.ofPairs(pred), k)
+    }
+    val out = plans.reduce(_ unionByName _)
+      .orderBy(col("query_id"), col("rk"))
+      .localCheckpoint(true) // |Q|·k rows; frees the query checkpoint
+    org.apache.spark.sql.GraftBridge.unpersistPlanRdds(qs)
+    out
   }
 
   /** The family-generic filtered-serve core — a three-tier
@@ -616,19 +977,34 @@ object FilteredServe {
                        k: Int, exactScanMax: Long = ExactScanMax,
                        codeScanMax: Long = CodeScanMax,
                        walkTag: String = "walk")
+                      (walkAt: Int => Seq[(Long, Double)]): DataFrame =
+    searchFilteredByTerms(spark, metaDir, queryVec, MetaTerm.ofPairs(pred),
+      k, exactScanMax, codeScanMax, walkTag)(walkAt)
+
+  /** [[searchFilteredBy]] for typed-term conjunctions: the tier
+    * decision rides [[plannerCount]] (exact combo sums for partition-
+    * class terms, the rstats histogram estimate when range-class
+    * comparisons participate); every tier itself stays exact over the
+    * matching set, so a mis-estimate can only shift COST, never
+    * results' predicate purity. */
+  def searchFilteredByTerms(spark: SparkSession, metaDir: String,
+                       queryVec: Array[Float], terms: Seq[MetaTerm],
+                       k: Int, exactScanMax: Long = ExactScanMax,
+                       codeScanMax: Long = CodeScanMax,
+                       walkTag: String = "walk")
                       (walkAt: Int => Seq[(Long, Double)]): DataFrame = {
-    val matching = matchCount(spark, metaDir, pred)
+    val matching = plannerCount(spark, metaDir, terms)
     if (matching <= exactScanMax) {
       lastFilteredPath = "exact"
-      exactFiltered(spark, metaDir, queryVec, pred, k)
+      exactFilteredTerms(spark, metaDir, queryVec, terms, k)
     } else if (matching <= codeScanMax) {
-      codeFiltered(spark, metaDir, queryVec, pred, k, matching)
+      codeFilteredTerms(spark, metaDir, queryVec, terms, k, matching)
     } else {
       val f0 = walkStartFactor(matching, totalCount(spark, metaDir))
       val hit = EscalateFactors.iterator.map { e =>
         val f = math.min(e * f0, 64)
         val visited = walkAt(f)
-        val ok = matchingIds(spark, metaDir, pred, visited.map(_._1))
+        val ok = matchingIdsTerms(spark, metaDir, terms, visited.map(_._1))
         (f, visited.filter(v => ok(v._1)))
       }.find(_._2.size >= k)
       hit match {
@@ -641,7 +1017,7 @@ object FilteredServe {
           // the matches are far from the query's basin) — the pruned
           // exact path answers with full recall
           lastFilteredPath = "fallback"
-          exactFiltered(spark, metaDir, queryVec, pred, k)
+          exactFilteredTerms(spark, metaDir, queryVec, terms, k)
       }
     }
   }
@@ -661,6 +1037,18 @@ object FilteredServe {
     searchFilteredBy(spark, metaDir, queryVec, pred, k, exactScanMax,
       codeScanMax)(_ => Seq.empty)
 
+  /** [[searchFilteredMeta]] for typed terms — v43's serve: the
+    * reference's `WHERE num_claims >= N AND country = 'EN' ORDER BY
+    * embedding <=> q LIMIT k` class, exact or code tier by estimated
+    * cardinality */
+  def searchFilteredMetaTerms(spark: SparkSession, metaDir: String,
+                         queryVec: Array[Float], terms: Seq[MetaTerm],
+                         k: Int = 10,
+                         exactScanMax: Long = ExactScanMax,
+                         codeScanMax: Long = CodeScanMax): DataFrame =
+    searchFilteredByTerms(spark, metaDir, queryVec, terms, k, exactScanMax,
+      codeScanMax)(_ => Seq.empty)
+
   /** Filtered RANGE search from the meta artifacts: every matching
     * row within the similarity radius — the reference's
     * `WHERE <meta> AND similarity ≥ t` shape (v13's range contract
@@ -673,7 +1061,14 @@ object FilteredServe {
   def rangeFilteredMeta(spark: SparkSession, metaDir: String,
                         queryVec: Array[Float], pred: Seq[(String, String)],
                         minSim: Double): DataFrame =
-    byValPruned(spark, metaDir, pred)
+    rangeFilteredMetaTerms(spark, metaDir, queryVec,
+      MetaTerm.ofPairs(pred), minSim)
+
+  /** [[rangeFilteredMeta]] for typed terms */
+  def rangeFilteredMetaTerms(spark: SparkSession, metaDir: String,
+                        queryVec: Array[Float], terms: Seq[MetaTerm],
+                        minSim: Double): DataFrame =
+    byValPrunedTerms(spark, metaDir, terms)
       .select(col("vec_id"),
         round(vectors.cosine_sim(col("embedding"), typedLit(queryVec)), 6)
           .as("sim"))
@@ -696,6 +1091,51 @@ object FilteredServe {
       // store fits its byte budget (zero seed Spark jobs — and the
       // escalation rungs re-seed, so this is paid up to 3× per serve),
       // pruned distributed read when over
+      SrpStore.walkVisitedCold(spark, srpDir, edgeDir, queryVec,
+        beam * math.min(f, 4), iters, maxEntries * f, graphK, probeRadius)
+    }
+  }
+
+  // reference-schema meta store — country partition-class, num_claims
+  // range-class (sql/02_schema.sql's filterable columns as
+  // ReferenceParity maps them onto the synthetic corpus) — built once
+  // per corpus dir for v43's serve; a real deployment writes it at
+  // ingest like every other store
+  private val refMetaCache = new graft.SessionCache[String, String](
+    4, TempStores.delete)
+  graft.Tables.onInvalidate { p =>
+    refMetaCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
+  def refMetaStoreFor(spark: SparkSession, d: String): String =
+    refMetaCache.getOrElseUpdate(spark, d) {
+      val dir = TempStores.track(
+        java.nio.file.Files.createTempDirectory("refmeta").toString)
+      val docs = Tables.documents(spark, d).select(
+        col("doc_id").as("vec_id"),
+        upper(substring(col("lang"), 1, 2)).as("country"),
+        (col("doc_id") % 43).as("num_claims"))
+      writeMetaFrom(spark, dir, docs, Seq("country"),
+        Tables.embeddings(spark, d)
+          .filter(col("embedding").isNotNull &&
+            size(col("embedding")) === SrpBanded.Dim)
+          .select(col("vec_id"), col("embedding")),
+        rangeCols = Seq("num_claims"))
+      dir
+    }
+
+  /** [[searchFiltered]] for typed-term conjunctions — the very-broad
+    * tier walks unfiltered and post-filters through the byid point
+    * read carrying the full typed comparison */
+  def searchFilteredTerms(spark: SparkSession, d: String, srpDir: String,
+                     edgeDir: String, queryVec: Array[Float],
+                     terms: Seq[MetaTerm], k: Int = 10,
+                     beam: Int = 8, iters: Int = 2, maxEntries: Int = 64,
+                     graphK: Int = 5, probeRadius: Int = 2,
+                     exactScanMax: Long = ExactScanMax,
+                     codeScanMax: Long = CodeScanMax): DataFrame = {
+    ensureMeta(spark, d, srpDir)
+    searchFilteredByTerms(spark, srpDir, queryVec, terms, k, exactScanMax,
+      codeScanMax) { f =>
       SrpStore.walkVisitedCold(spark, srpDir, edgeDir, queryVec,
         beam * math.min(f, 4), iters, maxEntries * f, graphK, probeRadius)
     }

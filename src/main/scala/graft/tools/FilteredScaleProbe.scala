@@ -80,7 +80,14 @@ object FilteredScaleProbe {
     val rpb = SrpBanded.rowsPerBandFor(n)
     val srpDir = s"$dir/srpstore"
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (!codeOnly && !new java.io.File(s"$srpDir/_keyspace").exists()) {
+    // reuse gate keyed to the CURRENT layout: a pre-r14 store (v1,
+    // embeddings in every band's rows) in a reused scale dir must
+    // rebuild, not serve — the v2 write overwrites it in place
+    def v2Store(p: String): Boolean = {
+      val kd = new java.io.File(s"$p/_keyspace")
+      kd.exists() && Option(kd.listFiles()).exists(_.exists(_.getName.startsWith("eg=")))
+    }
+    if (!codeOnly && !v2Store(srpDir)) {
       val (_, s) = time(SrpStore.write(spark, dir, srpDir, rpb))
       builds += "srp_store" -> s
     }
@@ -210,6 +217,21 @@ object FilteredScaleProbe {
       rs.map(_.getLong(1)).count(batchTruth(qid)).toDouble / batchTruth(qid).size
     }.sum / nBatchQ
 
+    // the HETEROGENEOUS-predicate batch (r14): the same ~500-query
+    // slice, each query carrying its own doc's lang as its predicate
+    // (5 groups ≈ 20% matching each) — grouped-by-predicate union of
+    // per-group pruned batch plans; ms/q is the amortized-cost claim
+    val mixedQueries = spark.read.parquet(embPath)
+      .filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .join(spark.read.parquet(docPath)
+        .select(col("doc_id").as("query_id"), col("lang")), Seq("query_id"))
+    val (mixedGot, mixedS) = time {
+      FilteredServe.searchFilteredBatchMixed(spark, srpDir, mixedQueries,
+        Seq("lang"), k = 10).collect()
+    }
+    val nMixedQ = math.max(1, mixedGot.map(_.getLong(0)).distinct.length)
+
     println(s"""{"metric":"filtered_scale","copies":$copies,"rows":$n,"rpb":$rpb,""" +
       s""""sel_matching":$selMatching,"sel_ms_per_q":${f"$exactMsQ%.1f"},"sel_path":"$exactPath",""" +
       s""""byval_partitions_read":$partsRead,"byval_partitions_total":100,""" +
@@ -219,6 +241,8 @@ object FilteredScaleProbe {
       s""""walk_recall_at_10":${f"$walkRecall%.3f"},"unfiltered_recall_at_10":${f"$meanUnfiltered%.3f"},""" +
       s""""batch_queries":$nBatchQ,"batch_ms_per_q":${f"${batchS / nBatchQ * 1000}%.1f"},""" +
       s""""batch_recall_at_10":${f"$batchRecall%.3f"},""" +
+      s""""mixed_batch_queries":$nMixedQ,"mixed_batch_groups":5,""" +
+      s""""mixed_batch_ms_per_q":${f"${mixedS / nMixedQ * 1000}%.1f"},""" +
       s""""builds":{${builds.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",")}}}""")
     spark.stop()
   }

@@ -25,6 +25,7 @@ object StoreSizeProbe {
       "corpus_embeddings" -> "embeddings.parquet",
       "corpus_documents" -> "documents.parquet",
       "srp_banded" -> "srpstore/banded",
+      "srp_embed" -> "srpstore/embed",
       "srp_banding" -> "srpstore/banding",
       "edge_store" -> "edgestore",
       "meta_byval" -> "srpstore/meta/byval",

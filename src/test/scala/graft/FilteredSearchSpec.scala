@@ -524,4 +524,151 @@ class FilteredSearchSpec extends AnyFunSuite {
       FilteredServe.matchCount(spark, srpDir, Seq.empty)
     }
   }
+
+  // ---- typed predicates (range/inequality, r14) -----------------
+
+  import graft.sources.MetaTerm
+
+  /** exact filtered top-k over the reference-schema meta store's
+    * predicate (country = 'EN' ∧ num_claims ≥ n), computed from the
+    * corpus tables */
+  private def exactRefFiltered(nClaims: Long, k: Int): Seq[Seq[Any]] = {
+    val docs = Tables.documents(spark, sf)
+      .filter(upper(substring(col("lang"), 1, 2)) === "EN" &&
+        col("doc_id") % 43 >= nClaims)
+      .select(col("doc_id"))
+    val emb = Tables.embeddings(spark, sf)
+    emb.join(docs, emb("vec_id") === docs("doc_id"), "left_semi")
+      .select(col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("embedding"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        Seq[Any](r.getLong(0), i + 1,
+          BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
+  test("range predicate: exact tier over partition-pruned dirs + in-scan residual equals brute force") {
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val terms = Seq(MetaTerm.Eq("country", "EN"),
+      MetaTerm.Cmp("num_claims", ">=", "22"))
+    val res = FilteredServe.searchFilteredMetaTerms(spark, dir, q, terms, k = 10)
+    assert(FilteredServe.lastFilteredPath == "exact",
+      s"expected exact tier, took ${FilteredServe.lastFilteredPath}")
+    assert(res.collect().map(_.toSeq).toSeq == exactRefFiltered(22, 10),
+      "range-predicate exact tier diverged from brute force")
+    // the equality term still prunes statically (combo enumeration)
+    assert(FilteredServe.lastByValPlan.contains("PartitionFilters") &&
+      FilteredServe.lastByValPlan.contains("country"),
+      s"byval read not partition-pruned:\n${FilteredServe.lastByValPlan}")
+  }
+
+  test("range predicate: code tier candidates all satisfy the comparison (purity) and cover at this scale") {
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val terms = Seq(MetaTerm.Eq("country", "EN"),
+      MetaTerm.Cmp("num_claims", ">=", "22"))
+    val res = FilteredServe.searchFilteredMetaTerms(spark, dir, q, terms,
+      k = 10, exactScanMax = 0L)
+    assert(FilteredServe.lastFilteredPath.startsWith("code:"),
+      s"expected code tier, took ${FilteredServe.lastFilteredPath}")
+    // covering regime (matching ≤ W): the tier IS the exact ranking
+    assert(res.collect().map(_.toSeq).toSeq == exactRefFiltered(22, 10),
+      "covering code tier diverged from the exact filtered ranking")
+    // purity: every returned id satisfies the full conjunction
+    val ids = res.collect().map(_.getLong(0)).toSet
+    val legal = Tables.documents(spark, sf)
+      .filter(upper(substring(col("lang"), 1, 2)) === "EN" &&
+        col("doc_id") % 43 >= 22)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(legal), s"predicate leak: ${ids.diff(legal)}")
+  }
+
+  test("comparison on a PARTITION column reduces to enumerated combos — still static pruning") {
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    // country ∈ {DE,EN,ES,FR,ZH}; >= 'F' lexicographically = {FR, ZH}
+    val pruned = FilteredServe.byValPrunedTerms(spark, dir,
+      Seq(MetaTerm.Cmp("country", ">=", "F")))
+    assert(FilteredServe.lastByValPlan.contains("PartitionFilters"),
+      s"partition-column comparison not statically pruned:\n${FilteredServe.lastByValPlan}")
+    val got = pruned.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val want = Tables.documents(spark, sf)
+      .filter(upper(substring(col("lang"), 1, 2)).isin("FR", "ZH"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, "combo-reduced comparison diverged from the truth set")
+  }
+
+  test("planner cardinality: exact for partition-class terms, histogram estimate sane for range terms") {
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    // partition-class only → exact combo sums
+    val enCount = Tables.documents(spark, sf)
+      .filter(upper(substring(col("lang"), 1, 2)) === "EN").count()
+    assert(FilteredServe.estimateCount(spark, dir,
+      Seq(MetaTerm.Eq("country", "EN"))) == enCount)
+    // range term: the equi-width histogram over num_claims (uniform
+    // mod-43 values) must estimate within a bin's width of the truth
+    val actual = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 43 >= 22).count()
+    val est = FilteredServe.estimateCount(spark, dir,
+      Seq(MetaTerm.Cmp("num_claims", ">=", "22")))
+    assert(math.abs(est - actual).toDouble / actual < 0.25,
+      s"histogram estimate $est too far from actual $actual")
+    // declared range column is readable off the store's own artifact
+    assert(FilteredServe.storeRangeCols(spark, dir) == Seq("num_claims"))
+    // undeclared column still refuses loudly
+    intercept[IllegalArgumentException] {
+      FilteredServe.estimateCount(spark, dir,
+        Seq(MetaTerm.Cmp("n_chars", ">=", "10")))
+    }
+  }
+
+  test("typed walk tier: inequality post-filter through byid keeps only satisfying candidates") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val terms = Seq(MetaTerm.Cmp("lang", "!=", "en"))
+    val res = FilteredServe.searchFilteredTerms(spark, sf, srpDir, edgeDir,
+      q, terms, k = 5, exactScanMax = 0L, codeScanMax = 0L)
+    assert(FilteredServe.lastFilteredPath.startsWith("walk:") ||
+      FilteredServe.lastFilteredPath == "fallback",
+      s"expected the walk tier, took ${FilteredServe.lastFilteredPath}")
+    val got = res.collect()
+    assert(got.nonEmpty)
+    val ids = got.map(_.getLong(0)).toSet
+    val nonEn = Tables.documents(spark, sf).filter(col("lang") =!= "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(nonEn), s"inequality leak: ${ids.diff(nonEn)}")
+  }
+
+  test("mixed-predicate batch equals per-predicate batch serves, one pruned scan per group") {
+    import spark.implicits._
+    val srpDir = SrpStore.storeFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id").as("query_id"), col("lang")), Seq("query_id"))
+    val mixed = FilteredServe.searchFilteredBatchMixed(spark, srpDir,
+      queries, Seq("lang"), k = 5)
+      .collect().map(_.toSeq).groupBy(_.head)
+    assert(mixed.nonEmpty)
+    // every query's rows equal the single-predicate batch serve run
+    // with that query's own predicate
+    val byLang = queries.select(col("query_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byLang.values.toSeq.distinct.foreach { l =>
+      val g = queries.filter(col("lang") === l)
+        .select(col("query_id"), col("q_vec"))
+      val single = FilteredServe.searchFilteredBatchFrom(spark, srpDir, g,
+          Seq(MetaTerm.Eq("lang", l)), k = 5)
+        .collect().map(_.toSeq).groupBy(_.head)
+      single.foreach { case (qid, rows) =>
+        assert(mixed(qid).toSeq == rows.toSeq,
+          s"mixed batch diverged from single-predicate batch for query $qid (lang=$l)")
+      }
+    }
+  }
 }
