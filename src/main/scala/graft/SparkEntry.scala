@@ -563,10 +563,10 @@ object SparkEntry {
     "p2_curation_summary" -> Pipeline.curationSummarySql,
     "v18_knn_graph" -> SrpBanded.knnGraphSql(),
     "v19_graph_search" -> SrpBanded.graphSearchSql(queryVecSql,
-      SrpBanded.queryProbeKeysPr(FakeEmbedder.embed(SearchText))),
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     // same oracle as v19: the stored path must return the same rows
     "v20_graph_search_stored" -> SrpBanded.graphSearchSql(queryVecSql,
-      SrpBanded.queryProbeKeysPr(FakeEmbedder.embed(SearchText))),
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     "v21_nn_descent" -> SrpBanded.nnDescentGraphSql(),
     "r1_ref_filtered_knn" -> ReferenceParity.findSimilarLiveSql(queryVecSql),
     "r2_ref_record_lookup" -> ReferenceParity.recordByIdSql("POL-00000042"),
@@ -636,13 +636,13 @@ object SparkEntry {
     "v24_ivfpq_residual_stored" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     "v29_ivfpq_batch" -> IvfPqResidual.batchSearchSql(JoinQueryFilter),
     "v25_graph_search_refined" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
-      SrpBanded.queryProbeKeysPr(FakeEmbedder.embed(SearchText))),
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     "v26_graph_search_batch" -> SrpBanded.graphSearchBatchSql(JoinQueryFilter),
     // same oracle as v26: stored banding must yield the same batch
     "v27_graph_search_batch_stored" -> SrpBanded.graphSearchBatchSql(JoinQueryFilter),
     // same oracle as v25: stored seeds + stored edges, same results
     "v28_graph_search_cold" -> SrpBanded.graphSearchRefinedSql(queryVecSql,
-      SrpBanded.queryProbeKeysPr(FakeEmbedder.embed(SearchText))),
+      SrpBanded.queryProbeKeys(FakeEmbedder.embed(SearchText))),
     // filtered stored search: the selective branch is an EXACT ranking
     // over only-matching rows, so the twin is the filtered exact top-k
     // (rank on the raw similarity — same tie order as the Scala cut —

@@ -274,25 +274,15 @@ object SrpBanded {
        |WHERE rk <= $k ORDER BY rk""".stripMargin
   }
 
-  private def searchTailSql(queryVecSql: String, probeKeys: Seq[(Int, Long, Int)],
+  private def searchTailSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
                             k: Int, beam: Int, iters: Int, maxEntries: Int,
                             graphCte: String): String = {
-    val probeValues =
-      probeKeys.map { case (b, bk, pr) => s"($b, $bk, $pr)" }.mkString(", ")
-    // the SeedBudget probing-sequence cut (pr·1000 − cnt, vec_id) —
-    // the same CTE shape as [[graphSearchBatchSql]]'s pool, single-
-    // query form. Never binds at the oracle SFs (pool < SeedBudget),
-    // replayed anyway so both engines agree at EVERY scale.
+    val probeValues = probeKeys.map { case (b, bk) => s"($b, $bk)" }.mkString(", ")
     s"""${qscoreSql(queryVecSql)},
-       |probe(band, bk, pr) AS (VALUES $probeValues),
+       |probe(band, bk) AS (VALUES $probeValues),
        |pool AS (
-       |  SELECT vec_id FROM (
-       |    SELECT vec_id, row_number() OVER (ORDER BY pr * 1000 - cnt, vec_id) AS rs
-       |    FROM (
-       |      SELECT b.vec_id, min(p.pr) AS pr, count(*) AS cnt
-       |      FROM bands b JOIN probe p ON b.band = p.band AND b.bk = p.bk
-       |      GROUP BY b.vec_id))
-       |  WHERE rs <= $SeedBudget),
+       |  SELECT DISTINCT b.vec_id FROM bands b
+       |  JOIN probe p ON b.band = p.band AND b.bk = p.bk),
        |f0s AS (
        |  SELECT pl.vec_id, s.sim FROM pool pl JOIN qscore s USING (vec_id)
        |  ORDER BY sim DESC, vec_id LIMIT $maxEntries),
@@ -704,20 +694,6 @@ object SrpBanded {
     (for { (b, key) <- exact; f <- flips } yield (b, key ^ f)).distinct.sorted
   }
 
-  /** [[queryProbeKeys]] with each probed bucket's flip radius attached
-    * — pr = the bucket key's Hamming distance from the query's own
-    * band key, the first-rank probing-sequence signal (Lv et al.,
-    * VLDB'07). Within a band mask↔key is bijective, so pr is a pure
-    * function of the (band, bk) pair. The single-query serves rank
-    * their [[SeedBudget]] cut on it exactly the way the batched path
-    * always has. */
-  def queryProbeKeysPr(queryVec: Array[Float], radius: Int = 2,
-                       rowsPerBand: Int = RowsPerBand): Seq[(Int, Long, Int)] = {
-    val exact = queryBandKeys(queryVec, Dim, rowsPerBand).toMap
-    queryProbeKeys(queryVec, radius, rowsPerBand).map { case (b, k) =>
-      (b, k, java.lang.Long.bitCount(k ^ exact(b)))
-    }
-  }
 
   /** v19: LSH-seeded graph ANN search — multi-probe SRP entry + k-NN
     * graph beam expansion (the public playbook: Charikar STOC'02
@@ -771,24 +747,20 @@ object SrpBanded {
   /** Exact-scored multi-probe seed pool over the in-memory banding —
     * the seeding stage [[graphSearch]] and [[graphSearchRefined]]
     * share (the persisted analogue is
-    * [[graft.sources.SrpStore.scoredPool]]).
-    *
-    * r14: the pool is cut to [[SeedBudget]] candidates BEFORE any
-    * embedding is scored, ranked by the same probing-sequence priority
-    * the batched path has always used (pr·1000 − cnt asc, vec_id) —
-    * lowest flip radius first, then most band collisions. The cut
-    * never binds at the oracle SFs (pool ≈ 374 at sf0.01 / 1474 at
-    * sf0.1 < 2048 — results bit-identical with or without it), but at
-    * corpus decades it caps the one seed-stage term that grows with
-    * corpus density, and it is what lets the persisted store keep ONE
-    * full-embedding copy instead of eight: the pool signals need only
-    * (vec_id, band, bk), so the store's banded rows carry no
-    * embeddings and exact scoring touches ≤ SeedBudget rows. The
-    * DuckDB twins replay the cut ([[searchTailSql]]), keeping both
-    * engines aligned at every scale. */
+    * [[graft.sources.SrpStore.scoredPool]]). The FULL pool is scored
+    * exactly — a SeedBudget-style pre-scoring cut was measured on the
+    * single-query walk tier in r14 and REJECTED: most of a radius-2
+    * pool ties at (flip radius 2, one collision), where the
+    * probing-sequence signals carry no further information and the
+    * tie-break degenerates to id order — walk recall@10 at the 10×
+    * decade fell 0.955 → 0.670 (docs/PERF.md r14). The pool is
+    * O(log²N)-bounded by the keyspace policy (probe keys ∝ rpb²,
+    * occupancy capped by [[rowsPerBandFor]]), so exact scoring it is
+    * the scale posture, not a liability; the BATCH path keeps its
+    * [[SeedBudget]] because per-query×pool there multiplies, and its
+    * recall evidence (r11 hard probe) was measured with the cut in. */
   private[graft] def scoredProbePool(spark: SparkSession, d: String,
-      queryVec: Array[Float], probeRadius: Int,
-      seedBudget: Int = SeedBudget): DataFrame = {
+      queryVec: Array[Float], probeRadius: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
@@ -796,20 +768,11 @@ object SrpBanded {
     // pool: corpus vectors in any probed (band, key) bucket — a
     // broadcast equi-join against the literal probe keys (a 296-term
     // OR chain codegens poorly; the join is one hash lookup per row)
-    val probeDf = queryProbeKeysPr(queryVec, probeRadius).toDF("band", "bk", "pr")
-    val budgeted = bandedOf(emb)
+    val probeDf = queryProbeKeys(queryVec, probeRadius).toDF("band", "bk")
+    bandedOf(emb)
       .join(broadcast(probeDf), Seq("band", "bk"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
-      // ONE bounded top-k buffer over the whole pool (no per-group
-      // state: the aggregate is global) — same priority, same ties as
-      // the batch path's per-query cut and the oracle's row_number
-      .agg(graft.functions.TopKPairs.top_k_pairs(
-        col("vec_id"), (col("pr") * lit(1000) - col("cnt")).cast("double"),
-        seedBudget, asc = true).as("__tk"))
-      .select(explode(col("__tk").getField("neighbor_id")).as("vec_id"))
-    budgeted
-      .join(emb, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
       .select(col("vec_id"),
         vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
   }
@@ -1418,7 +1381,7 @@ object SrpBanded {
     * c_iters stages — every stage mirrors [[graphSearchFrom]]:
     * seed = top-maxEntries of the scored pool, hop = frontier ∪
     * graph-neighbors rescored, frontier = top-beam. */
-  def graphSearchSql(queryVecSql: String, probeKeys: Seq[(Int, Long, Int)],
+  def graphSearchSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
                      k: Int = 10, beam: Int = 8, iters: Int = 2,
                      maxEntries: Int = 64, graphK: Int = 5): String =
     s"""WITH $srpBandsCtes,
@@ -1445,7 +1408,7 @@ object SrpBanded {
     * training + refinement CTEs produce the final refined edge set,
     * which then plays the `graph` role in [[graphSearchSql]]'s probe/
     * beam stages — unchanged seeding, unchanged hop arithmetic. */
-  def graphSearchRefinedSql(queryVecSql: String, probeKeys: Seq[(Int, Long, Int)],
+  def graphSearchRefinedSql(queryVecSql: String, probeKeys: Seq[(Int, Long)],
                             k: Int = 10, beam: Int = 8, iters: Int = 2,
                             maxEntries: Int = 64, graphK: Int = 5,
                             rounds: Int = 3): String =

@@ -793,8 +793,9 @@ object FilteredServe {
   private[graft] def codeFilteredTerms(spark: SparkSession, metaDir: String,
                                   queryVec: Array[Float],
                                   terms: Seq[MetaTerm], k: Int,
-                                  matching: Long): DataFrame = {
-    val w = shortlistWidth(matching)
+                                  matching: Long,
+                                  wOverride: Option[Int] = None): DataFrame = {
+    val w = wOverride.getOrElse(shortlistWidth(matching))
     val qk = SrpBanded.queryBandKeys(queryVec, SrpBanded.Dim, CodeRpb).map(_._2)
     // range-class residuals ride the same pruned code scan (the keys
     // and range columns are both in-row), so every shortlist candidate

@@ -469,50 +469,23 @@ object SrpStore {
     }
 
   /** [[scoredPool]] computed driver-side from the local store image:
-    * probed buckets looked up locally, the SeedBudget probing-sequence
-    * cut applied in memory (same priority, same ties as the
-    * distributed path and the oracle), survivors scored by the
+    * probed buckets looked up locally, the FULL pool scored by the
     * kernel's bit-identical local twin
-    * ([[graft.functions.vectors.cosine_sim_local]]). None when the
-    * store is over budget — caller falls back to the pruned scan. */
+    * ([[graft.functions.vectors.cosine_sim_local]]), deduped per
+    * vec_id (band copies would carry bit-identical sims). None when
+    * the store is over budget — caller falls back to the pruned scan. */
   private[graft] def scoredPoolLocal(spark: SparkSession, dir: String,
-      queryVec: Array[Float], probeRadius: Int = 2,
-      seedBudget: Int = SrpBanded.SeedBudget): Option[Seq[(Long, Double)]] =
+      queryVec: Array[Float],
+      probeRadius: Int = 2): Option[Seq[(Long, Double)]] =
     localStore(spark, dir).map { ls =>
-      val keys = SrpBanded.queryProbeKeysPr(queryVec, probeRadius,
+      val keys = SrpBanded.queryProbeKeys(queryVec, probeRadius,
         storeRpb(spark, dir))
-      // id → (min flip radius, collision count) over the probed buckets
-      val acc = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
-      keys.foreach { case (b, bk, pr) =>
-        ls.buckets.getOrElse((b, bk), Array.empty[Long]).foreach { id =>
-          val (p0, c0) = acc.getOrElse(id, (Int.MaxValue, 0))
-          acc.update(id, (math.min(p0, pr), c0 + 1))
-        }
-      }
-      acc.iterator
-        .map { case (id, (pr, cnt)) => (id, pr.toLong * 1000L - cnt) }
-        .toSeq
-        .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
-        .take(seedBudget)
-        .map { case (id, _) =>
-          (id, graft.functions.vectors.cosine_sim_local(ls.emb(id), queryVec))
-        }
+      keys.iterator
+        .flatMap(k => ls.buckets.getOrElse(k, Array.empty[Long]))
+        .toSeq.distinct
+        .map(id =>
+          (id, graft.functions.vectors.cosine_sim_local(ls.emb(id), queryVec)))
     }
-
-  /** Exact sims for an id set, read from the store's `embed/` copy —
-    * the fetch is partition-pruned to the ids' eg dirs (file-index
-    * decision) with the id InSet pushed to parquet row-group stats
-    * (dirs are vec_id-sorted). Bounded by the caller's id set — every
-    * serve here passes ≤ SeedBudget ids. */
-  private[graft] def scoreIds(spark: SparkSession, dir: String,
-      ids: Seq[Long], queryVec: Array[Float]): DataFrame = {
-    val nEg = storeEg(spark, dir)
-    val egs = ids.map(Math.floorMod(_, nEg)).distinct
-    embedFrame(spark, dir)
-      .filter(col("eg").isin(egs: _*) && col("vec_id").isin(ids: _*))
-      .select(col("vec_id"),
-        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
-  }
 
   /** The pruned banded seed read alone — (vec_id, band, bk) of the
     * probed buckets, partition-pruned; the pool stage [[scoredPool]]
@@ -529,37 +502,26 @@ object SrpStore {
   }
 
   /** The stored single-query scored pool (v2): pruned ids-only bucket
-    * read → (flip radius, collision count) per candidate → the
-    * [[SrpBanded.SeedBudget]] probing-sequence cut → exact cosine of
-    * the ≤ SeedBudget survivors from the `embed/` copy. Identical
-    * rows to the in-memory [[SrpBanded.scoredProbePool]] (same
-    * signals, same cut, same scoring kernel); the cut never binds at
-    * the oracle SFs, so pre-v2 results are reproduced bit-for-bit. */
+    * read → distinct pool ids → exact cosine from the `embed/` copy,
+    * all in ONE lazy distributed plan (the pool side is tiny — AQE
+    * broadcasts it into the embed scan). The FULL pool is scored
+    * exactly, like the in-memory twin: a SeedBudget-style pre-scoring
+    * cut was measured here in r14 and rejected (walk recall@10 at the
+    * 10× decade fell 0.955 → 0.670 — the probing-sequence signals
+    * cannot break the (radius-2, one-collision) tie mass; see
+    * [[SrpBanded.scoredProbePool]]). The pool is O(log²N)-bounded by
+    * the keyspace policy, so the embed-side read is the serve's cost
+    * floor at scale — the same bytes the v1 in-row layout read from
+    * its probed buckets, paid once instead of stored 8×. */
   def scoredPool(spark: SparkSession, dir: String,
-                 queryVec: Array[Float], probeRadius: Int = 2,
-                 seedBudget: Int = SrpBanded.SeedBudget): DataFrame = {
-    val rpb = storeRpb(spark, dir)
+                 queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val pruned = prunedSeedRows(spark, dir, queryVec, probeRadius)
     lastSeedScanPlan = pruned.queryExecution.executedPlan.toString
-    // per-row flip radius: popcount(bk ⊕ the query's key in that
-    // band) — a pure function of the row, no probe join needed
-    val exact = SrpBanded.queryBandKeys(queryVec, SrpBanded.Dim, rpb)
-    val qk = exact.tail.foldLeft(
-      when(col("band") === exact.head._1, lit(exact.head._2))) {
-      case (e, (b, k)) => e.when(col("band") === b, lit(k))
-    }.otherwise(lit(0L))
-    // the cut survivors collect to the driver: ≤ seedBudget ids — the
-    // same O(k)-driver license every single-query serve documents
-    val shortIds = pruned
+    val ids = pruned.select(col("vec_id")).distinct()
+    embedFrame(spark, dir)
+      .join(ids, Seq("vec_id"))
       .select(col("vec_id"),
-        bit_count(col("bk").bitwiseXOR(qk)).cast("int").as("pr"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("pr")).as("pr"), count(lit(1)).as("cnt"))
-      .orderBy(col("pr") * lit(1000) - col("cnt"), col("vec_id"))
-      .limit(seedBudget)
-      .select(col("vec_id"))
-      .collect().map(_.getLong(0)).toSeq
-    scoreIds(spark, dir, shortIds, queryVec)
+        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
   }
 
   /** v19 served from the persisted table: identical results to

@@ -169,6 +169,24 @@ object FilteredScaleProbe {
       rs.sum / rs.length
     }
     val codeRecall = recallOf(FilteredServe.CodeScanMax) // code tier
+    // W-sweep attribution (the r13 100×-dip question): the same code
+    // tier at 2× and 4× the policy width — if recall climbs, the dip
+    // is the W/matching ratio; if it doesn't, it's corpus structure
+    val broadMatching = FilteredServe.matchCount(spark, srpDir, broadPred)
+    def codeRecallAtW(w: Int): Double = {
+      val rs = qVecs.map { v =>
+        val got = FilteredServe.codeFilteredTerms(spark, srpDir, v,
+            graft.sources.MetaTerm.ofPairs(broadPred), k = 10,
+            matching = broadMatching, wOverride = Some(w))
+          .collect().map(_.getLong(0)).toSet
+        val truth = filteredTruth(v)
+        got.count(truth).toDouble / truth.size
+      }
+      rs.sum / rs.length
+    }
+    val wPolicy = FilteredServe.shortlistWidth(broadMatching)
+    val codeRecallW2 = codeRecallAtW(wPolicy * 2)
+    val codeRecallW4 = codeRecallAtW(wPolicy * 4)
     val walkRecall = if (codeOnly) -1.0 else recallOf(0L) // forced walk tier
     // the attribution baseline: the UNFILTERED walk's recall@10 vs the
     // unfiltered exact top-10 at the identical budget — the bar the
@@ -237,6 +255,8 @@ object FilteredScaleProbe {
       s""""byval_partitions_read":$partsRead,"byval_partitions_total":100,""" +
       s""""code_ms_per_q":${f"$codeMsQ%.1f"},"code_path":"$codePath",""" +
       s""""code_recall_at_10":${f"$codeRecall%.3f"},""" +
+      s""""code_w_policy":$wPolicy,"code_recall_w2":${f"$codeRecallW2%.3f"},""" +
+      s""""code_recall_w4":${f"$codeRecallW4%.3f"},""" +
       s""""walk_ms_per_q":${f"$walkMsQ%.1f"},"walk_path":"$walkPath",""" +
       s""""walk_recall_at_10":${f"$walkRecall%.3f"},"unfiltered_recall_at_10":${f"$meanUnfiltered%.3f"},""" +
       s""""batch_queries":$nBatchQ,"batch_ms_per_q":${f"${batchS / nBatchQ * 1000}%.1f"},""" +
