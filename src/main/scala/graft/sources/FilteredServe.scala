@@ -136,8 +136,16 @@ object FilteredServe {
 
   /** shortlist width grows with the matching count at this ratio
     * (W = matching/ratio, floored at [[CodeShortlist]]) so recall is
-    * roughly scale-free across matching-set decades */
-  val ShortlistRatio = 64L
+    * roughly scale-free across matching-set decades. r14 re-keyed
+    * 64 → 16 on the measured W-sweep (FilteredScaleProbe
+    * code_recall_w2/w4): the r13 100×-decade dip (0.820 at ratio 64)
+    * was the RATIO, not corpus structure — the same tier at ratio 32
+    * read 0.920 and at ratio 16 read 0.965, while decades whose
+    * matching count keeps W at the floor or the cap were already at
+    * 0.95+. The rerank is a W-row pruned point fetch — trivial next
+    * to the code scan — so the 4× width buys recall for noise-level
+    * cost. */
+  val ShortlistRatio = 16L
 
   /** driver-side shortlist cap — the collect-then-InSet point fetch
     * stays O(k-ish); past ~1M matching rows the W/matching ratio
