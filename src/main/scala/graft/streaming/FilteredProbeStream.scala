@@ -43,6 +43,45 @@ object FilteredProbeStream {
     else perQuery.reduce(_ unionAll _)
   }
 
+  /** [[probeBatch]] with SET-BASED amortization (r14): the micro-batch
+    * is GROUPED BY PREDICATE VALUE — the reference's request shape has
+    * many callers sharing a filter — and a group whose shortlist
+    * policy COVERS its matching set (W ≥ matching, the regime where
+    * the batched code tier IS the exact filtered ranking) serves
+    * through ONE set-based plan ([[FilteredServe.searchFilteredBatchFrom]]:
+    * one pruned code scan + per-query shortlist + rerank for the whole
+    * group) instead of |group| single serves. Groups outside the
+    * covering regime, and singletons (nothing to amortize), keep the
+    * per-request three-tier serve. Rows are IDENTICAL to
+    * [[probeBatch]] by construction — covering ⇒ both paths emit the
+    * exact filtered per-query top-k with the same tie and rounding
+    * contract — which the spec asserts on a mixed micro-batch. */
+  def probeBatchGrouped(spark: SparkSession, d: String, srpDir: String,
+                 edgeDir: String,
+                 queries: Seq[(Long, Array[Float], Seq[(String, String)])],
+                 k: Int): DataFrame = {
+    import spark.implicits._
+    FilteredServe.ensureMeta(spark, d, srpDir)
+    val parts = queries.groupBy(_._3).toSeq
+      .sortBy(_._1.map(p => s"${p._1}=${p._2}").mkString(","))
+      .map { case (pred, qs) =>
+        val matching = FilteredServe.matchCount(spark, srpDir, pred)
+        val covering = matching > 0 &&
+          FilteredServe.shortlistWidth(matching) >= matching
+        if (qs.size >= 2 && covering) {
+          val qdf = qs.map { case (qid, qv, _) => (qid, qv) }
+            .toDF("query_id", "q_vec")
+          FilteredServe.searchFilteredBatchFrom(spark, srpDir, qdf,
+            graft.sources.MetaTerm.ofPairs(pred), k)
+        } else probeBatch(spark, d, srpDir, edgeDir, qs, k)
+      }
+    if (parts.isEmpty)
+      Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rk", "sim")
+    else parts.map(_.toDF("query_id", "neighbor_id", "rk", "sim"))
+      .reduce(_ unionAll _)
+  }
+
   /** Drain a filtered-query stream through the meta artifacts once
     * (AvailableNow), returning all emitted rows. Records are
     * `{query_id, query_text, lang[, source]}` — the predicate rides
@@ -70,7 +109,10 @@ object FilteredProbeStream {
             (r.getLong(0), embedder.embed(r.getString(1)), pred)
           }.toSeq
         if (qs.nonEmpty) {
-          val rows = probeBatch(spark, d, srpDir, edgeDir, qs, k).collect()
+          // grouped-by-predicate set-based serving — identical rows to
+          // the per-request path (probeBatchGrouped doc), amortized
+          val rows = probeBatchGrouped(spark, d, srpDir, edgeDir, qs, k)
+            .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
           out.synchronized { out ++= rows: Unit }
         }

@@ -369,6 +369,36 @@ class FilteredSearchSpec extends AnyFunSuite {
       s"batch code scan not pruned/projected:\n${FilteredServe.lastCodeScanPlan}")
   }
 
+  test("grouped-by-predicate micro-batch serving equals the per-request path exactly") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    // a mixed micro-batch: two predicate groups with 2+ queries each
+    // (→ the amortized set-based plan) plus a singleton (→ the
+    // per-request three-tier serve)
+    val qv = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, 50L, 100L, 150L, 200L) &&
+        col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val reqs = Seq(
+      (1L, qv(0L), Seq("lang" -> "en")),
+      (2L, qv(50L), Seq("lang" -> "en")),
+      (3L, qv(100L), Seq("lang" -> "de")),
+      (4L, qv(150L), Seq("lang" -> "de")),
+      (5L, qv(200L), Seq("lang" -> "fr", "source" -> "src2")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val grouped = rows(graft.streaming.FilteredProbeStream
+      .probeBatchGrouped(spark, sf, srpDir, edgeDir, reqs, k = 5))
+    val single = rows(graft.streaming.FilteredProbeStream
+      .probeBatch(spark, sf, srpDir, edgeDir, reqs, k = 5))
+    assert(grouped == single,
+      "grouped micro-batch serving diverged from per-request serves")
+    assert(grouped.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("streaming filtered probe: per-request predicates equal their batch serves across micro-batches") {
     import spark.implicits._
     val srpDir = SrpStore.storeFor(spark, sf)
