@@ -696,9 +696,6 @@ object FilteredServe {
       s"predicate columns ${bad.mkString(",")} not in declared meta columns ${declared.mkString(",")}")
   }
 
-  private def predCol(pred: Seq[(String, String)]): Column =
-    pred.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-
   /** The byval rows matching a typed-term conjunction, ALL columns:
     * partition-class terms (equality or comparison) reduce to the
     * enumerated matching combos — an OR of partition-column equality
@@ -958,7 +955,7 @@ object FilteredServe {
       .localCheckpoint(true) // each group's plan re-reads the slice
     val groups = qs.select(predCols.map(col): _*).distinct().collect()
       .map(r => predCols.indices.map(i => predCols(i) -> r.getString(i)).toSeq)
-      .sortBy(_.map(_._2).mkString(" "))
+      .sortBy(_.map(_._2).mkString("|"))
     val plans = groups.map { pred =>
       val g = qs.filter(pred.map { case (c, v) => col(c) === lit(v) }
           .reduce(_ && _))
