@@ -95,12 +95,46 @@ object tvf {
 
   private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
-  /** trailing (col, val) literal pairs → the predicate every filtered
-    * serve takes (one parser, so the four family TVFs cannot drift) */
-  private def predOf(xs: Seq[Expression]): Seq[(String, String)] =
-    xs.grouped(2).map { p =>
-      litStr(p(0), "predicate column") -> litStr(p(1), "predicate value")
-    }.toSeq
+  /** Trailing predicate literals → the typed-term conjunction every
+    * filtered serve takes (ONE parser, so the family TVFs cannot
+    * drift). Two spellings per term, mixable in one call:
+    *
+    *  - `col, val` — equality (the legacy pair shape);
+    *  - `col, op, val` — a typed comparison, op ∈
+    *    [[graft.sources.MetaTerm.CmpOps]] (`'num_claims', '>=', '22'`
+    *    — the reference's range-predicate shape, sql/02_schema.sql's
+    *    `num_claims`/`date` through tools.yaml's statement surface).
+    *
+    * Parsed greedily: after a column, a literal that IS an operator
+    * token binds as the operator of a 3-ary term. A predicate VALUE
+    * that happens to be an operator token (`val = ">="`) must
+    * therefore spell its equality explicitly: `col, '=', '>='`.
+    * Semantics split exactly as [[graft.sources.MetaTerm]] does: the
+    * pair shape is EXACT string equality ([[graft.sources.MetaTerm.Eq]],
+    * partition-class columns only), the 3-ary shape — including
+    * explicit `=`/`==` — is the TYPED comparison (numeric when the
+    * value parses numeric; legal on range-class columns). */
+  private[graft] def termsOf(xs: Seq[Expression]): Seq[graft.sources.MetaTerm] = {
+    val out = Seq.newBuilder[graft.sources.MetaTerm]
+    var i = 0
+    while (i < xs.length) {
+      val c = litStr(xs(i), "predicate column")
+      require(i + 1 < xs.length,
+        s"predicate column '$c' has no value (terms are col,val or col,op,val)")
+      val second = litStr(xs(i + 1), "predicate operator or value")
+      if (graft.sources.MetaTerm.CmpOps.contains(second)) {
+        require(i + 2 < xs.length,
+          s"predicate '$c $second' has no value (terms are col,op,val)")
+        val v = litStr(xs(i + 2), "predicate value")
+        out += graft.sources.MetaTerm.Cmp(c, second, v)
+        i += 3
+      } else {
+        out += graft.sources.MetaTerm.Eq(c, second)
+        i += 2
+      }
+    }
+    out.result()
+  }
 
   /** name → (arity range, builder) — one table per serve family, so
     * the injection and the runtime registration share one source */
@@ -136,62 +170,61 @@ object tvf {
           FakeEmbedder.embed(litStr(xs(1), "query_text")), k = kOf(xs, 2, 10)))
       }),
     ("graft_filtered_search",
-      "graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered stored ANN",
+      "graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered stored ANN",
       (xs: Seq[Expression]) => {
-        require(xs.length >= 7 && (xs.length - 5) % 2 == 0,
-          s"graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        require(xs.length >= 7,
+          s"graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        val pred = predOf(xs.drop(5))
-        planOf(graft.sources.FilteredServe.searchFiltered(spark,
+        planOf(graft.sources.FilteredServe.searchFilteredTerms(spark,
           litStr(xs(0), "corpus_dir"), litStr(xs(1), "srp_dir"),
           litStr(xs(2), "edge_dir"),
-          FakeEmbedder.embed(litStr(xs(3), "query_text")), pred,
+          FakeEmbedder.embed(litStr(xs(3), "query_text")), termsOf(xs.drop(5)),
           k = litLong(xs(4), "k").toInt))
       }),
     ("graft_code_filtered_search",
-      "graft_code_filtered_search(code_dir, meta_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered code-scan ANN",
+      "graft_code_filtered_search(code_dir, meta_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered code-scan ANN",
       (xs: Seq[Expression]) => {
-        require(xs.length >= 6 && (xs.length - 4) % 2 == 0,
-          s"graft_code_filtered_search(code_dir, meta_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        require(xs.length >= 6,
+          s"graft_code_filtered_search(code_dir, meta_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.CodeStore.searchFiltered(spark,
+        planOf(graft.sources.CodeStore.searchFilteredTerms(spark,
           litStr(xs(0), "code_dir"), litStr(xs(1), "meta_dir"),
-          FakeEmbedder.embed(litStr(xs(2), "query_text")), predOf(xs.drop(4)),
+          FakeEmbedder.embed(litStr(xs(2), "query_text")), termsOf(xs.drop(4)),
           k = litLong(xs(3), "k").toInt))
       }),
     ("graft_hnsw_filtered_search",
-      "graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered hierarchical ANN",
+      "graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered hierarchical ANN",
       (xs: Seq[Expression]) => {
-        require(xs.length >= 6 && (xs.length - 4) % 2 == 0,
-          s"graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        require(xs.length >= 6,
+          s"graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.HnswStore.searchFiltered(spark,
+        planOf(graft.sources.HnswStore.searchFilteredTerms(spark,
           litStr(xs(0), "hnsw_dir"), litStr(xs(1), "meta_dir"),
-          FakeEmbedder.embed(litStr(xs(2), "query_text")), predOf(xs.drop(4)),
+          FakeEmbedder.embed(litStr(xs(2), "query_text")), termsOf(xs.drop(4)),
           k = litLong(xs(3), "k").toInt))
       }),
     ("graft_ivfpq_filtered_search",
-      "graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col1, val1[, col2, val2]) - metadata-filtered quantization ANN",
+      "graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered quantization ANN",
       (xs: Seq[Expression]) => {
-        require(xs.length >= 7 && (xs.length - 5) % 2 == 0,
-          s"graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        require(xs.length >= 7,
+          s"graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.IvfPqStore.searchFilteredResidual(spark,
+        planOf(graft.sources.IvfPqStore.searchFilteredResidualTerms(spark,
           litStr(xs(0), "pq_dir"), litStr(xs(1), "meta_dir"),
           graft.Tables.embeddings(spark, litStr(xs(2), "corpus_dir")),
           "embedding", "vec_id",
-          FakeEmbedder.embed(litStr(xs(3), "query_text")), predOf(xs.drop(5)),
+          FakeEmbedder.embed(litStr(xs(3), "query_text")), termsOf(xs.drop(5)),
           k = litLong(xs(4), "k").toInt))
       }),
     ("graft_meta_filtered_search",
-      "graft_meta_filtered_search(meta_dir, query_text, k, col1, val1[, col2, val2]) - filtered ANN from the meta artifacts alone (exact or code tier)",
+      "graft_meta_filtered_search(meta_dir, query_text, k, col1, [op1,] val1, ...) - filtered ANN from the meta artifacts alone (exact or code tier)",
       (xs: Seq[Expression]) => {
-        require(xs.length >= 5 && (xs.length - 3) % 2 == 0,
-          s"graft_meta_filtered_search(meta_dir, query_text, k, col, val, ...): got ${xs.length} args")
+        require(xs.length >= 5,
+          s"graft_meta_filtered_search(meta_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.FilteredServe.searchFilteredMeta(spark,
+        planOf(graft.sources.FilteredServe.searchFilteredMetaTerms(spark,
           litStr(xs(0), "meta_dir"),
-          FakeEmbedder.embed(litStr(xs(1), "query_text")), predOf(xs.drop(3)),
+          FakeEmbedder.embed(litStr(xs(1), "query_text")), termsOf(xs.drop(3)),
           k = litLong(xs(2), "k").toInt))
       }),
     ("graft_dedup_check",

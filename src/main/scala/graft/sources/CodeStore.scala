@@ -170,17 +170,32 @@ object CodeStore {
                      queryVec: Array[Float], pred: Seq[(String, String)],
                      k: Int = 10, shortlist: Int = HammingIndex.Shortlist,
                      exactScanMax: Long = FilteredServe.ExactScanMax,
+                     codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
+    searchFilteredTerms(spark, dir, metaDir, queryVec,
+      MetaTerm.ofPairs(pred), k, shortlist, exactScanMax, codeScanMax)
+
+  /** [[searchFiltered]] for typed-term conjunctions (the reference's
+    * `num_claims >= N AND country = 'EN'` class): the tier decision
+    * rides [[FilteredServe.plannerCount]]'s histogram estimate when
+    * range-class comparisons participate, and the very-broad scan's
+    * post-filter evaluates the full comparison conjunction through
+    * the pruned byid point read. */
+  def searchFilteredTerms(spark: SparkSession, dir: String, metaDir: String,
+                     queryVec: Array[Float], terms: Seq[MetaTerm],
+                     k: Int = 10, shortlist: Int = HammingIndex.Shortlist,
+                     exactScanMax: Long = FilteredServe.ExactScanMax,
                      codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame = {
-    val matching = FilteredServe.matchCount(spark, metaDir, pred)
+    val matching = FilteredServe.plannerCount(spark, metaDir, terms)
     if (matching <= exactScanMax) {
       FilteredServe.lastFilteredPath = "exact"
-      FilteredServe.exactFiltered(spark, metaDir, queryVec, pred, k)
+      FilteredServe.recordCoverage("exact", matching, matching)
+      FilteredServe.exactFilteredTerms(spark, metaDir, queryVec, terms, k)
     } else if (matching <= codeScanMax) {
       // mid-selectivity: the shared per-value code tier — a
       // partition-pruned scan of only the MATCHING rows' codes beats
       // this store's full-corpus scan + post-filter at any sub-unit
       // selectivity (fewer code bytes, zero post-filter loss)
-      FilteredServe.codeFiltered(spark, metaDir, queryVec, pred, k, matching)
+      FilteredServe.codeFilteredTerms(spark, metaDir, queryVec, terms, k, matching)
     } else {
       val f0 = FilteredServe.walkStartFactor(matching,
         FilteredServe.totalCount(spark, metaDir))
@@ -191,12 +206,13 @@ object CodeStore {
         val f = math.min(e * f0, 64)
         val ids = scan.orderBy(col("ham").asc, col("vec_id").asc)
           .limit(shortlist * f).collect().map(_.getLong(0)).toSeq
-        val ok = FilteredServe.matchingIds(spark, metaDir, pred, ids)
-        (f, ids.filter(ok))
-      }.find(_._2.size >= k)
+        val ok = FilteredServe.matchingIdsTerms(spark, metaDir, terms, ids)
+        (f, ids.length, ids.filter(ok))
+      }.find(_._3.size >= k)
       hit match {
-        case Some((f, okIds)) =>
+        case Some((f, scanned, okIds)) =>
           FilteredServe.lastFilteredPath = s"scan:$f"
+          FilteredServe.recordCoverage(s"scan:$f", matching, scanned.toLong)
           val pbs = okIds.map(Math.floorMod(_, Partitions.toLong)).distinct
           val fetch = fullFrame(spark, dir)
             .filter(col("pb").isin(pbs: _*) && col("vec_id").isin(okIds: _*))
@@ -204,7 +220,8 @@ object CodeStore {
           HammingIndex.rerank(fetch, queryVec, k)
         case None =>
           FilteredServe.lastFilteredPath = "fallback"
-          FilteredServe.exactFiltered(spark, metaDir, queryVec, pred, k)
+          FilteredServe.recordCoverage("fallback", matching, matching)
+          FilteredServe.exactFilteredTerms(spark, metaDir, queryVec, terms, k)
       }
     }
   }

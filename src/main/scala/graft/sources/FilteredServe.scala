@@ -14,7 +14,7 @@ import graft.functions.vectors
   * equality conjunctions:
   *
   *  - [[MetaTerm.Eq]] — equality on any declared column;
-  *  - [[MetaTerm.Cmp]] — `>= > <= < !=` with the value compared
+  *  - [[MetaTerm.Cmp]] — `= >= > <= < !=` with the value compared
   *    NUMERICALLY when it parses as a number (the store is
   *    string-canonical; a non-numeric stored value fails a numeric
   *    comparison the way SQL's NULL does — excluded), and
@@ -32,9 +32,14 @@ sealed trait MetaTerm { def column: String }
 object MetaTerm {
   final case class Eq(column: String, value: String) extends MetaTerm
   final case class Cmp(column: String, op: String, value: String) extends MetaTerm {
-    require(Seq(">=", ">", "<=", "<", "!=").contains(op),
+    require(MetaTerm.CmpOps.contains(op),
       s"unsupported comparison operator '$op'")
   }
+  /** the comparison operators [[Cmp]] accepts — `=`/`==` included so
+    * the reference's `num_claims = N` shape is expressible on a
+    * range-class column (where [[Eq]] is rejected: equality there is
+    * a Cmp with typed-NUMERIC semantics, not a partition lookup) */
+  val CmpOps: Set[String] = Set("=", "==", ">=", ">", "<=", "<", "!=")
   /** the legacy equality-conjunction shape, lifted */
   def ofPairs(pred: Seq[(String, String)]): Seq[MetaTerm] =
     pred.map { case (c, v) => Eq(c, v) }
@@ -147,19 +152,46 @@ object FilteredServe {
     * cost. */
   val ShortlistRatio = 16L
 
-  /** driver-side shortlist cap — the collect-then-InSet point fetch
-    * stays O(k-ish); past ~1M matching rows the W/matching ratio
-    * thins below 1/128 and code-tier recall decays slowly (logged in
-    * PERF.md, never silent) */
+  /** the single-scan fast-path bound: W ≤ this serves the shortlist
+    * via one `orderBy(ham).limit(W)` (a parts×W driver merge — fine at
+    * this size); larger W routes through the HISTOGRAM-THRESHOLD
+    * shortlist ([[hammingShortlistIds]]) whose driver state is the
+    * final W ids only. Also the floor of the coverage-keyed cap. */
   val MaxShortlist = 8192
+
+  /** the COVERAGE FLOOR: W never thins below matching/this. The r14
+    * fixed cap (8192 flat) let W/matching fall without bound as the
+    * matching set grew — measured recall@10 0.970 → 0.905 across one
+    * decade of matching growth at the same capped W, while the
+    * in-probe W-sweep proved recall climbs monotonically with W
+    * (docs/filtered_scale_r14_10000x.json: w2 0.955, w4 0.985). Keying
+    * the cap to the matching count makes the tier's recall guarantee
+    * matching-keyed again: at the tier ceiling (CodeScanMax = 50M
+    * matching) W = 390,625 — ~3 MB of ids on the driver, and the
+    * rerank is a W-row pruned batch join, not driver state. */
+  val MinCoverageRatio = 128L
 
   /** cap on the selectivity-keyed walk start factor */
   val MaxWalkFactor = 8
 
-  /** THE code-tier shortlist policy — one definition, so the
-    * single-query and batched serves cannot fork on W (the covering
-    * contract "W ≥ matching ⇒ exact" must hold for both) */
-  def shortlistWidth(matching: Long): Int =
+  /** THE single-query code-tier shortlist policy: W = matching/
+    * [[ShortlistRatio]], floored at [[CodeShortlist]], capped at the
+    * COVERAGE-KEYED bound max([[MaxShortlist]], matching/
+    * [[MinCoverageRatio]]) — so coverage W/matching stays ≥ 1/128 at
+    * every matching count the tier serves (the covering contract
+    * "W ≥ matching ⇒ exact" still holds below the floor). */
+  def shortlistWidth(matching: Long): Int = {
+    val policy = math.max(CodeShortlist.toLong, matching / ShortlistRatio)
+    val cap = math.max(MaxShortlist.toLong, matching / MinCoverageRatio)
+    math.min(policy, cap).toInt
+  }
+
+  /** the BATCHED serve's W policy keeps the FIXED cap: the batch's
+    * shortlist lives in per-query [[graft.functions.TopKPairs]]
+    * aggregate buffers (|Q|-multiplied per partition partial), so a
+    * matching-keyed W there scales memory with |Q|·matching/128 —
+    * the documented batch recall floor (PERF.md r15) instead. */
+  def shortlistWidthBatch(matching: Long): Int =
     math.min(MaxShortlist.toLong,
       math.max(CodeShortlist.toLong, matching / ShortlistRatio)).toInt
 
@@ -173,6 +205,36 @@ object FilteredServe {
   /** executed plan of the last code-tier shortlist scan — spec hook
     * (the column-pruning claim: no embedding bytes in ReadSchema) */
   @volatile private[graft] var lastCodeScanPlan: String = ""
+
+  /** Per-serve COVERAGE telemetry — the "is this predicate's recall
+    * W-bound?" signal a 100 TB operator acts on (pgvector-class
+    * systems surface probes/ef; this surfaces what the planner
+    * actually budgeted against the matching count). `w` is the
+    * candidate budget the serve ranked exactly (shortlist width,
+    * walk visited count, or the matching count itself on the exact
+    * tier); `ratio` = 1.0 means the serve was exact over the
+    * matching set. */
+  final case class Coverage(tier: String, matching: Long, w: Long) {
+    def ratio: Double =
+      if (matching <= 0L || w >= matching) 1.0 else w.toDouble / matching
+    /** below the code tier's design floor — a serve whose recall the
+      * W-sweep evidence says is degraded, surfaced instead of silent */
+    def belowFloor: Boolean = ratio < 1.0 / MinCoverageRatio
+  }
+  @volatile private[graft] var lastServeCoverage: Coverage = Coverage("none", 0L, 0L)
+  private val coverageServes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val coverageBelowFloor = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def recordCoverage(tier: String, matching: Long, w: Long): Unit = {
+    val c = Coverage(tier, matching, w)
+    lastServeCoverage = c
+    coverageServes.incrementAndGet(): Unit
+    if (c.belowFloor) coverageBelowFloor.incrementAndGet(): Unit
+  }
+  /** gateway counters: filtered serves observed / served below the
+    * coverage floor (the [[graft.tools.RequestQueue]] admitted/
+    * rejected/timedOut analogue for recall posture) */
+  def filteredServes: Long = coverageServes.get()
+  def filteredServesBelowFloor: Long = coverageBelowFloor.get()
 
   /** Write the meta artifacts under an existing SRP store dir with
     * the default corpus wiring ([[MetaCols]] over the documents
@@ -279,7 +341,9 @@ object FilteredServe {
                               docsS: DataFrame, rangeCols: Seq[String]): Unit = {
     import spark.implicits._
     val hists = rangeCols.map { rc =>
-      val vals = docsS.select(col(rc).cast("double").as("v"))
+      // try_cast: non-numeric values land as NULL → counted into the
+      // always-matching bin −1 (plain cast would throw under ANSI)
+      val vals = docsS.select(col(rc).try_cast("double").as("v"))
       val mm = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("nonnum")).head()
       val nNonNum = if (mm.isNullAt(2)) 0L else mm.getLong(2)
@@ -551,6 +615,7 @@ object FilteredServe {
         case None => Some(s.compareTo(v))
       }
       cmpd.exists(c0 => op match {
+        case "=" | "==" => c0 == 0
         case ">=" => c0 >= 0
         case ">" => c0 > 0
         case "<=" => c0 <= 0
@@ -564,10 +629,15 @@ object FilteredServe {
     case MetaTerm.Eq(c, v) => col(c) === lit(v)
     case MetaTerm.Cmp(c, op, v) =>
       val (l, r) = toNum(v) match {
-        case Some(dv) => (col(c).cast("double"), lit(dv))
+        // try_cast, not cast: a non-numeric stored value must FAIL the
+        // numeric comparison the way SQL's NULL does (the documented
+        // semantics above) — under ANSI mode a plain cast would throw
+        // mid-scan instead
+        case Some(dv) => (col(c).try_cast("double"), lit(dv))
         case None => (col(c), lit(v))
       }
       op match {
+        case "=" | "==" => l === r
         case ">=" => l >= r
         case ">" => l > r
         case "<=" => l <= r
@@ -621,6 +691,11 @@ object FilteredServe {
             if (lo >= v) 1.0 else if (hi <= v) 0.0 else (hi - v) / (hi - lo)
           case "<=" | "<" =>
             if (hi <= v) 1.0 else if (lo >= v) 0.0 else (v - lo) / (hi - lo)
+          // a point predicate: the containing bin counts WHOLE (the
+          // histogram has no NDV to pro-rata a point against) — a ≤
+          // 2-bin over-estimate, which per this estimator's convention
+          // only pushes the planner toward a cheaper-per-row tier
+          case "=" | "==" => if (lo <= v && v <= hi) 1.0 else 0.0
           case "!=" => 1.0
         }
         val matched = bins.map {
@@ -661,8 +736,8 @@ object FilteredServe {
   /** planner cardinality for a typed-term conjunction: EXACT (the
     * combo sum) when every term is partition-class, the histogram
     * estimate otherwise */
-  private def plannerCount(spark: SparkSession, srpDir: String,
-                           terms: Seq[MetaTerm]): Long = {
+  private[sources] def plannerCount(spark: SparkSession, srpDir: String,
+                                    terms: Seq[MetaTerm]): Long = {
     val rCols = storeRangeCols(spark, srpDir).toSet
     if (terms.exists(t => rCols.contains(t.column)))
       estimateCount(spark, srpDir, terms)
@@ -820,17 +895,86 @@ object FilteredServe {
       .select(col("vec_id"),
         graft.operators.HammingIndex.hammingCol(qk).as("ham"))
     lastCodeScanPlan = scan.queryExecution.executedPlan.toString
-    // bounded driver state: W shortlist ids (≤ MaxShortlist) — the
-    // same O(k-ish) license every single-query serve here documents
-    val ids = scan.orderBy(col("ham").asc, col("vec_id").asc)
-      .limit(w).collect().map(_.getLong(0)).toSeq
-    val cands = byValPrunedTerms(spark, metaDir, terms)
-      .filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"),
-        vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // bounded driver state: the W shortlist ids. Small W takes the
+    // single-scan orderBy/limit (its per-partition top-W merge is
+    // parts×W driver rows — fine below MaxShortlist); the matching-
+    // keyed large-W regime takes the histogram-threshold shortlist,
+    // whose driver state is the W ids themselves, never parts×W.
+    val ids: Seq[Long] =
+      if (w <= MaxShortlist)
+        scan.orderBy(col("ham").asc, col("vec_id").asc)
+          .limit(w).collect().map(_.getLong(0)).toSeq
+      else hammingShortlistIds(spark, scan, w)
+    val fetch = byValPrunedTerms(spark, metaDir, terms)
+    // rerank: exact cosine over the shortlist. Small W keeps the
+    // InSet point fetch (parquet In-filter → row-group pruning on the
+    // vec_id sort); large W broadcast-joins the id set (ids span most
+    // row groups anyway — a 390k-literal InSet buys no pruning, only
+    // plan-construction cost) and cuts top-k DISTRIBUTED, so driver
+    // candidate state never exceeds k.
+    val cands: Seq[(Long, Double)] =
+      if (ids.length <= MaxShortlist)
+        fetch.filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id"),
+            vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      else {
+        import spark.implicits._
+        val idsDf = ids.toDF("vec_id")
+        fetch.join(broadcast(idsDf), Seq("vec_id"))
+          .select(col("vec_id"),
+            vectors.cosine_sim(col("embedding"), typedLit(queryVec)).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
     lastFilteredPath = s"code:$w"
+    recordCoverage(s"code:$w", matching, w.toLong)
     topKDf(spark, cands, k)
+  }
+
+  /** Scale-safe Hamming shortlist for W past the fast-path bound:
+    * Hamming distance over the [[CodeRpb]]-bit sketch takes ≤
+    * 8·[[CodeRpb]]+1 distinct values, so the W-th smallest comes from
+    * a ≤193-row histogram (one map-side-combined aggregate over the
+    * pruned code scan) instead of an orderBy/limit whose driver merge
+    * is parts×W rows. Candidates strictly below the threshold bin
+    * collect exactly; the boundary bin either rides along whole (when
+    * that keeps the total ≤ 4W — more candidates only raises recall,
+    * and the rerank is a distributed join) or tie-breaks by vec_id
+    * through a bounded limit. Driver state: O(W) ids, independent of
+    * partition count — the property the 1000-executor plan needs. */
+  private def hammingShortlistIds(spark: SparkSession, scan: DataFrame,
+                                  w: Int): Seq[Long] = {
+    val hist = scan.groupBy(col("ham")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Number]("ham").intValue(), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    val total = hist.map(_._2).sum
+    if (total <= w.toLong)
+      return scan.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    var cum = 0L
+    var below = 0L
+    var hstar = hist.last._1
+    val it = hist.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val (h, c) = it.next()
+      below = cum
+      cum += c
+      if (cum >= w.toLong) { hstar = h; found = true }
+    }
+    if (cum <= 4L * w) {
+      // whole boundary bin: one filtered id collect, zero ordering
+      scan.filter(col("ham") <= hstar)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    } else {
+      val base = scan.filter(col("ham") < hstar)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val ties = scan.filter(col("ham") === hstar)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+        .limit((w.toLong - below).toInt).collect().map(_.getLong(0)).toSeq
+      base ++ ties
+    }
   }
 
   /** The BATCHED filtered serve (r13): the whole query table answered
@@ -882,7 +1026,7 @@ object FilteredServe {
                               k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val matching = plannerCount(spark, metaDir, terms)
-    val w = shortlistWidth(matching)
+    val w = shortlistWidthBatch(matching)
     val bands = SrpBanded.Bands
     // keys computed ONCE per query row, then flattened (the CodeStore
     // batch shape — inlining the kernel into each element_at leans on
@@ -909,6 +1053,7 @@ object FilteredServe {
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     lastFilteredPath = s"code_batch:$w"
+    recordCoverage(s"code_batch:$w", matching, w.toLong)
     short
       .join(byValPrunedTerms(spark, metaDir, terms), Seq("vec_id"))
       .join(queries.hint("shuffle_hash"), Seq("query_id"))
@@ -945,28 +1090,185 @@ object FilteredServe {
     * the same tier (spec-asserted). */
   def searchFilteredBatchMixed(spark: SparkSession, metaDir: String,
                                queries: DataFrame, predCols: Seq[String],
-                               k: Int = 5): DataFrame = {
-    require(predCols.nonEmpty, "mixed batch needs at least one predicate column")
-    val declared = storeMetaCols(spark, metaDir)
-    predCols.foreach(c => require(declared.contains(c),
-      s"predicate column '$c' not in declared meta columns ${declared.mkString(",")}"))
+                               k: Int = 5): DataFrame =
+    searchFilteredBatchMixedOps(spark, metaDir, queries,
+      predCols.map(_ -> "="), k)
+
+  /** group-enumeration bound for the mixed batch: past this many
+    * distinct predicate combos the per-group plan construction + the
+    * N-way union become a driver-side bottleneck before the first
+    * task runs (and the grouped partition pruning buys little — that
+    * many combos touch most of the store anyway), so the serve falls
+    * back to ONE set-based joined plan ([[mixedJoinedPlan]]) */
+  val MaxMixedGroups = 64
+
+  /** which shape the last mixed serve took ("grouped:<n>" |
+    * "joined:<n>") — spec hook for the boundary contract */
+  @volatile private[graft] var lastMixedBatchPath: String = ""
+
+  /** [[searchFilteredBatchMixed]] with per-column OPERATORS — the
+    * reference's request shape composed with its numeric columns:
+    * each caller's request carries its own `num_claims >= N`
+    * threshold, and the whole table still serves set-based. `predOps`
+    * declares (column, op) per predicate column (op ∈
+    * [[MetaTerm.CmpOps]] — equality on a partition-class column plans
+    * as [[MetaTerm.Eq]]); `queries` carries (query_id, q_vec,
+    * <column...>) where each predicate column holds THAT QUERY's
+    * comparison value. Null predicate values are REFUSED up front — a
+    * null group would match no rows and its query_ids would silently
+    * vanish from the output.
+    *
+    * Plan: GROUP BY VALUE COMBO — same-threshold queries share one
+    * [[searchFilteredBatchFrom]] plan (typed terms, so each group's
+    * scan partition-prunes and in-scan-filters exactly like the
+    * single-predicate serve), unioned. The combo enumeration is
+    * BOUNDED: past `maxGroups` distinct combos the serve switches to
+    * [[mixedJoinedPlan]] — one full-scan plan whose pair stream joins
+    * each query against the rows matching ITS OWN predicate (the
+    * per-pair comparison rides the same crossJoin the batch shape
+    * already pays), so driver work stays O(1) plans however diverse
+    * the batch. Per-query rows equal the per-request serve's at the
+    * same tier (spec-asserted on both shapes). */
+  def searchFilteredBatchMixedOps(spark: SparkSession, metaDir: String,
+                                  queries: DataFrame,
+                                  predOps: Seq[(String, String)],
+                                  k: Int = 5,
+                                  maxGroups: Int = MaxMixedGroups): DataFrame = {
+    require(predOps.nonEmpty, "mixed batch needs at least one predicate column")
+    require(predOps.map(_._1).distinct.size == predOps.size,
+      "one operator per predicate column in a mixed batch (the value " +
+        "rides a query column of that name) — band predicates " +
+        "(c >= a AND c <= b) run per-group via searchFilteredBatchFrom")
+    val partCols = storeMetaCols(spark, metaDir)
+    val declared = partCols ++ storeRangeCols(spark, metaDir)
+    val predCols = predOps.map(_._1)
+    predOps.foreach { case (c, op) =>
+      require(declared.contains(c),
+        s"predicate column '$c' not in declared columns ${declared.mkString(",")}")
+      require(MetaTerm.CmpOps.contains(op),
+        s"unsupported mixed-batch operator '$op' on '$c'")
+    }
+    def termOf(c: String, op: String, v: String): MetaTerm =
+      if ((op == "=" || op == "==") && partCols.contains(c)) MetaTerm.Eq(c, v)
+      else MetaTerm.Cmp(c, op, v)
     val qs = queries.select((Seq(col("query_id"), col("q_vec")) ++
         predCols.map(c => col(c).cast("string").as(c))): _*)
       .localCheckpoint(true) // each group's plan re-reads the slice
-    val groups = qs.select(predCols.map(col): _*).distinct().collect()
-      .map(r => predCols.indices.map(i => predCols(i) -> r.getString(i)).toSeq)
-      .sortBy(_.map(_._2).mkString("|"))
-    val plans = groups.map { pred =>
-      val g = qs.filter(pred.map { case (c, v) => col(c) === lit(v) }
-          .reduce(_ && _))
-        .select(col("query_id"), col("q_vec"))
-      searchFilteredBatchFrom(spark, metaDir, g, MetaTerm.ofPairs(pred), k)
-    }
-    val out = plans.reduce(_ unionByName _)
+    // a null predicate value is unanswerable, not an empty group: the
+    // equality group filter (and any comparison) matches no rows, so
+    // the query would vanish from the output with no error
+    val nullRows = qs.filter(predCols.map(c => col(c).isNull).reduce(_ || _))
+      .select(col("query_id")).limit(5).collect().map(_.getLong(0))
+    require(nullRows.isEmpty,
+      s"mixed batch queries carry null predicate values (query_ids " +
+        s"${nullRows.mkString(",")}${if (nullRows.length == 5) ",…" else ""}) — " +
+        "every query must carry a concrete value for each predicate column")
+    // bounded combo enumeration: collect at most maxGroups+1 rows —
+    // the guard decides the shape without ever materializing an
+    // unbounded combo universe on the driver
+    val comboProbe = qs.select(predCols.map(col): _*).distinct()
+      .limit(maxGroups + 1).collect()
+    val out =
+      if (comboProbe.length > maxGroups) {
+        lastMixedBatchPath = s"joined:${comboProbe.length}+"
+        mixedJoinedPlan(spark, metaDir, qs, predOps, k)
+      } else {
+        val groups = comboProbe
+          .map(r => predCols.indices.map(i => predCols(i) -> r.getString(i)).toSeq)
+          .sortBy(_.map(_._2).mkString("|"))
+        lastMixedBatchPath = s"grouped:${groups.length}"
+        val plans = groups.map { combo =>
+          val g = qs.filter(combo.map { case (c, v) => col(c) === lit(v) }
+              .reduce(_ && _))
+            .select(col("query_id"), col("q_vec"))
+          val terms = predOps.map { case (c, op) =>
+            termOf(c, op, combo.collectFirst { case (`c`, v) => v }.get)
+          }
+          searchFilteredBatchFrom(spark, metaDir, g, terms, k)
+        }
+        plans.reduce(_ unionByName _)
+      }
+    val cut = out
       .orderBy(col("query_id"), col("rk"))
       .localCheckpoint(true) // |Q|·k rows; frees the query checkpoint
     org.apache.spark.sql.GraftBridge.unpersistPlanRdds(qs)
-    out
+    cut
+  }
+
+  /** The past-the-cap mixed shape: ONE plan for arbitrarily diverse
+    * predicate combos. The pair stream is the batch contract's
+    * crossJoin of the code scan with the broadcast query codes — here
+    * over the FULL byval store (past maxGroups combos the grouped
+    * union would touch most partitions anyway) with each pair kept
+    * only when the row matches THAT query's own predicate (evaluated
+    * per-pair with [[termCol]]'s semantics: numeric compare when the
+    * query's value parses numeric, lexicographic otherwise). Shortlist
+    * and rerank are [[searchFilteredBatchFrom]]'s stages unchanged; W
+    * keys to the corpus count (an upper bound of every per-query
+    * matching count — wider than needed only raises recall). */
+  private def mixedJoinedPlan(spark: SparkSession, metaDir: String,
+                              qs: DataFrame, predOps: Seq[(String, String)],
+                              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val predCols = predOps.map(_._1)
+    val w = shortlistWidthBatch(totalCount(spark, metaDir))
+    val bands = SrpBanded.Bands
+    val qFlat = qs
+      .select((Seq(col("query_id"),
+        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb).as("q_keys")) ++
+        predCols.map(c => col(c).as(s"__q_$c"))): _*)
+      .select((Seq(col("query_id")) ++
+        (0 until bands).map(b => element_at(col("q_keys"), b + 1).as(s"q$b")) ++
+        predCols.map(c => col(s"__q_$c"))): _*)
+    val raw = spark.read.parquet(s"$metaDir/meta/byval")
+    val cFlat = raw.select((Seq(col("vec_id")) ++
+      (0 until bands).map(b => element_at(col("keys"), b + 1).as(s"c$b")) ++
+      predCols.map(c => col(c).cast("string").as(c))): _*)
+    lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
+    // per-pair predicate: data column vs the query's own value column,
+    // with termCol's value-typed semantics decided per pair
+    def cmp(op: String)(l: Column, r: Column): Column = op match {
+      case "=" | "==" => l === r
+      case ">=" => l >= r
+      case ">" => l > r
+      case "<=" => l <= r
+      case "<" => l < r
+      case "!=" => l =!= r
+    }
+    val pairPred = predOps.map { case (c, op) =>
+      // try_cast on BOTH sides (ANSI-safe): a non-numeric query value
+      // selects the lexicographic branch, and a non-numeric data value
+      // under a numeric comparison nulls out → excluded, exactly
+      // termCol's per-term semantics decided per pair
+      val vNum = col(s"__q_$c").try_cast("double")
+      when(vNum.isNotNull, cmp(op)(col(c).try_cast("double"), vNum))
+        .otherwise(cmp(op)(col(c), col(s"__q_$c")))
+    }.reduce(_ && _)
+    val ham = (0 until bands).map { b =>
+      bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
+    }.reduce(_ + _).cast("int")
+    val short = cFlat.crossJoin(broadcast(qFlat))
+      .filter(pairPred)
+      .select(col("query_id"), col("vec_id"), ham.as("ham"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(
+        col("vec_id"), col("ham"), w, asc = true).as("__tk"))
+      .select(col("query_id"),
+        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
+    val emb = raw.select(col("vec_id"), col("embedding"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    recordCoverage(s"code_batch_joined:$w", totalCount(spark, metaDir), w.toLong)
+    short
+      .join(emb, Seq("vec_id"))
+      .join(qs.select(col("query_id"), col("q_vec")).hint("shuffle_hash"),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), round(col("sim"), 6).as("sim"))
   }
 
   /** The family-generic filtered-serve core — a three-tier
@@ -1012,6 +1314,7 @@ object FilteredServe {
     val matching = plannerCount(spark, metaDir, terms)
     if (matching <= exactScanMax) {
       lastFilteredPath = "exact"
+      recordCoverage("exact", matching, matching)
       exactFilteredTerms(spark, metaDir, queryVec, terms, k)
     } else if (matching <= codeScanMax) {
       codeFilteredTerms(spark, metaDir, queryVec, terms, k, matching)
@@ -1021,11 +1324,15 @@ object FilteredServe {
         val f = math.min(e * f0, 64)
         val visited = walkAt(f)
         val ok = matchingIdsTerms(spark, metaDir, terms, visited.map(_._1))
-        (f, visited.filter(v => ok(v._1)))
-      }.find(_._2.size >= k)
+        (f, visited.size, visited.filter(v => ok(v._1)))
+      }.find(_._3.size >= k)
       hit match {
-        case Some((f, matched)) =>
+        case Some((f, visitedN, matched)) =>
           lastFilteredPath = s"$walkTag:$f"
+          // the walk tier's coverage is its visited budget vs the
+          // matching set — structurally tiny for very-broad predicates
+          // (which is WHY the planner only walks past CodeScanMax)
+          recordCoverage(s"$walkTag:$f", matching, visitedN.toLong)
           topKDf(spark, matched, k)
         case None =>
           // the schedule never surfaced k matching candidates: the
@@ -1033,6 +1340,7 @@ object FilteredServe {
           // the matches are far from the query's basin) — the pruned
           // exact path answers with full recall
           lastFilteredPath = "fallback"
+          recordCoverage("fallback", matching, matching)
           exactFilteredTerms(spark, metaDir, queryVec, terms, k)
       }
     }

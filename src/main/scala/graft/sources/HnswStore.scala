@@ -241,7 +241,19 @@ object HnswStore {
                      maxEntries: Int = 64,
                      exactScanMax: Long = FilteredServe.ExactScanMax,
                      codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
-    FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
+    searchFilteredTerms(spark, dir, metaDir, queryVec, MetaTerm.ofPairs(pred),
+      k, beam, iters, maxEntries, exactScanMax, codeScanMax)
+
+  /** [[searchFiltered]] for typed-term conjunctions — the hierarchy
+    * walks unfiltered and post-filters its bounded visited set through
+    * the byid point read carrying the full typed comparison */
+  def searchFilteredTerms(spark: SparkSession, dir: String, metaDir: String,
+                     queryVec: Array[Float], terms: Seq[MetaTerm],
+                     k: Int = 10, beam: Int = 16, iters: Int = 3,
+                     maxEntries: Int = 64,
+                     exactScanMax: Long = FilteredServe.ExactScanMax,
+                     codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
+    FilteredServe.searchFilteredByTerms(spark, metaDir, queryVec, terms, k,
       exactScanMax, codeScanMax) { f =>
       val pool = Hnsw.descentPoolBy(spark, storedEntry(spark, dir), queryVec,
         storeFetch(spark, dir, queryVec))

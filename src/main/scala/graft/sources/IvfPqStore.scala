@@ -150,7 +150,20 @@ object IvfPqStore {
                              k: Int = 10, nprobe: Int = 4, rerank: Int = 4,
                              exactScanMax: Long = FilteredServe.ExactScanMax,
                              codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
-    FilteredServe.searchFilteredBy(spark, metaDir, queryVec, pred, k,
+    searchFilteredResidualTerms(spark, dir, metaDir, source, vecCol, idCol,
+      queryVec, MetaTerm.ofPairs(pred), k, nprobe, rerank,
+      exactScanMax, codeScanMax)
+
+  /** [[searchFilteredResidual]] for typed-term conjunctions — the
+    * very-broad ADC shortlist post-filters through the byid point read
+    * carrying the full typed comparison */
+  def searchFilteredResidualTerms(spark: SparkSession, dir: String, metaDir: String,
+                             source: DataFrame, vecCol: String, idCol: String,
+                             queryVec: Array[Float], terms: Seq[MetaTerm],
+                             k: Int = 10, nprobe: Int = 4, rerank: Int = 4,
+                             exactScanMax: Long = FilteredServe.ExactScanMax,
+                             codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame =
+    FilteredServe.searchFilteredByTerms(spark, metaDir, queryVec, terms, k,
       exactScanMax, codeScanMax) { f =>
       val (ivf, pq) = readModels(spark, dir)
       val rc = ivf.centroids.map(_.map(x => math.floor(x).toLong))

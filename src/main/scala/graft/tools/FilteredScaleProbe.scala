@@ -36,6 +36,40 @@ object FilteredScaleProbe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** per-run stage-metric aggregation — the attribution the 10000×
+    * batch-variance question needs (executor time vs IO vs spill in
+    * the JSON, not guessed after the fact) */
+  private final class StageAgg extends org.apache.spark.scheduler.SparkListener {
+    val runTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufReadB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillB = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        runTimeMs.addAndGet(m.executorRunTime): Unit
+        inputB.addAndGet(m.inputMetrics.bytesRead): Unit
+        shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled): Unit
+      }
+    }
+  }
+
+  /** run `f` under a fresh [[StageAgg]], draining the async listener
+    * bus before reading the aggregates */
+  private def withStageMetrics[A](spark: SparkSession)(f: => A)
+      : (A, Double, StageAgg) = {
+    val agg = new StageAgg
+    spark.sparkContext.addSparkListener(agg)
+    val (a, s) = time(f)
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    spark.sparkContext.removeSparkListener(agg)
+    (a, s, agg)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -215,7 +249,15 @@ object FilteredScaleProbe {
     // one set-based plan; recall against the exact filtered per-query
     // top-10, both sides computed batched (one TopKPairs job each)
     val batchMod = math.max(40L, n / 500L)
-    val (batchGot, batchS) = time {
+    val (batchGot, batchS, batchM) = withStageMetrics(spark) {
+      FilteredServe.searchFilteredBatch(spark, dir, srpDir,
+        batchMod.toInt, broadPred, k = 10).collect()
+    }
+    // a SECOND timed run of the identical plan: within-process rerun
+    // variance, separating box noise from plan cost (the r14 10000×
+    // row spread 115–501 ms/q across three runs — attribution needs
+    // both the per-stage IO and a same-process repeat)
+    val (_, batchS2, batchM2) = withStageMetrics(spark) {
       FilteredServe.searchFilteredBatch(spark, dir, srpDir,
         batchMod.toInt, broadPred, k = 10).collect()
     }
@@ -249,6 +291,28 @@ object FilteredScaleProbe {
         Seq("lang"), k = 10).collect()
     }
     val nMixedQ = math.max(1, mixedGot.map(_.getLong(0)).distinct.length)
+    val mixedPath = FilteredServe.lastMixedBatchPath
+
+    // the RANGE mixed batch (r15): every query carries its own
+    // comparison threshold — grouped per (value combo) into typed
+    // MetaTerm.Cmp batch plans (searchFilteredBatchMixedOps). The
+    // threshold here rides a partition-class column (the probe store
+    // declares no range column), which exercises the same grouping +
+    // per-group Cmp planning the range-class shape uses; ~15 groups
+    // (5 langs × 3 thresholds) stays under MaxMixedGroups.
+    val rangeQueries = spark.read.parquet(embPath)
+      .filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .join(spark.read.parquet(docPath)
+        .select(col("doc_id").as("query_id"), col("lang"),
+          concat(lit("s1"), pmod(col("doc_id"), lit(3))).as("source")),
+        Seq("query_id"))
+    val (rangeGot, rangeS) = time {
+      FilteredServe.searchFilteredBatchMixedOps(spark, srpDir, rangeQueries,
+        Seq("lang" -> "=", "source" -> ">="), k = 10).collect()
+    }
+    val nRangeQ = math.max(1, rangeGot.map(_.getLong(0)).distinct.length)
+    val rangePath = FilteredServe.lastMixedBatchPath
 
     println(s"""{"metric":"filtered_scale","copies":$copies,"rows":$n,"rpb":$rpb,""" +
       s""""sel_matching":$selMatching,"sel_ms_per_q":${f"$exactMsQ%.1f"},"sel_path":"$exactPath",""" +
@@ -260,9 +324,18 @@ object FilteredScaleProbe {
       s""""walk_ms_per_q":${f"$walkMsQ%.1f"},"walk_path":"$walkPath",""" +
       s""""walk_recall_at_10":${f"$walkRecall%.3f"},"unfiltered_recall_at_10":${f"$meanUnfiltered%.3f"},""" +
       s""""batch_queries":$nBatchQ,"batch_ms_per_q":${f"${batchS / nBatchQ * 1000}%.1f"},""" +
+      s""""batch_ms_per_q_rerun":${f"${batchS2 / nBatchQ * 1000}%.1f"},""" +
       s""""batch_recall_at_10":${f"$batchRecall%.3f"},""" +
-      s""""mixed_batch_queries":$nMixedQ,"mixed_batch_groups":5,""" +
+      s""""batch_stage_metrics":{"exec_run_s":${f"${batchM.runTimeMs.get / 1000.0}%.1f"},""" +
+      s""""input_mb":${batchM.inputB.get / 1048576L},"shuffle_read_mb":${batchM.shufReadB.get / 1048576L},""" +
+      s""""shuffle_write_mb":${batchM.shufWriteB.get / 1048576L},"spill_mb":${batchM.spillB.get / 1048576L}},""" +
+      s""""batch_stage_metrics_rerun":{"exec_run_s":${f"${batchM2.runTimeMs.get / 1000.0}%.1f"},""" +
+      s""""input_mb":${batchM2.inputB.get / 1048576L},"shuffle_read_mb":${batchM2.shufReadB.get / 1048576L},""" +
+      s""""shuffle_write_mb":${batchM2.shufWriteB.get / 1048576L},"spill_mb":${batchM2.spillB.get / 1048576L}},""" +
+      s""""mixed_batch_queries":$nMixedQ,"mixed_batch_path":"$mixedPath",""" +
       s""""mixed_batch_ms_per_q":${f"${mixedS / nMixedQ * 1000}%.1f"},""" +
+      s""""range_batch_queries":$nRangeQ,"range_batch_path":"$rangePath",""" +
+      s""""range_batch_ms_per_q":${f"${rangeS / nRangeQ * 1000}%.1f"},""" +
       s""""builds":{${builds.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString(",")}}}""")
     spark.stop()
   }

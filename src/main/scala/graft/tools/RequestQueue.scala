@@ -61,7 +61,13 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
     else {
       try {
         val fut = pool.submit(new Callable[A] {
-          override def call(): A = try f finally slots.release()
+          override def call(): A = {
+            // a previously-cancelled deadline task can leave its interrupt
+            // pending on this pool thread (see the deadline submit); it
+            // belongs to that dead request, not this one
+            Thread.interrupted()
+            try f finally slots.release()
+          }
         })
         admittedCount.incrementAndGet()
         Some(fut)
@@ -82,9 +88,13 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
     *    job group is set thread-locally on the worker before `f`
     *    runs, the same thread-local channel the FAIR pool tag uses);
     *  - the worker thread is interrupted via `FutureTask.cancel(true)`
-    *    (which interrupts ONLY while this task is the one running —
-    *    a completion racing the deadline can never poison the pool
-    *    thread for the next request);
+    *    (which interrupts ONLY while this task is the one running).
+    *    The interrupt FLAG can still outlive the task — the JDK
+    *    deliberately does not clear it when the task exits via a
+    *    non-`InterruptedException` path (e.g. the job-group cancel
+    *    surfaces as a `SparkException`) — so every callable clears
+    *    stale interrupt status on entry and on exit; the next request
+    *    on the recycled thread starts clean;
     *  - a request still QUEUED at its deadline never starts, and its
     *    permit is released here (its callable will never run the
     *    releasing `finally`).
@@ -109,6 +119,11 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
       def releaseOnce(): Unit = if (released.compareAndSet(false, true)) slots.release()
       val task = new FutureTask[A](new Callable[A] {
         override def call(): A = {
+          // stale interrupt from a PREVIOUSLY cancelled task on this
+          // recycled pool thread (cancel(true) sets the flag; the JDK
+          // does not clear it on non-InterruptedException exits) —
+          // any pending interrupt here belongs to a dead request
+          Thread.interrupted()
           started.set(true)
           val sc = spark.sparkContext
           sc.setJobGroup(jobGroup, s"graft gateway request (deadline ${timeoutMs}ms)",
@@ -117,39 +132,67 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
           finally {
             sc.clearJobGroup()
             releaseOnce()
+            // our OWN deadline interrupt, when f exited via a
+            // non-InterruptedException path — don't hand it to the
+            // next request on this thread
+            Thread.interrupted()
           }
         }
       })
-      try {
-        pool.execute(task)
+      // two failure modes, accounted separately: a pool rejection means
+      // the task NEVER runs (release its permit, count a rejection); a
+      // timer rejection after a successful execute means the task IS
+      // running — it must keep its permit (the callable's finally
+      // releases it) and simply runs without a watchdog. Folding both
+      // into one catch double-releases the permit on the second path,
+      // permanently inflating the semaphore past maxInFlight+maxQueued.
+      val enqueued =
+        try { pool.execute(task); true }
+        catch {
+          case _: java.util.concurrent.RejectedExecutionException =>
+            releaseOnce()
+            rejectedCount.incrementAndGet()
+            false
+        }
+      if (!enqueued) None
+      else {
         admittedCount.incrementAndGet()
-        timer.schedule(new Runnable {
-          override def run(): Unit = if (!task.isDone) {
-            val cancelled = task.cancel(true)
-            if (cancelled) timedOutCount.incrementAndGet()
-            // kill the request's distributed work regardless of which
-            // race we won — cancelling an empty/finished group is a
-            // no-op, leaving it running is a leaked cluster
-            try spark.sparkContext.cancelJobGroup(jobGroup)
-            catch { case _: IllegalStateException => () /* context stopped */ }
-            if (cancelled) {
-              // cancelled BEFORE its callable ever ran (still queued):
-              // the callable's releasing `finally` will never execute.
-              // If it was (or is about to be) running, the callable's
-              // own finally releases — releaseOnce arbitrates the race.
-              if (!started.get()) releaseOnce()
+        try {
+          timer.schedule(new Runnable {
+            override def run(): Unit = if (!task.isDone) {
+              val cancelled = task.cancel(true)
+              if (cancelled) timedOutCount.incrementAndGet()
+              // kill the request's distributed work regardless of which
+              // race we won — cancelling an empty/finished group is a
+              // no-op, leaving it running is a leaked cluster
+              try spark.sparkContext.cancelJobGroup(jobGroup)
+              catch { case _: IllegalStateException => () /* context stopped */ }
+              if (cancelled) {
+                // cancelled BEFORE its callable ever ran (still queued):
+                // the callable's releasing `finally` will never execute.
+                // If it was (or is about to be) running, the callable's
+                // own finally releases — releaseOnce arbitrates the race.
+                if (!started.get()) releaseOnce()
+              }
             }
-          }
-        }, timeoutMs, TimeUnit.MILLISECONDS): Unit
+          }, timeoutMs, TimeUnit.MILLISECONDS): Unit
+        } catch {
+          // timer already shut down (shutdown racing this submit): the
+          // admitted request runs to completion without a deadline —
+          // strictly better for the caller than reporting a rejection
+          // for work that is already executing
+          case _: java.util.concurrent.RejectedExecutionException => ()
+        }
         Some(task)
-      } catch {
-        case _: java.util.concurrent.RejectedExecutionException =>
-          slots.release()
-          rejectedCount.incrementAndGet()
-          None
       }
     }
   }
+
+  /** test seam for the shutdown race the timer-rejection path covers:
+    * a deadline submit can find the pool alive but the timer already
+    * drained — the admitted request must then run un-watchdogged with
+    * exactly one permit release and exactly one accounting bump */
+  private[graft] def shutdownTimerForTest(): Unit = timer.shutdown()
 
   def rejected: Long = rejectedCount.get()
   def admitted: Long = admittedCount.get()

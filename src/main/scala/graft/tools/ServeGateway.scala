@@ -133,6 +133,26 @@ object ServeGateway {
           embedder.embed(text),
           Seq("withdrawn" -> "0", "type" -> "POLICY"), k = 10).collect()
       }
+      // the reference's RANGE-predicate shape (num_claims >= N AND
+      // country = ..., sql/02_schema.sql's numeric/date columns) as an
+      // endpoint — typed terms through the same three-tier planner
+      val rangeMeta = graft.sources.FilteredServe.refMetaStoreFor(spark, sfDir)
+      serve("find_similar with range predicate via searchFilteredMetaTerms (country=EN, num_claims>=22)") { text =>
+        graft.sources.FilteredServe.searchFilteredMetaTerms(spark, rangeMeta,
+          embedder.embed(text),
+          Seq(graft.sources.MetaTerm.Eq("country", "EN"),
+            graft.sources.MetaTerm.Cmp("num_claims", ">=", "22")), k = 10).collect()
+      }
+      // serve-time COVERAGE counters: every filtered serve records its
+      // tier + W/matching ratio; a request served below the code
+      // tier's design floor (W/matching < 1/MinCoverageRatio) counts
+      // in below_floor — the "this predicate's recall is W-bound"
+      // signal, observable instead of silent
+      val cov = graft.sources.FilteredServe.lastServeCoverage
+      println(f"  coverage: tier=${cov.tier} matching=${cov.matching} " +
+        f"w=${cov.w} ratio=${cov.ratio}%.4f | filtered_serves=" +
+        s"${graft.sources.FilteredServe.filteredServes} below_floor=" +
+        s"${graft.sources.FilteredServe.filteredServesBelowFloor}")
     }
 
     // ---- concurrency: overlapped requests on FAIR scheduler pools ----

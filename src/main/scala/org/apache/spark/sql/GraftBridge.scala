@@ -34,4 +34,11 @@ object GraftBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the listener bus (`private[spark]`) — a probe reading its
+    * own SparkListener aggregates right after an action must wait for
+    * the async stage-completed events to be delivered, or the metrics
+    * undercount nondeterministically. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -670,6 +670,217 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(ids.subsetOf(nonEn), s"inequality leak: ${ids.diff(nonEn)}")
   }
 
+  test("shortlist policy: coverage never thins below 1/MinCoverageRatio (the r14 fixed-cap weak)") {
+    import FilteredServe._
+    // fast-path regime unchanged: the 8192 cap binds between ~131k and ~1.05M matching
+    assert(shortlistWidth(131072L) == 8192)
+    assert(shortlistWidth(500000L) == 8192)
+    // matching-keyed regime: W = matching/128 once that exceeds the fast-path bound
+    assert(shortlistWidth(4000000L) == 4000000 / 128)
+    assert(shortlistWidth(50000000L) == 50000000 / 128) // tier ceiling: 390,625 ids ≈ 3 MB driver
+    // the floor + policy regimes below the cap
+    assert(shortlistWidth(100L) == CodeShortlist)
+    assert(shortlistWidth(80000L) == 80000 / 16)
+    // coverage floor holds across the tier's whole envelope
+    Seq(1000L, 131072L, 1048576L, 4000000L, 50000000L).foreach { m =>
+      val w = shortlistWidth(m)
+      assert(w.toDouble / m >= 1.0 / MinCoverageRatio - 1e-12,
+        s"coverage ${w.toDouble / m} below floor at matching=$m")
+    }
+    // the batch policy keeps the fixed cap (TopKPairs buffers are |Q|-multiplied)
+    assert(shortlistWidthBatch(4000000L) == MaxShortlist)
+    assert(shortlistWidthBatch(80000L) == 80000 / 16)
+  }
+
+  /** a meta store big enough that W can exceed the fast-path bound —
+    * deterministic synthetic corpus (the testdata embeddings are 500
+    * rows, far below MaxShortlist); built once, shared by the large-W
+    * and telemetry tests */
+  private lazy val bigMeta: (String, Seq[(Long, Array[Float])], Array[Float]) = {
+    import spark.implicits._
+    val n = 12000
+    val dim = graft.operators.SrpBanded.Dim
+    val rnd = new scala.util.Random(20260816L)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until n).map(i =>
+      (i.toLong, vec(), if (i % 6 == 0) "bb" else "aa"))
+    val dir = graft.sources.TempStores.track(
+      java.nio.file.Files.createTempDirectory("bigmeta").toString)
+    FilteredServe.writeMetaFrom(spark, dir,
+      rows.map(r => (r._1, r._3)).toDF("vec_id", "m"),
+      Seq("m"),
+      rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding"))
+    (dir, rows.filter(_._3 == "aa").map(r => (r._1, r._2)), vec())
+  }
+
+  test("large-W code tier: histogram-threshold shortlist, covering contract exact, distributed rerank") {
+    val (dir, aaRows, qv) = bigMeta
+    val matching = FilteredServe.matchCount(spark, dir, Seq("m" -> "aa"))
+    assert(matching == 10000L)
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    // brute-force exact filtered top-10, computed off-engine with the
+    // engine's own scalar kernel (bit-identical accumulation)
+    val want = aaRows.map { case (id, v) =>
+      (id, BigDecimal(graft.functions.vectors.cosine_sim_local(v, qv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    // covering through the LARGE-W machinery: wOverride = matching
+    // (> MaxShortlist) forces the histogram shortlist + the joined
+    // distributed rerank, and the covering contract makes it exact
+    val got = FilteredServe.codeFilteredTerms(spark, dir, qv, terms,
+        k = 10, matching, wOverride = Some(matching.toInt))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(FilteredServe.lastFilteredPath == s"code:$matching")
+    assert(got == want, "covering large-W serve diverged from brute force")
+    // non-covering large W (9000 of 10000): high recall, pure, deterministic
+    val a1 = FilteredServe.codeFilteredTerms(spark, dir, qv, terms,
+      k = 10, matching, wOverride = Some(9000)).collect().map(_.toSeq).toSeq
+    val a2 = FilteredServe.codeFilteredTerms(spark, dir, qv, terms,
+      k = 10, matching, wOverride = Some(9000)).collect().map(_.toSeq).toSeq
+    assert(a1 == a2, "histogram shortlist not deterministic")
+    assert(a1.size == 10)
+    val gotIds = a1.map(_.head.asInstanceOf[Long]).toSet
+    val recall = want.map(_._1).count(gotIds) / 10.0
+    assert(recall >= 0.8, s"large-W recall $recall at 90% coverage")
+  }
+
+  test("coverage telemetry: exact serves report 1.0, policy serves hold the floor, forced-thin serves are counted") {
+    val (dir, _, qv) = bigMeta
+    val matching = FilteredServe.matchCount(spark, dir, Seq("m" -> "aa"))
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    val serves0 = FilteredServe.filteredServes
+    val below0 = FilteredServe.filteredServesBelowFloor
+    // exact tier: full coverage
+    FilteredServe.searchFilteredMetaTerms(spark, dir, qv, terms, k = 5).collect()
+    assert(FilteredServe.lastServeCoverage.tier == "exact")
+    assert(FilteredServe.lastServeCoverage.ratio == 1.0)
+    assert(FilteredServe.filteredServes == serves0 + 1)
+    assert(FilteredServe.filteredServesBelowFloor == below0)
+    // policy-W code tier: W = matching/16 — above the floor by design
+    FilteredServe.codeFilteredTerms(spark, dir, qv, terms, k = 5, matching).collect()
+    val c = FilteredServe.lastServeCoverage
+    assert(c.tier.startsWith("code:") && c.matching == matching)
+    assert(c.ratio >= 1.0 / FilteredServe.MinCoverageRatio && c.ratio < 1.0)
+    assert(FilteredServe.filteredServesBelowFloor == below0,
+      "policy-width serve flagged below floor")
+    // forced-thin serve (W « matching/128): observable, not silent
+    FilteredServe.codeFilteredTerms(spark, dir, qv, terms, k = 5, matching,
+      wOverride = Some(60)).collect()
+    assert(FilteredServe.lastServeCoverage.belowFloor)
+    assert(FilteredServe.filteredServesBelowFloor == below0 + 1,
+      "thin serve not counted below the floor")
+  }
+
+  test("mixed batch with per-query range thresholds equals per-request typed serves (grouped shape)") {
+    import spark.implicits._
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    // each query carries its caller's own country AND num_claims threshold
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .join(Tables.documents(spark, sf).select(
+        col("doc_id").as("query_id"),
+        upper(substring(col("lang"), 1, 2)).as("country"),
+        ((col("doc_id") % 3) * 10 + 5).cast("string").as("num_claims")),
+        Seq("query_id"))
+    val predOps = Seq("country" -> "=", "num_claims" -> ">=")
+    val mixed = FilteredServe.searchFilteredBatchMixedOps(spark, dir,
+        queries, predOps, k = 5)
+      .collect().map(_.toSeq).groupBy(_.head)
+    assert(FilteredServe.lastMixedBatchPath.startsWith("grouped:"),
+      s"expected the grouped shape, took ${FilteredServe.lastMixedBatchPath}")
+    assert(mixed.nonEmpty)
+    // every query's rows equal the per-request typed serve with its own terms
+    val qMeta = queries.select(col("query_id"), col("country"), col("num_claims"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    qMeta.foreach { case (qid, country, nc) =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val single = FilteredServe.searchFilteredMetaTerms(spark, dir, qv,
+          Seq(MetaTerm.Eq("country", country), MetaTerm.Cmp("num_claims", ">=", nc)),
+          k = 5)
+        .collect().map(_.toSeq).toSeq
+      val got: Seq[Seq[Any]] =
+        mixed.get(qid).map(_.toSeq.map(_.drop(1))).getOrElse(Seq.empty)
+      assert(got == single,
+        s"mixed range batch diverged from the per-request serve for query $qid ($country, >=$nc)")
+    }
+  }
+
+  test("mixed batch past the group cap: one joined plan, rows identical to the grouped shape") {
+    import spark.implicits._
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .join(Tables.documents(spark, sf).select(
+        col("doc_id").as("query_id"),
+        upper(substring(col("lang"), 1, 2)).as("country"),
+        ((col("doc_id") % 3) * 10 + 5).cast("string").as("num_claims")),
+        Seq("query_id"))
+    val predOps = Seq("country" -> "=", "num_claims" -> ">=")
+    def run(maxGroups: Int) = FilteredServe.searchFilteredBatchMixedOps(
+        spark, dir, queries, predOps, k = 5, maxGroups = maxGroups)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val grouped = run(maxGroups = 100)
+    assert(FilteredServe.lastMixedBatchPath.startsWith("grouped:"))
+    val joined = run(maxGroups = 1) // combo universe here is > 1: forces the fallback
+    assert(FilteredServe.lastMixedBatchPath.startsWith("joined:"),
+      s"expected the joined fallback, took ${FilteredServe.lastMixedBatchPath}")
+    assert(joined == grouped,
+      "joined fallback diverged from the grouped shape at the boundary")
+  }
+
+  test("mixed batch refuses null predicate values loudly (queries cannot silently vanish)") {
+    import spark.implicits._
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("country",
+        when(col("query_id") === 100L, lit(null: String)).otherwise(lit("EN")))
+    val e = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchMixedOps(spark, dir, queries,
+        Seq("country" -> "="), k = 5)
+    }
+    assert(e.getMessage.contains("null predicate values") &&
+      e.getMessage.contains("100"))
+  }
+
+  test("Cmp accepts '=': typed equality on a range-class column (the reference's num_claims = N shape)") {
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    // Eq on a range-class column still refuses (partition lookup vs
+    // in-row residual), but the '=' comparison now expresses it
+    intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredMetaTerms(spark, dir, q,
+        Seq(MetaTerm.Eq("num_claims", "22")), k = 5)
+    }
+    val terms = Seq(MetaTerm.Cmp("num_claims", "=", "22"))
+    val res = FilteredServe.searchFilteredMetaTerms(spark, dir, q, terms, k = 5)
+      .collect()
+    val legal = Tables.documents(spark, sf).filter(col("doc_id") % 43 === 22)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(res.nonEmpty)
+    assert(res.map(_.getLong(0)).toSet.subsetOf(legal),
+      "typed '=' leaked rows outside the equality set")
+    // exact tier here: equals brute force over the equality set
+    val want = Tables.embeddings(spark, sf)
+      .join(Tables.documents(spark, sf).filter(col("doc_id") % 43 === 22)
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("embedding"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    assert(res.map(r => (r.getLong(0), r.getDouble(2))).toSeq == want)
+  }
+
   test("mixed-predicate batch equals per-predicate batch serves, one pruned scan per group") {
     import spark.implicits._
     val srpDir = SrpStore.storeFor(spark, sf)

@@ -109,6 +109,58 @@ class GatewayQueueSpec extends AnyFunSuite {
     q.shutdown()
   }
 
+  test("a cancelled request's stale interrupt never poisons the next request on the recycled pool thread") {
+    val spark = SparkTestSession.spark
+    // ONE pool thread: the follow-up request is guaranteed to land on
+    // the same thread the cancelled request ran on
+    val q = new graft.tools.RequestQueue(maxInFlight = 1, maxQueued = 2)
+    val exited = new CountDownLatch(1)
+    // exits via a NON-InterruptedException path once cancel(true)'s
+    // interrupt lands — the JDK deliberately leaves the flag set on
+    // this shape (handlePossibleCancellationInterrupt never clears it)
+    val hung = q.submit(spark, timeoutMs = 300) {
+      while (!Thread.currentThread().isInterrupted)
+        java.util.concurrent.locks.LockSupport.parkNanos(1000000L)
+      exited.countDown()
+      "exited-with-flag-set"
+    }
+    assert(hung.isDefined)
+    intercept[java.util.concurrent.CancellationException] { hung.get.get() }
+    assert(exited.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "cancelled request never observed its interrupt")
+    // the next request's first blocking call must NOT fail spuriously
+    // with InterruptedException from the dead request's flag
+    val next = q.submit { Thread.sleep(20); "clean" }
+    assert(next.isDefined && next.get.get() == "clean",
+      "recycled pool thread inherited the cancelled request's interrupt")
+    // and the deadline variant too (same worker-thread pool)
+    val nextDeadline = q.submit(spark, timeoutMs = 30000) { Thread.sleep(20); "clean2" }
+    assert(nextDeadline.isDefined && nextDeadline.get.get() == "clean2")
+    q.shutdown()
+  }
+
+  test("deadline submit racing timer shutdown: request runs un-watchdogged, permits and counters stay exact") {
+    val spark = SparkTestSession.spark
+    val q = new graft.tools.RequestQueue(maxInFlight = 1, maxQueued = 0)
+    q.shutdownTimerForTest() // pool alive, timer drained — the race window
+    val r = q.submit(spark, timeoutMs = 50) { Thread.sleep(200); "ran" }
+    assert(r.isDefined, "admitted request reported as rejected")
+    // no watchdog: it runs past its nominal deadline to completion
+    assert(r.get.get() == "ran")
+    assert(q.admitted == 1 && q.rejected == 0 && q.timedOut == 0,
+      s"accounting skewed: admitted=${q.admitted} rejected=${q.rejected}")
+    // the permit was released exactly ONCE (the callable's finally):
+    // a double release would inflate capacity past maxInFlight+maxQueued
+    val gate = new CountDownLatch(1)
+    val a = q.submit { gate.await(); 1 }
+    val b = q.submit { gate.await(); 2 } // capacity 1+0: must shed
+    assert(a.isDefined && b.isEmpty,
+      "semaphore inflated past its bound — permit double-released")
+    gate.countDown()
+    assert(a.get.get() == 1)
+    q.shutdown()
+  }
+
   test("work executes with at most maxInFlight concurrently") {
     val q = new graft.tools.RequestQueue(maxInFlight = 2, maxQueued = 6)
     val active = new java.util.concurrent.atomic.AtomicInteger(0)

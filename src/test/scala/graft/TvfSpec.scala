@@ -91,6 +91,48 @@ class TvfSpec extends AnyFunSuite {
         .take(3).map(_.head))
   }
 
+  test("typed range predicates through pure SQL: col,op,val triples equal the Scala terms API") {
+    import graft.sources.MetaTerm
+    graft.functions.tvf.register(spark)
+    val q = FakeEmbedder.embed(queryText)
+    // the reference-schema store: country partition-class, num_claims
+    // range-class (sql/02_schema.sql's filterable columns) — the first
+    // SQL user of v43's capability no longer falls back to Scala
+    val refMeta = graft.sources.FilteredServe.refMetaStoreFor(spark, sf)
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_meta_filtered_search('$refMeta', '$queryText',
+         |10, 'country', 'EN', 'num_claims', '>=', '22')""".stripMargin)) ==
+      rows(graft.sources.FilteredServe.searchFilteredMetaTerms(spark, refMeta,
+        q, Seq(MetaTerm.Eq("country", "EN"),
+          MetaTerm.Cmp("num_claims", ">=", "22")), k = 10)),
+      "SQL range predicate diverged from searchFilteredMetaTerms (v43)")
+    // mixed pair + triple spellings in ONE statement, on the stored
+    // graph family too (all four family TVFs share termsOf)
+    val srpDir = graft.sources.SrpStore.storeFor(spark, sf)
+    val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_filtered_search('$sf', '$srpDir', '$edgeDir',
+         |'$queryText', 10, 'lang', '!=', 'en', 'source', 'src11')""".stripMargin)) ==
+      rows(graft.sources.FilteredServe.searchFilteredTerms(spark, sf, srpDir,
+        edgeDir, q, Seq(MetaTerm.Cmp("lang", "!=", "en"),
+          MetaTerm.Eq("source", "src11")), k = 10)),
+      "graft_filtered_search with a typed term diverged from the Scala call")
+    // explicit '=' binds as the TYPED comparison (range-class legal)
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_meta_filtered_search('$refMeta', '$queryText',
+         |5, 'num_claims', '=', '22')""".stripMargin)) ==
+      rows(graft.sources.FilteredServe.searchFilteredMetaTerms(spark, refMeta,
+        q, Seq(MetaTerm.Cmp("num_claims", "=", "22")), k = 5)),
+      "SQL '=' triple diverged from the typed-equality Scala call")
+    // malformed trailing predicate fails analysis loudly
+    val e = intercept[Exception] {
+      spark.sql(s"""SELECT * FROM graft_meta_filtered_search('$refMeta',
+        |'$queryText', 5, 'num_claims', '>=')""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("no value"),
+      s"malformed triple not refused: ${e.getMessage.take(200)}")
+  }
+
   test("dedup-check TVF equals the one-document incremental serve") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
