@@ -20,7 +20,9 @@ import graft.functions.FakeEmbedder
   * keyed to each request's MATCHING set (never the corpus): the exact
   * tier reads one value partition, the code tier that partition's
   * 64 B/row code column plus a W-row rerank. `foreachBatch` is the
-  * supported seam, as in the other probe streams. */
+  * supported seam, as in the other probe streams. r15: records may
+  * carry a TYPED comparison (`source_ge`) — the stream speaks the
+  * same MetaTerm conjunctions as the batch surface. */
 object FilteredProbeStream {
 
   /** One batch of filtered queries against the meta artifacts: the
@@ -29,11 +31,22 @@ object FilteredProbeStream {
   def probeBatch(spark: SparkSession, d: String, srpDir: String,
                  edgeDir: String,
                  queries: Seq[(Long, Array[Float], Seq[(String, String)])],
+                 k: Int): DataFrame =
+    probeBatchTerms(spark, d, srpDir, edgeDir,
+      queries.map { case (q, v, p) =>
+        (q, v, graft.sources.MetaTerm.ofPairs(p)) }, k)
+
+  /** [[probeBatch]] for TYPED-term requests (r15): the stream record
+    * may carry a comparison (`source >= s1`), served per-request
+    * through the typed three-tier planner. */
+  def probeBatchTerms(spark: SparkSession, d: String, srpDir: String,
+                 edgeDir: String,
+                 queries: Seq[(Long, Array[Float], Seq[graft.sources.MetaTerm])],
                  k: Int): DataFrame = {
     import spark.implicits._
-    val perQuery = queries.map { case (qid, qv, pred) =>
-      FilteredServe.searchFiltered(spark, d, srpDir, edgeDir, qv,
-        pred, k = k)
+    val perQuery = queries.map { case (qid, qv, terms) =>
+      FilteredServe.searchFilteredTerms(spark, d, srpDir, edgeDir, qv,
+        terms, k = k)
         .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
           col("rk"), col("sim"))
     }
@@ -59,21 +72,34 @@ object FilteredProbeStream {
   def probeBatchGrouped(spark: SparkSession, d: String, srpDir: String,
                  edgeDir: String,
                  queries: Seq[(Long, Array[Float], Seq[(String, String)])],
+                 k: Int): DataFrame =
+    probeBatchGroupedTerms(spark, d, srpDir, edgeDir,
+      queries.map { case (q, v, p) =>
+        (q, v, graft.sources.MetaTerm.ofPairs(p)) }, k)
+
+  /** [[probeBatchGrouped]] for TYPED-term requests (r15): grouping is
+    * by the term conjunction itself (same-threshold callers share one
+    * typed batch plan — the searchFilteredBatchMixedOps grouping, here
+    * on the stream's micro-batch), the covering test rides the
+    * planner's estimate, and non-covering groups keep the per-request
+    * typed serve. */
+  def probeBatchGroupedTerms(spark: SparkSession, d: String, srpDir: String,
+                 edgeDir: String,
+                 queries: Seq[(Long, Array[Float], Seq[graft.sources.MetaTerm])],
                  k: Int): DataFrame = {
     import spark.implicits._
     FilteredServe.ensureMeta(spark, d, srpDir)
     val parts = queries.groupBy(_._3).toSeq
-      .sortBy(_._1.map(p => s"${p._1}=${p._2}").mkString(","))
-      .map { case (pred, qs) =>
-        val matching = FilteredServe.matchCount(spark, srpDir, pred)
+      .sortBy(_._1.map(_.toString).mkString(","))
+      .map { case (terms, qs) =>
+        val matching = FilteredServe.estimateCount(spark, srpDir, terms)
         val covering = matching > 0 &&
           FilteredServe.shortlistWidth(matching) >= matching
         if (qs.size >= 2 && covering) {
           val qdf = qs.map { case (qid, qv, _) => (qid, qv) }
             .toDF("query_id", "q_vec")
-          FilteredServe.searchFilteredBatchFrom(spark, srpDir, qdf,
-            graft.sources.MetaTerm.ofPairs(pred), k)
-        } else probeBatch(spark, d, srpDir, edgeDir, qs, k)
+          FilteredServe.searchFilteredBatchFrom(spark, srpDir, qdf, terms, k)
+        } else probeBatchTerms(spark, d, srpDir, edgeDir, qs, k)
       }
     if (parts.isEmpty)
       Seq.empty[(Long, Long, Int, Double)]
@@ -93,7 +119,7 @@ object FilteredProbeStream {
     FilteredServe.ensureMeta(spark, d, srpDir)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
     val queries = spark.readStream
-      .schema("query_id LONG, query_text STRING, lang STRING, source STRING")
+      .schema("query_id LONG, query_text STRING, lang STRING, source STRING, source_ge STRING")
       .json(queriesDir)
     val q = queries.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -104,14 +130,20 @@ object FilteredProbeStream {
             // output indistinguishable from "no similar documents"
             require(!r.isNullAt(2),
               s"filtered query record ${r.getLong(0)} missing required 'lang'")
-            val pred = Seq("lang" -> r.getString(2)) ++
-              (if (r.isNullAt(3)) Nil else Seq("source" -> r.getString(3)))
-            (r.getLong(0), embedder.embed(r.getString(1)), pred)
+            val terms: Seq[graft.sources.MetaTerm] =
+              Seq(graft.sources.MetaTerm.Eq("lang", r.getString(2))) ++
+              (if (r.isNullAt(3)) Nil
+               else Seq(graft.sources.MetaTerm.Eq("source", r.getString(3)))) ++
+              // a present source_ge conjoins a typed comparison — the
+              // reference's range-predicate request shape on the stream
+              (if (r.isNullAt(4)) Nil
+               else Seq(graft.sources.MetaTerm.Cmp("source", ">=", r.getString(4))))
+            (r.getLong(0), embedder.embed(r.getString(1)), terms)
           }.toSeq
         if (qs.nonEmpty) {
           // grouped-by-predicate set-based serving — identical rows to
           // the per-request path (probeBatchGrouped doc), amortized
-          val rows = probeBatchGrouped(spark, d, srpDir, edgeDir, qs, k)
+          val rows = probeBatchGroupedTerms(spark, d, srpDir, edgeDir, qs, k)
             .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
           out.synchronized { out ++= rows: Unit }

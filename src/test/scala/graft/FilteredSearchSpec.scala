@@ -449,6 +449,53 @@ class FilteredSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming filtered probe: typed comparison requests (source_ge) equal their per-request typed serves") {
+    val srpDir = SrpStore.storeFor(spark, sf)
+    val edgeDir = EdgeStore.refinedStoreFor(spark, sf)
+    FilteredServe.ensureMeta(spark, sf, srpDir)
+    // two requests SHARE the comparison (grouped set-based branch when
+    // covering), one carries a different threshold (its own group)
+    val reqs: Seq[(Long, String, Seq[graft.sources.MetaTerm])] = Seq(
+      (1L, "fast vector search over spark tables",
+        Seq(graft.sources.MetaTerm.Eq("lang", "en"), graft.sources.MetaTerm.Cmp("source", ">=", "src15"))),
+      (2L, "customer support policy for refunds",
+        Seq(graft.sources.MetaTerm.Eq("lang", "en"), graft.sources.MetaTerm.Cmp("source", ">=", "src15"))),
+      (3L, "streaming ingestion with upserts",
+        Seq(graft.sources.MetaTerm.Eq("lang", "de"), graft.sources.MetaTerm.Cmp("source", ">=", "src3"))))
+    val tmp = java.nio.file.Files.createTempDirectory("filtered_qr").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/a.json"),
+      Seq(
+        s"""{"query_id": 1, "query_text": "${reqs(0)._2}", "lang": "en", "source_ge": "src15"}""",
+        s"""{"query_id": 2, "query_text": "${reqs(1)._2}", "lang": "en", "source_ge": "src15"}""",
+        s"""{"query_id": 3, "query_text": "${reqs(2)._2}", "lang": "de", "source_ge": "src3"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val out = graft.streaming.FilteredProbeStream
+      .runOnce(spark, tmp, sf, srpDir, edgeDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._3)).toSeq
+    val perRequest = reqs.flatMap { case (qid, text, terms) =>
+      FilteredServe.searchFilteredTerms(spark, sf, srpDir, edgeDir,
+        FakeEmbedder.embed(text), terms, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1), r.getDouble(2)))
+    }.sortBy(r => (r._1, r._3))
+    assert(out == perRequest,
+      "typed streaming requests diverged from per-request typed serves")
+    // purity: every row satisfies its request's comparison
+    // (lexicographic: source >= threshold as strings)
+    val metaOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out.foreach { case (qid, nid, _, _) =>
+      val (wantLang, thr) = qid match {
+        case 3L => ("de", "src3")
+        case _ => ("en", "src15")
+      }
+      val (l, src) = metaOf(nid)
+      assert(l == wantLang && src >= thr,
+        s"query $qid row $nid ($l, $src) violates lang=$wantLang, source>=$thr")
+    }
+  }
+
   test("filtered range search: pruned exact scan over matching partitions, rounded-sim threshold") {
     val srpDir = SrpStore.storeFor(spark, sf)
     FilteredServe.ensureMeta(spark, sf, srpDir)
