@@ -186,14 +186,19 @@ object FilteredServe {
     math.min(policy, cap).toInt
   }
 
-  /** the BATCHED serve's W policy keeps the FIXED cap: the batch's
-    * shortlist lives in per-query [[graft.functions.TopKPairs]]
-    * aggregate buffers (|Q|-multiplied per partition partial), so a
-    * matching-keyed W there scales memory with |Q|·matching/128 —
-    * the documented batch recall floor (PERF.md r15) instead. */
-  def shortlistWidthBatch(matching: Long): Int =
-    math.min(MaxShortlist.toLong,
-      math.max(CodeShortlist.toLong, matching / ShortlistRatio)).toInt
+  /** the BATCHED serve's W policy — the single-query COVERAGE-KEYED
+    * policy (r15). Below [[MaxShortlist]] the batch shortlist lives in
+    * per-query [[graft.functions.TopKPairs]] aggregate buffers (the
+    * fast path — |Q|-multiplied per partition partial, which is why a
+    * matching-keyed W could not simply raise the aggregate's k);
+    * PAST the bound the serve routes through the per-query
+    * HISTOGRAM-THRESHOLD shortlist ([[batchHistogramShortlist]]) whose
+    * state is |Q|·≤193 bin counters — never |Q|·W heap buffers — so
+    * the batch holds the same 1/[[MinCoverageRatio]] coverage floor as
+    * the single-query tier. This removes the r15 PERF note's one
+    * documented recall bound (batch recall@10 0.924 at 20M under the
+    * fixed cap, vs 0.990 single-query). */
+  def shortlistWidthBatch(matching: Long): Int = shortlistWidth(matching)
 
   /** which plan the last serve took ("exact" | "walk:<f>" |
     * "fallback") — spec hook */
@@ -977,6 +982,68 @@ object FilteredServe {
     }
   }
 
+  /** The BATCH shortlist stage: (query_id, vec_id, ham) pairs →
+    * (query_id, vec_id) candidates, ~W per query. W ≤ [[MaxShortlist]]
+    * takes the bounded [[graft.functions.TopKPairs]] aggregate (exact
+    * per-query (ham, vec_id) top-W, map-side partials capped per
+    * (query, partition)); larger W — the matching-keyed regime, where
+    * the aggregate's |Q|·W-multiplied partial buffers would scale
+    * memory with the matching count — routes through the per-query
+    * histogram threshold, the batch analogue of
+    * [[hammingShortlistIds]]. */
+  private def batchShortlist(pairs: DataFrame, w: Int): DataFrame =
+    if (w <= MaxShortlist)
+      pairs.groupBy(col("query_id"))
+        .agg(graft.functions.TopKPairs.top_k_pairs(
+          col("vec_id"), col("ham"), w, asc = true).as("__tk"))
+        .select(col("query_id"),
+          explode(col("__tk").getField("neighbor_id")).as("vec_id"))
+    else batchHistogramShortlist(pairs, w)
+
+  /** Scale-safe batched Hamming shortlist for W past the aggregate
+    * fast path: Hamming over the [[CodeRpb]]-bit sketch takes ≤193
+    * distinct values, so each query's W-th smallest comes from a
+    * ≤193-bin PER-QUERY histogram — one map-side-combined aggregate of
+    * |Q|·193 counters, never a |Q|·W heap — followed by one threshold
+    * join back onto the pair stream. The pair stream is therefore
+    * computed twice (histogram + filter), the same two-scan trade the
+    * single-query histogram path documents; state per executor is bin
+    * counters, and nothing W-sized ever sits in an aggregation buffer
+    * or on the driver.
+    *
+    * Per query: pairs strictly below its threshold bin always pass;
+    * the boundary bin rides along whole when the total stays ≤4W
+    * (more candidates only raise recall — the rerank is a distributed
+    * join), and is otherwise thinned DETERMINISTICALLY by vec_id hash
+    * to ~2× the needed count in expectation (a map-only cut; an exact
+    * per-query rank of the boundary bin would re-introduce the
+    * pair-stream shuffle the aggregate fast path exists to avoid, for
+    * a tie-break among rows the sketch already scores identically).
+    * Queries whose pair total is below W keep every pair — the
+    * covering contract (W ≥ matching ⇒ the rerank is exact) holds
+    * per query. */
+  private[graft] def batchHistogramShortlist(pairs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = pairs.groupBy(col("query_id"), col("ham"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("ham"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .filter(col("cum") >= lit(w.toLong))
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("ham"), col("cnt"), col("cum")), col("ham")).as("t"))
+      .select(col("query_id"), col("t.ham").as("__hstar"),
+        (col("t.cum") - col("t.cnt")).as("__below"),
+        col("t.cnt").as("__atH"), col("t.cum").as("__cumH"))
+    pairs.join(broadcast(thr), Seq("query_id"), "left")
+      .filter(col("__hstar").isNull || col("ham") < col("__hstar") ||
+        (col("ham") === col("__hstar") &&
+          (col("__cumH") <= lit(4L * w) ||
+           pmod(xxhash64(col("vec_id")), col("__atH")) <
+             least(col("__atH"), (lit(w.toLong) - col("__below")) * 2))))
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** The BATCHED filtered serve (r13): the whole query table answered
     * against one predicate in one set-based plan — the filtered
     * analogue of the unfiltered batch matrix (v26/v29/v33/v38), built
@@ -998,12 +1065,15 @@ object FilteredServe {
     *     (shuffle-hash, W·|Q| rows) + the query vectors, exact cosine,
     *     per-query (sim DESC, vec_id) top-k.
     *
-    * W follows the single-query policy (max([[CodeShortlist]],
-    * matching/[[ShortlistRatio]]) capped [[MaxShortlist]]) — here it
-    * bounds the AGGREGATE buffers and the rerank join width, with no
-    * driver collect anywhere. When W ≥ matching the result is the
-    * exact filtered per-query top-k (the covering contract v41's
-    * oracle replays). */
+    * W follows the single-query coverage-keyed policy
+    * ([[shortlistWidthBatch]]): below [[MaxShortlist]] it bounds the
+    * TopKPairs AGGREGATE buffers and the rerank join width; past the
+    * bound the shortlist stage switches to the per-query
+    * histogram-threshold form ([[batchHistogramShortlist]]) so W can
+    * track the matching count without |Q|·W aggregate state. No
+    * driver collect anywhere on either path. When W ≥ matching the
+    * result is the exact filtered per-query top-k (the covering
+    * contract v41's oracle replays). */
   def searchFilteredBatch(spark: SparkSession, d: String, metaDir: String,
                           queryMod: Int, pred: Seq[(String, String)],
                           k: Int = 5): DataFrame = {
@@ -1023,10 +1093,11 @@ object FilteredServe {
     * mixed-predicate serve ([[searchFilteredBatchMixed]]) unions. */
   def searchFilteredBatchFrom(spark: SparkSession, metaDir: String,
                               queries: DataFrame, terms: Seq[MetaTerm],
-                              k: Int): DataFrame = {
+                              k: Int,
+                              wOverride: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val matching = plannerCount(spark, metaDir, terms)
-    val w = shortlistWidthBatch(matching)
+    val w = wOverride.getOrElse(shortlistWidthBatch(matching))
     val bands = SrpBanded.Bands
     // keys computed ONCE per query row, then flattened (the CodeStore
     // batch shape — inlining the kernel into each element_at leans on
@@ -1043,13 +1114,9 @@ object FilteredServe {
     val ham = (0 until bands).map { b =>
       bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
     }.reduce(_ + _).cast("int")
-    val short = cFlat.crossJoin(broadcast(qFlat))
-      .select(col("query_id"), col("vec_id"), ham.as("ham"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKPairs.top_k_pairs(
-        col("vec_id"), col("ham"), w, asc = true).as("__tk"))
-      .select(col("query_id"),
-        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
+    val short = batchShortlist(
+      cFlat.crossJoin(broadcast(qFlat))
+        .select(col("query_id"), col("vec_id"), ham.as("ham")), w)
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     lastFilteredPath = s"code_batch:$w"
@@ -1247,14 +1314,10 @@ object FilteredServe {
     val ham = (0 until bands).map { b =>
       bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
     }.reduce(_ + _).cast("int")
-    val short = cFlat.crossJoin(broadcast(qFlat))
-      .filter(pairPred)
-      .select(col("query_id"), col("vec_id"), ham.as("ham"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKPairs.top_k_pairs(
-        col("vec_id"), col("ham"), w, asc = true).as("__tk"))
-      .select(col("query_id"),
-        explode(col("__tk").getField("neighbor_id")).as("vec_id"))
+    val short = batchShortlist(
+      cFlat.crossJoin(broadcast(qFlat))
+        .filter(pairPred)
+        .select(col("query_id"), col("vec_id"), ham.as("ham")), w)
     val emb = raw.select(col("vec_id"), col("embedding"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -277,6 +277,29 @@ object FilteredScaleProbe {
       rs.map(_.getLong(1)).count(batchTruth(qid)).toDouble / batchTruth(qid).size
     }.sum / nBatchQ
 
+    // fixed-cap A/B at the decade where the matching-keyed batch
+    // policy exceeds the old cap (r15b): the same batch replayed at
+    // wOverride = MaxShortlist IS the r14/r15a fixed-cap serve — the
+    // recall delta is the floor the per-query histogram path removes,
+    // and the ms/q delta is its two-scan price
+    val batchW = FilteredServe.shortlistWidthBatch(broadMatching)
+    val (cappedMsQ, cappedRecall) =
+      if (batchW <= FilteredServe.MaxShortlist) (-1.0, -1.0)
+      else {
+        val qdf = spark.read.parquet(embPath)
+          .filter(col("vec_id") % batchMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        val (got, s) = time {
+          FilteredServe.searchFilteredBatchFrom(spark, srpDir, qdf,
+            graft.sources.MetaTerm.ofPairs(broadPred), k = 10,
+            wOverride = Some(FilteredServe.MaxShortlist)).collect()
+        }
+        val rec = got.groupBy(_.getLong(0)).map { case (qid, rs) =>
+          rs.map(_.getLong(1)).count(batchTruth(qid)).toDouble / batchTruth(qid).size
+        }.sum / nBatchQ
+        (s / nBatchQ * 1000, rec)
+      }
+
     // the HETEROGENEOUS-predicate batch (r14): the same ~500-query
     // slice, each query carrying its own doc's lang as its predicate
     // (5 groups ≈ 20% matching each) — grouped-by-predicate union of
@@ -325,7 +348,9 @@ object FilteredScaleProbe {
       s""""walk_recall_at_10":${f"$walkRecall%.3f"},"unfiltered_recall_at_10":${f"$meanUnfiltered%.3f"},""" +
       s""""batch_queries":$nBatchQ,"batch_ms_per_q":${f"${batchS / nBatchQ * 1000}%.1f"},""" +
       s""""batch_ms_per_q_rerun":${f"${batchS2 / nBatchQ * 1000}%.1f"},""" +
-      s""""batch_recall_at_10":${f"$batchRecall%.3f"},""" +
+      s""""batch_recall_at_10":${f"$batchRecall%.3f"},"batch_w_policy":$batchW,""" +
+      s""""batch_capped_ms_per_q":${f"$cappedMsQ%.1f"},""" +
+      s""""batch_capped_recall_at_10":${f"$cappedRecall%.3f"},""" +
       s""""batch_stage_metrics":{"exec_run_s":${f"${batchM.runTimeMs.get / 1000.0}%.1f"},""" +
       s""""input_mb":${batchM.inputB.get / 1048576L},"shuffle_read_mb":${batchM.shufReadB.get / 1048576L},""" +
       s""""shuffle_write_mb":${batchM.shufWriteB.get / 1048576L},"spill_mb":${batchM.spillB.get / 1048576L}},""" +

@@ -734,9 +734,12 @@ class FilteredSearchSpec extends AnyFunSuite {
       assert(w.toDouble / m >= 1.0 / MinCoverageRatio - 1e-12,
         s"coverage ${w.toDouble / m} below floor at matching=$m")
     }
-    // the batch policy keeps the fixed cap (TopKPairs buffers are |Q|-multiplied)
-    assert(shortlistWidthBatch(4000000L) == MaxShortlist)
+    // the batch policy is the single-query coverage-keyed policy (r15:
+    // past MaxShortlist the batch routes through the per-query
+    // histogram shortlist, so it no longer needs its own fixed cap)
+    assert(shortlistWidthBatch(4000000L) == 4000000 / 128)
     assert(shortlistWidthBatch(80000L) == 80000 / 16)
+    assert(shortlistWidthBatch(500000L) == MaxShortlist)
   }
 
   /** a meta store big enough that W can exceed the fast-path bound —
@@ -789,6 +792,79 @@ class FilteredSearchSpec extends AnyFunSuite {
     val gotIds = a1.map(_.head.asInstanceOf[Long]).toSet
     val recall = want.map(_._1).count(gotIds) / 10.0
     assert(recall >= 0.8, s"large-W recall $recall at 90% coverage")
+  }
+
+  test("batched large-W: per-query histogram shortlist, covering contract exact per query, deterministic") {
+    import spark.implicits._
+    val (dir, aaRows, _) = bigMeta
+    val matching = FilteredServe.matchCount(spark, dir, Seq("m" -> "aa"))
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    // 4 queries from the matching set itself (self must rank first)
+    val qRows = Seq(0, 1111, 5555, 9999).map(aaRows)
+    val queries = qRows.map { case (id, v) => (id, v) }.toDF("query_id", "q_vec")
+    // covering W through the LARGE-W batch machinery: wOverride =
+    // matching (> MaxShortlist) forces the histogram path, every pair
+    // passes the threshold, and the rerank is the exact filtered top-k
+    def run(w: Int) = FilteredServe.searchFilteredBatchFrom(spark, dir,
+        queries, terms, k = 10, wOverride = Some(w))
+      .collect().map(_.toSeq).toSeq
+    val got = run(matching.toInt)
+    assert(FilteredServe.lastFilteredPath == s"code_batch:$matching")
+    qRows.foreach { case (qid, qv) =>
+      val want = aaRows.map { case (id, v) =>
+        (id, BigDecimal(graft.functions.vectors.cosine_sim_local(v, qv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => Seq[Any](qid, id, i + 1, s) }
+      val mine = got.filter(_.head == qid)
+        .sortBy(_(2).asInstanceOf[Int]).toSeq
+      assert(mine == want,
+        s"covering large-W batch diverged from brute force for query $qid")
+    }
+    // non-covering large W (8500 of 10000): still > MaxShortlist (the
+    // histogram path with a BINDING threshold), deterministic, high
+    // recall, k rows per query
+    val a1 = run(8500)
+    val a2 = run(8500)
+    assert(a1 == a2, "histogram batch shortlist not deterministic")
+    assert(a1.count(_.head == qRows.head._1) == 10)
+    val exact = got.filter(_.head == qRows.head._1)
+      .map(_(1).asInstanceOf[Long]).toSet
+    val approx = a1.filter(_.head == qRows.head._1)
+      .map(_(1).asInstanceOf[Long]).toSet
+    assert(exact.count(approx) >= 8,
+      s"non-covering large-W batch recall ${exact.count(approx)}/10")
+  }
+
+  test("batch histogram threshold: base bins always pass, boundary bin rides or thins, sub-W totals keep all") {
+    import spark.implicits._
+    // q0: 10 bins × 10 rows (ham = id/10); w=25 ⇒ hstar=2, cum 30 ≤ 4w
+    // ⇒ the whole boundary bin rides: exactly the 30 rows with ham ≤ 2
+    val q0 = (0 until 100).map(i => (0L, i.toLong, i / 10))
+    // q1: 5 rows at ham 0 + 1000 at ham 7; w=25 ⇒ hstar=7, cumH=1005 >
+    // 4w ⇒ base passes whole, boundary hash-thins to ~2·(w−below)=40
+    val q1 = (0 until 5).map(i => (1L, 10000L + i, 0)) ++
+      (0 until 1000).map(i => (1L, 20000L + i, 7))
+    // q2: 12 rows total < w ⇒ no threshold ⇒ every pair kept
+    val q2 = (0 until 12).map(i => (2L, 30000L + i, i))
+    val pairs = (q0 ++ q1 ++ q2).toDF("query_id", "vec_id", "ham")
+    val got = FilteredServe.batchHistogramShortlist(pairs, w = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(got(0L) == (0 until 30).map(_.toLong).toSet,
+      s"q0 should keep exactly ham ≤ 2 (30 rows), got ${got(0L).size}")
+    assert((10000L until 10005L).forall(got(1L)),
+      "q1 base bin (ham < hstar) must always pass")
+    val thinned = got(1L).size - 5
+    assert(thinned >= 10 && thinned <= 120,
+      s"q1 boundary thinning wildly off expectation (~40): $thinned")
+    assert(got(2L) == (30000L until 30012L).toSet,
+      "q2 (total < W) must keep every pair")
+    // deterministic
+    val again = FilteredServe.batchHistogramShortlist(pairs, w = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again ==
+      got.toSeq.flatMap { case (q, ids) => ids.toSeq.map(q -> _) }.toSet)
   }
 
   test("coverage telemetry: exact serves report 1.0, policy serves hold the floor, forced-thin serves are counted") {
