@@ -1500,13 +1500,20 @@ object FilteredServe {
       val docs = Tables.documents(spark, d).select(
         col("doc_id").as("vec_id"),
         upper(substring(col("lang"), 1, 2)).as("country"),
-        (col("doc_id") % 43).as("num_claims"))
+        (col("doc_id") % 43).as("num_claims"),
+        // the reference schema's `date` column (sql/02_schema.sql:13)
+        // mapped deterministically: ISO strings compare correctly
+        // under Cmp's LEXICOGRAPHIC branch (the value never parses
+        // numeric), which is the documented date-predicate path
+        date_format(date_add(to_date(lit("2020-01-01")),
+          pmod(col("doc_id"), lit(1461)).cast("int")), "yyyy-MM-dd")
+          .as("date"))
       writeMetaFrom(spark, dir, docs, Seq("country"),
         Tables.embeddings(spark, d)
           .filter(col("embedding").isNotNull &&
             size(col("embedding")) === SrpBanded.Dim)
           .select(col("vec_id"), col("embedding")),
-        rangeCols = Seq("num_claims"))
+        rangeCols = Seq("num_claims", "date"))
       dir
     }
 

@@ -691,7 +691,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(math.abs(est - actual).toDouble / actual < 0.25,
       s"histogram estimate $est too far from actual $actual")
     // declared range column is readable off the store's own artifact
-    assert(FilteredServe.storeRangeCols(spark, dir) == Seq("num_claims"))
+    assert(FilteredServe.storeRangeCols(spark, dir) == Seq("date", "num_claims"))
     // undeclared column still refuses loudly
     intercept[IllegalArgumentException] {
       FilteredServe.estimateCount(spark, dir,
@@ -1002,6 +1002,35 @@ class FilteredSearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0),
         BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
     assert(res.map(r => (r.getLong(0), r.getDouble(2))).toSeq == want)
+  }
+
+  test("date-range predicate: ISO strings compare lexicographically on an in-row range column") {
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val cut = "2020-09-15"
+    val terms = Seq(MetaTerm.Eq("country", "EN"),
+      MetaTerm.Cmp("date", ">=", cut))
+    val res = FilteredServe.searchFilteredMetaTerms(spark, dir, q, terms, k = 5)
+      .collect()
+    // brute force from the same deterministic doc_id → ISO-date mapping
+    val legal = Tables.documents(spark, sf)
+      .filter(upper(substring(col("lang"), 1, 2)) === "EN" &&
+        date_format(date_add(to_date(lit("2020-01-01")),
+          pmod(col("doc_id"), lit(1461)).cast("int")), "yyyy-MM-dd") >= cut)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(res.nonEmpty)
+    assert(res.map(_.getLong(0)).toSet.subsetOf(legal),
+      "date-range predicate leaked rows before the cutoff")
+    val want = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      .filter(col("vec_id").isin(legal.toSeq: _*))
+      .select(col("vec_id"),
+        graft.functions.vectors.cosine_sim(col("embedding"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    assert(res.map(r => (r.getLong(0), r.getDouble(2))).toSeq == want,
+      "date-filtered ranking diverged from brute force")
   }
 
   test("mixed-predicate batch equals per-predicate batch serves, one pruned scan per group") {
