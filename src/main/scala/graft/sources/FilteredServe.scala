@@ -223,8 +223,16 @@ object FilteredServe {
     def ratio: Double =
       if (matching <= 0L || w >= matching) 1.0 else w.toDouble / matching
     /** below the code tier's design floor — a serve whose recall the
-      * W-sweep evidence says is degraded, surfaced instead of silent */
-    def belowFloor: Boolean = ratio < 1.0 / MinCoverageRatio
+      * W-sweep evidence says is degraded, surfaced instead of silent.
+      * Compared against the INTEGER floor width (matching/128 floored,
+      * exactly what [[shortlistWidth]] emits in the matching-keyed
+      * regime): a strict ratio test would flag every policy-compliant
+      * serve whose matching count is not divisible by
+      * [[MinCoverageRatio]] — floor(m/128)/m < 1/128 for 127 of every
+      * 128 values of m — turning the alarm into a constant false
+      * positive. */
+    def belowFloor: Boolean =
+      matching > 0L && w < matching / MinCoverageRatio
   }
   @volatile private[graft] var lastServeCoverage: Coverage = Coverage("none", 0L, 0L)
   private val coverageServes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -421,14 +429,15 @@ object FilteredServe {
         (cols ++ rcols).map(c => col(c).cast("string").as(c))): _*)
       .localCheckpoint(true)
     val updIds = upd.select(col("vec_id")).distinct()
-    val byvalRaw = spark.read.parquet(s"$srpDir/meta/byval")
-    require(byvalRaw.columns.contains("keys"),
+    // the keys guard needs the RAW footer schema (a schema-enforced
+    // read would surface a missing column as nulls, not absence)
+    require(spark.read.parquet(s"$srpDir/meta/byval").columns.contains("keys"),
       s"byval at $srpDir predates the code-tier keys column — run " +
         "ensureMeta/writeMeta before upserting (a mixed-schema byval " +
         "would rank null-key rows first in the Hamming shortlist)")
-    val byval = byvalRaw
+    val byval = readByValAs(spark, srpDir, cols, rcols)
       .select((Seq(col("vec_id"), col("embedding"), col("keys")) ++
-        (cols ++ rcols).map(c => col(c).cast("string").as(c))): _*)
+        (cols ++ rcols).map(col)): _*)
     val oldVals = byval.join(broadcast(updIds), Seq("vec_id"))
       .select(cols.map(col): _*).distinct()
       .collect().map(r => cols.indices.map(r.getString)).toSeq
@@ -504,15 +513,14 @@ object FilteredServe {
       // before the committing stats write
       if (rcols.nonEmpty) {
         writeRangeStats(spark, srpDir,
-          spark.read.parquet(s"$srpDir/meta/byval")
-            .select((col("vec_id") +:
-              rcols.map(c => col(c).cast("string").as(c))): _*),
+          readByValAs(spark, srpDir, cols, rcols)
+            .select((col("vec_id") +: rcols.map(col)): _*),
           rcols)
         rstatsCache.remove(srpDir): Unit
       }
       // stats last (the ensureMeta gate): partition-column-only scan
-      spark.read.parquet(s"$srpDir/meta/byval")
-        .groupBy(cols.map(c => col(c).cast("string").as(c)): _*)
+      readByValAs(spark, srpDir, cols, rcols)
+        .groupBy(cols.map(col): _*)
         .agg(count(lit(1)).as("cnt"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$srpDir/meta/stats")
@@ -520,6 +528,38 @@ object FilteredServe {
     }
     org.apache.spark.sql.GraftBridge.unpersistPlanRdds(upd)
     touched
+  }
+
+  /** Schema-enforced byval read — EVERY byval data read funnels here.
+    * Spark's partition-column TYPE INFERENCE would parse
+    * numeric-looking partition dir values ("withdrawn=0", "m=5") into
+    * numbers, merging distinct string values whose numeric forms
+    * collide ("5" and "5.0" both read back as 5.0, "00" as 0) and
+    * breaking the store's string-canonical contract UNRECOVERABLY
+    * (casting back yields the canonical numeric rendering, not the
+    * written dir value). Supplying the schema pins every declared
+    * column to STRING, so partition values round-trip byte-exactly
+    * and static file-index pruning compares the strings the store
+    * wrote. (Schema reads on missing columns yield nulls, so the
+    * pre-r13 `keys` guard in ensureMeta/upsertMeta must keep its raw
+    * footer read.) */
+  private[graft] def readByVal(spark: SparkSession, srpDir: String): DataFrame =
+    readByValAs(spark, srpDir,
+      storeMetaCols(spark, srpDir), storeRangeCols(spark, srpDir))
+
+  /** [[readByVal]] with the declared columns already in hand (the
+    * upsert path, where the stats artifact is mid-rewrite) */
+  private def readByValAs(spark: SparkSession, srpDir: String,
+                          metaCols: Seq[String],
+                          rangeCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields =
+      StructField("vec_id", LongType) ::
+        StructField("embedding", ArrayType(FloatType)) ::
+        StructField("keys", ArrayType(LongType)) ::
+        (rangeCols ++ metaCols)
+          .map(c => StructField(c, StringType)).toList
+    spark.read.schema(StructType(fields)).parquet(s"$srpDir/meta/byval")
   }
 
   private def metaCommitted(spark: SparkSession, srpDir: String): Boolean =
@@ -738,19 +778,13 @@ object FilteredServe {
       .map(_._2).sum
   }
 
-  /** planner cardinality for a typed-term conjunction: EXACT (the
-    * combo sum) when every term is partition-class, the histogram
-    * estimate otherwise */
-  private[sources] def plannerCount(spark: SparkSession, srpDir: String,
-                                    terms: Seq[MetaTerm]): Long = {
-    val rCols = storeRangeCols(spark, srpDir).toSet
-    if (terms.exists(t => rCols.contains(t.column)))
-      estimateCount(spark, srpDir, terms)
-    else {
-      requireTerms(spark, srpDir, terms)
-      matchingCombos(spark, srpDir, terms).map(_._2).sum
-    }
-  }
+  /** planner cardinality for a typed-term conjunction — an alias of
+    * [[estimateCount]], which is already EXACT when every term is
+    * partition-class (the frac product over zero range terms is 1.0)
+    * and the histogram estimate otherwise */
+  private[graft] def plannerCount(spark: SparkSession, srpDir: String,
+                                  terms: Seq[MetaTerm]): Long =
+    estimateCount(spark, srpDir, terms)
 
   /** total indexed rows — the selectivity denominator, from the same
     * stats artifact (no store scan) */
@@ -789,7 +823,7 @@ object FilteredServe {
     val partCols = storeMetaCols(spark, srpDir)
     val partTerms = terms.filter(t => partCols.contains(t.column))
     val rowTerms = terms.filterNot(t => partCols.contains(t.column))
-    val raw = spark.read.parquet(s"$srpDir/meta/byval")
+    val raw = readByVal(spark, srpDir)
     // all-equality partition terms filter DIRECTLY (one comparison per
     // term per row — the r13 shape; the combo OR costs ~|combos|×
     // per-row work: measured 2.3× on the 10000×-decade code scan).
@@ -982,6 +1016,59 @@ object FilteredServe {
     }
   }
 
+  /** Flatten a (query_id, q_vec, <extra...>) frame's band keys to the
+    * primitive columns q0..q[Bands-1] — keys computed ONCE per query
+    * row (the CodeStore batch shape: inlining the kernel into each
+    * element_at leans on codegen subexpression elimination instead of
+    * guaranteeing it). ONE definition shared by every batched filtered
+    * shape so the pair-stream contract cannot fork. */
+  private def flattenQueryCodes(queries: DataFrame,
+                                extra: Seq[String] = Nil): DataFrame =
+    queries
+      .select((Seq(col("query_id"),
+        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb).as("q_keys")) ++
+        extra.map(col)): _*)
+      .select(((col("query_id") +:
+        (0 until SrpBanded.Bands).map(b =>
+          element_at(col("q_keys"), b + 1).as(s"q$b"))) ++
+        extra.map(col)): _*)
+
+  /** Flatten stored (vec_id, keys, <extra...>) rows to c0..c[Bands-1]
+    * (the r11 element_at lesson: primitive columns ahead of the pair
+    * stream) — the row-side twin of [[flattenQueryCodes]]. */
+  private def flattenRowCodes(rows: DataFrame,
+                              extra: Seq[String] = Nil): DataFrame =
+    rows.select(((col("vec_id") +:
+      (0 until SrpBanded.Bands).map(b =>
+        element_at(col("keys"), b + 1).as(s"c$b"))) ++
+      extra.map(col)): _*)
+
+  /** per-pair Hamming distance over the flattened qN/cN columns */
+  private def hamCol: Column =
+    (0 until SrpBanded.Bands).map { b =>
+      bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
+    }.reduce(_ + _).cast("int")
+
+  /** The batch rerank tail shared by every batched filtered shape:
+    * exact cosine over the shortlist joined to `emb`'s embeddings,
+    * query vectors under the SHUFFLE_HASH no-query-broadcast contract,
+    * per-query (sim DESC, vec_id) top-k, rounded emission. */
+  private def rerankTopK(short: DataFrame, emb: DataFrame,
+                         queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short.join(emb, Seq("vec_id"))
+      .join(queries.select(col("query_id"), col("q_vec")).hint("shuffle_hash"),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
   /** The BATCH shortlist stage: (query_id, vec_id, ham) pairs →
     * (query_id, vec_id) candidates, ~W per query. W ≤ [[MaxShortlist]]
     * takes the bounded [[graft.functions.TopKPairs]] aggregate (exact
@@ -1021,7 +1108,12 @@ object FilteredServe {
     * a tie-break among rows the sketch already scores identically).
     * Queries whose pair total is below W keep every pair — the
     * covering contract (W ≥ matching ⇒ the rerank is exact) holds
-    * per query. */
+    * per query.
+    *
+    * The threshold join broadcasts |Q| rows of 4 longs each — strictly
+    * smaller than the query-CODES broadcast the pair stream itself
+    * already carries (the v29/v38 model-broadcast license; never the
+    * forbidden query-embedding broadcast). */
   private[graft] def batchHistogramShortlist(pairs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = pairs.groupBy(col("query_id"), col("ham"))
@@ -1095,41 +1187,17 @@ object FilteredServe {
                               queries: DataFrame, terms: Seq[MetaTerm],
                               k: Int,
                               wOverride: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val matching = plannerCount(spark, metaDir, terms)
     val w = wOverride.getOrElse(shortlistWidthBatch(matching))
-    val bands = SrpBanded.Bands
-    // keys computed ONCE per query row, then flattened (the CodeStore
-    // batch shape — inlining the kernel into each element_at leans on
-    // codegen subexpression elimination instead of guaranteeing it)
-    val qFlat = queries
-      .select(col("query_id"),
-        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb).as("q_keys"))
-      .select(col("query_id") +:
-        (0 until bands).map(b => element_at(col("q_keys"), b + 1).as(s"q$b")): _*)
-    val cFlat = byValMatching(spark, metaDir, terms)
-      .select(col("vec_id") +:
-        (0 until bands).map(b => element_at(col("keys"), b + 1).as(s"c$b")): _*)
+    val qFlat = flattenQueryCodes(queries)
+    val cFlat = flattenRowCodes(byValMatching(spark, metaDir, terms))
     lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
-    val ham = (0 until bands).map { b =>
-      bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
-    }.reduce(_ + _).cast("int")
     val short = batchShortlist(
       cFlat.crossJoin(broadcast(qFlat))
-        .select(col("query_id"), col("vec_id"), ham.as("ham")), w)
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+        .select(col("query_id"), col("vec_id"), hamCol.as("ham")), w)
     lastFilteredPath = s"code_batch:$w"
     recordCoverage(s"code_batch:$w", matching, w.toLong)
-    short
-      .join(byValPrunedTerms(spark, metaDir, terms), Seq("vec_id"))
-      .join(queries.hint("shuffle_hash"), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rk"), round(col("sim"), 6).as("sim"))
+    rerankTopK(short, byValPrunedTerms(spark, metaDir, terms), queries, k)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -1276,21 +1344,17 @@ object FilteredServe {
   private def mixedJoinedPlan(spark: SparkSession, metaDir: String,
                               qs: DataFrame, predOps: Seq[(String, String)],
                               k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val predCols = predOps.map(_._1)
     val w = shortlistWidthBatch(totalCount(spark, metaDir))
-    val bands = SrpBanded.Bands
-    val qFlat = qs
-      .select((Seq(col("query_id"),
-        SrpBanded.bandKeysCol(col("q_vec"), SrpBanded.Dim, CodeRpb).as("q_keys")) ++
-        predCols.map(c => col(c).as(s"__q_$c"))): _*)
-      .select((Seq(col("query_id")) ++
-        (0 until bands).map(b => element_at(col("q_keys"), b + 1).as(s"q$b")) ++
-        predCols.map(c => col(s"__q_$c"))): _*)
-    val raw = spark.read.parquet(s"$metaDir/meta/byval")
-    val cFlat = raw.select((Seq(col("vec_id")) ++
-      (0 until bands).map(b => element_at(col("keys"), b + 1).as(s"c$b")) ++
-      predCols.map(c => col(c).cast("string").as(c))): _*)
+    val qFlat = flattenQueryCodes(
+      qs.select((Seq(col("query_id"), col("q_vec")) ++
+        predCols.map(c => col(c).as(s"__q_$c"))): _*),
+      extra = predCols.map(c => s"__q_$c"))
+    val raw = readByVal(spark, metaDir)
+    val cFlat = flattenRowCodes(
+      raw.select((Seq(col("vec_id"), col("keys")) ++
+        predCols.map(col)): _*),
+      extra = predCols)
     lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
     // per-pair predicate: data column vs the query's own value column,
     // with termCol's value-typed semantics decided per pair
@@ -1302,36 +1366,31 @@ object FilteredServe {
       case "<" => l < r
       case "!=" => l =!= r
     }
+    val partColSet = storeMetaCols(spark, metaDir).toSet
     val pairPred = predOps.map { case (c, op) =>
-      // try_cast on BOTH sides (ANSI-safe): a non-numeric query value
-      // selects the lexicographic branch, and a non-numeric data value
-      // under a numeric comparison nulls out → excluded, exactly
-      // termCol's per-term semantics decided per pair
-      val vNum = col(s"__q_$c").try_cast("double")
-      when(vNum.isNotNull, cmp(op)(col(c).try_cast("double"), vNum))
-        .otherwise(cmp(op)(col(c), col(s"__q_$c")))
+      if ((op == "=" || op == "==") && partColSet.contains(c))
+        // the grouped shape plans '=' on a partition-class column as
+        // MetaTerm.Eq — EXACT STRING equality (a partition lookup, not
+        // a typed comparison). The joined shape must match it, or the
+        // two spec-asserted-identical shapes fork on numeric-looking
+        // partition values ('5' vs a stored '5.0').
+        col(c) === col(s"__q_$c")
+      else {
+        // try_cast on BOTH sides (ANSI-safe): a non-numeric query value
+        // selects the lexicographic branch, and a non-numeric data value
+        // under a numeric comparison nulls out → excluded, exactly
+        // termCol's per-term semantics decided per pair
+        val vNum = col(s"__q_$c").try_cast("double")
+        when(vNum.isNotNull, cmp(op)(col(c).try_cast("double"), vNum))
+          .otherwise(cmp(op)(col(c), col(s"__q_$c")))
+      }
     }.reduce(_ && _)
-    val ham = (0 until bands).map { b =>
-      bit_count(col(s"c$b").bitwiseXOR(col(s"q$b")))
-    }.reduce(_ + _).cast("int")
     val short = batchShortlist(
       cFlat.crossJoin(broadcast(qFlat))
         .filter(pairPred)
-        .select(col("query_id"), col("vec_id"), ham.as("ham")), w)
-    val emb = raw.select(col("vec_id"), col("embedding"))
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+        .select(col("query_id"), col("vec_id"), hamCol.as("ham")), w)
     recordCoverage(s"code_batch_joined:$w", totalCount(spark, metaDir), w.toLong)
-    short
-      .join(emb, Seq("vec_id"))
-      .join(qs.select(col("query_id"), col("q_vec")).hint("shuffle_hash"),
-        Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rk"), round(col("sim"), 6).as("sim"))
+    rerankTopK(short, raw.select(col("vec_id"), col("embedding")), qs, k)
   }
 
   /** The family-generic filtered-serve core — a three-tier

@@ -80,21 +80,36 @@ object FilteredProbeStream {
   /** [[probeBatchGrouped]] for TYPED-term requests (r15): grouping is
     * by the term conjunction itself (same-threshold callers share one
     * typed batch plan — the searchFilteredBatchMixedOps grouping, here
-    * on the stream's micro-batch), the covering test rides the
-    * planner's estimate, and non-covering groups keep the per-request
-    * typed serve. */
+    * on the stream's micro-batch), the covering test rides an UPPER
+    * BOUND of the matching count, and non-covering groups keep the
+    * per-request typed serve. */
   def probeBatchGroupedTerms(spark: SparkSession, d: String, srpDir: String,
                  edgeDir: String,
                  queries: Seq[(Long, Array[Float], Seq[graft.sources.MetaTerm])],
                  k: Int): DataFrame = {
     import spark.implicits._
     FilteredServe.ensureMeta(spark, d, srpDir)
+    val partCols = FilteredServe.storeMetaCols(spark, srpDir).toSet
     val parts = queries.groupBy(_._3).toSeq
       .sortBy(_._1.map(_.toString).mkString(","))
       .map { case (terms, qs) =>
-        val matching = FilteredServe.estimateCount(spark, srpDir, terms)
-        val covering = matching > 0 &&
-          FilteredServe.shortlistWidth(matching) >= matching
+        // the covering decision must be conservative: the histogram
+        // estimate can UNDER-count a range-class term (skew inside a
+        // boundary bin), which would claim covering while W < actual
+        // matching and silently trade the per-request exact serve for
+        // an approximate batch. Bound matching from ABOVE by the
+        // partition-class terms' exact combo sum (a range residual
+        // only shrinks the set); with no partition term the bound is
+        // the store total. The batch plan's W floor (CodeShortlist)
+        // then covers the bound whenever the bound admits covering at
+        // all, whatever the estimate says.
+        val partTerms = terms.filter(t => partCols.contains(t.column))
+        val matchingUb =
+          if (partTerms.nonEmpty)
+            FilteredServe.estimateCount(spark, srpDir, partTerms) // exact: no range terms
+          else FilteredServe.totalCount(spark, srpDir)
+        val covering = matchingUb > 0 &&
+          FilteredServe.shortlistWidth(matchingUb) >= matchingUb
         if (qs.size >= 2 && covering) {
           val qdf = qs.map { case (qid, qv, _) => (qid, qv) }
             .toDF("query_id", "q_vec")

@@ -117,6 +117,10 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
       // callable's finally would release — the CAS collapses them
       val released = new AtomicBoolean(false)
       def releaseOnce(): Unit = if (released.compareAndSet(false, true)) slots.release()
+      // set by the watchdog BEFORE it cancels: lets a callable that
+      // dequeues RIGHT AT its deadline distinguish its own cancellation
+      // from the stale-flag case below
+      val deadlineFired = new AtomicBoolean(false)
       val task = new FutureTask[A](new Callable[A] {
         override def call(): A = {
           // stale interrupt from a PREVIOUSLY cancelled task on this
@@ -124,6 +128,19 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
           // does not clear it on non-InterruptedException exits) —
           // any pending interrupt here belongs to a dead request
           Thread.interrupted()
+          // ...unless OUR deadline already fired while we were entering:
+          // cancel(true) can deliver the interrupt between FutureTask's
+          // runner CAS and the clear above, and swallowing it would run
+          // the whole request unwatched (its job group was cancelled
+          // before setJobGroup below, so nothing would kill its jobs).
+          // A deadline firing between this check and setJobGroup still
+          // lands as a pending interrupt that the first blocking/Spark
+          // call surfaces.
+          if (deadlineFired.get()) {
+            releaseOnce()
+            throw new InterruptedException(
+              "cancelled at deadline before the request body started")
+          }
           started.set(true)
           val sc = spark.sparkContext
           sc.setJobGroup(jobGroup, s"graft gateway request (deadline ${timeoutMs}ms)",
@@ -160,6 +177,7 @@ final class RequestQueue(val maxInFlight: Int, val maxQueued: Int) {
         try {
           timer.schedule(new Runnable {
             override def run(): Unit = if (!task.isDone) {
+              deadlineFired.set(true)
               val cancelled = task.cancel(true)
               if (cancelled) timedOutCount.incrementAndGet()
               // kill the request's distributed work regardless of which

@@ -740,6 +740,12 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(shortlistWidthBatch(4000000L) == 4000000 / 128)
     assert(shortlistWidthBatch(80000L) == 80000 / 16)
     assert(shortlistWidthBatch(500000L) == MaxShortlist)
+    // belowFloor keys to the INTEGER floor width the policy emits: a
+    // policy-compliant matching-keyed serve is never flagged however
+    // m mod 128 falls (a strict ratio test would flag 127 of every
+    // 128 matching counts in the regime), while a genuinely thin W is
+    assert(!Coverage("code", 4000001L, shortlistWidth(4000001L).toLong).belowFloor)
+    assert(Coverage("code", 4000001L, 8192L).belowFloor)
   }
 
   /** a meta store big enough that W can exceed the fast-path bound —
@@ -956,6 +962,37 @@ class FilteredSearchSpec extends AnyFunSuite {
       s"expected the joined fallback, took ${FilteredServe.lastMixedBatchPath}")
     assert(joined == grouped,
       "joined fallback diverged from the grouped shape at the boundary")
+  }
+
+  test("mixed '=' on a numeric-valued partition column: the joined shape keeps string equality (no '5' == '5.0' merge)") {
+    import spark.implicits._
+    val dim = graft.operators.SrpBanded.Dim
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 40).map(i => (i.toLong,
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f),
+      if (i % 2 == 0) "5" else "5.0"))
+    val dir = graft.sources.TempStores.track(
+      java.nio.file.Files.createTempDirectory("numeq").toString)
+    FilteredServe.writeMetaFrom(spark, dir,
+      rows.map(r => (r._1, r._3)).toDF("vec_id", "m"), Seq("m"),
+      rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding"))
+    val queries = rows.take(4).map(r => (r._1, r._2, r._3))
+      .toDF("query_id", "q_vec", "m")
+    def run(maxGroups: Int) = FilteredServe.searchFilteredBatchMixedOps(
+        spark, dir, queries, Seq("m" -> "="), k = 3, maxGroups = maxGroups)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val grouped = run(100)
+    assert(FilteredServe.lastMixedBatchPath.startsWith("grouped:"))
+    val joined = run(1) // 2 combos > 1: forces the joined fallback
+    assert(FilteredServe.lastMixedBatchPath.startsWith("joined:"))
+    assert(joined == grouped,
+      "joined shape numeric-merged distinct partition values '5' and '5.0'")
+    // purity: every neighbor lives in its query's own partition
+    val part = rows.map(r => r._1 -> r._3).toMap
+    grouped.foreach { r =>
+      assert(part(r(1).asInstanceOf[Long]) == part(r.head.asInstanceOf[Long]),
+        s"query ${r.head} got a neighbor from the other equality class")
+    }
   }
 
   test("mixed batch refuses null predicate values loudly (queries cannot silently vanish)") {
