@@ -139,15 +139,58 @@ object FilteredHardRecallProbe {
           matchingPlants(qid).size
       }
     }
+    val singlePath = FilteredServe.lastFilteredPath
+
+    // BATCH serves over the same hard corpus (late r15): the whole
+    // query table in one set-based plan — once at the policy W (the
+    // TopKPairs fast path at this matching count) and once forced
+    // just past the fast-path bound (wOverride = MaxShortlist + 1),
+    // so the per-query HISTOGRAM-THRESHOLD stage itself carries the
+    // planted-tier contract: zero predicate leaks (candidates come
+    // from matching partitions by construction on both stages) and
+    // the matching plants found. The forced-W run is a machinery
+    // check, not a W-comparison — its W differs from the policy's.
+    val terms = Seq(graft.sources.MetaTerm.Eq("lang", "l1"))
+    def batchRun(wOv: Option[Int]) = {
+      val (got, s) = time {
+        FilteredServe.searchFilteredBatchFrom(spark, srpDir, queryDf, terms,
+          K, wOverride = wOv).collect()
+      }
+      val byQ = got.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rec = Array.fill(Tiers.size)(0.0)
+      val plant = Array.fill(Tiers.size)(0.0)
+      var leak = 0L
+      (0 until nQ).foreach { qi =>
+        val qid = queries(qi)._1
+        val g = byQ.getOrElse(qid, Set.empty[Long])
+        leak += g.count(id => !matchSet(id))
+        val tier = qi / QueriesPerTier
+        rec(tier) += g.intersect(truth(qid)).size.toDouble / K
+        plant(tier) += g.intersect(matchingPlants(qid)).size.toDouble /
+          matchingPlants(qid).size
+      }
+      (rec, plant, leak, s, FilteredServe.lastFilteredPath)
+    }
+    val (bRec, bPlant, bLeak, bS, bPath) = batchRun(None)
+    val (hRec, hPlant, hLeak, hS, hPath) =
+      batchRun(Some(FilteredServe.MaxShortlist + 1))
+
     def js(a: Array[Double]): String =
       Tiers.indices.map(i =>
         f""""${Tiers(i)}%.2f":${a(i) / QueriesPerTier}%.4f""").mkString("{", ",", "}")
     println(s"""{"metric":"hard_recall_filtered_at_$K","rows":$rows,"matching":$matching,""" +
       s""""queries":$nQ,"tiers_q":$QueriesPerTier,"pred":"lang=l1",""" +
-      s""""path":"${FilteredServe.lastFilteredPath}",""" +
+      s""""path":"$singlePath",""" +
       s""""recall":${js(perTierRecall)},"plant_recall":${js(perTierPlant)},""" +
       s""""leaked_nonmatching":$leaked,"serve_s":${f"$serveS%.1f"},""" +
-      s""""ms_per_q":${f"${serveS / nQ * 1000}%.1f"},"meta_build_s":${f"$metaS%.1f"}}""")
+      s""""ms_per_q":${f"${serveS / nQ * 1000}%.1f"},"meta_build_s":${f"$metaS%.1f"},""" +
+      s""""batch_path":"$bPath","batch_recall":${js(bRec)},""" +
+      s""""batch_plant_recall":${js(bPlant)},"batch_leaked":$bLeak,""" +
+      s""""batch_ms_per_q":${f"${bS / nQ * 1000}%.1f"},""" +
+      s""""hist_path":"$hPath","hist_recall":${js(hRec)},""" +
+      s""""hist_plant_recall":${js(hPlant)},"hist_leaked":$hLeak,""" +
+      s""""hist_ms_per_q":${f"${hS / nQ * 1000}%.1f"}}""")
     spark.stop()
   }
 }
