@@ -201,14 +201,48 @@ object ScaleBench {
         graft.sources.CodeStore.searchBatch(spark,
           graft.sources.CodeStore.storeFor(spark, dir), dir,
           SparkEntry.JoinQueryFilter * 10)))
+    // optional per-serve stage attribution (SPARK_GRAFT_STAGE_METRICS=1):
+    // per-stage executor time + shuffle bytes to stderr — the stable
+    // comparison on this contended box is shuffle bytes and stage
+    // structure, not wall clock (PERF.md r15 variance attribution)
+    val stageMetrics = sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1")
+    final class StageRows extends org.apache.spark.scheduler.SparkListener {
+      val rows = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, String, Long, Long, Long, Long)]())
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) rows.add((sc.stageInfo.stageId,
+          sc.stageInfo.name.takeWhile(_ != '\n').take(80),
+          m.executorRunTime,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.diskBytesSpilled + m.memoryBytesSpilled)): Unit
+      }
+    }
     def pass(): Seq[(String, Double)] = names.map { n =>
       System.err.println(s"[scale] serve $n ...")
+      val lst = if (stageMetrics) Some(new StageRows) else None
+      lst.foreach(spark.sparkContext.addSparkListener)
       val ok = try {
         Some(time(scaledServes.get(n)
           .map(_.apply())
           .getOrElse(SparkEntry.queries(n)(spark, dir))
           .count()))
       } catch { case _: Throwable => None }
+      lst.foreach { l =>
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(l)
+        import scala.jdk.CollectionConverters._
+        val rs = l.rows.asScala.toSeq
+        val tot = (rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum, rs.map(_._6).sum)
+        System.err.println(f"[scale] $n stages=${rs.size} exec=${tot._1 / 1000.0}%.1fs " +
+          f"shufR=${tot._2 / 1e9}%.2fGB shufW=${tot._3 / 1e9}%.2fGB spill=${tot._4 / 1e9}%.2fGB")
+        rs.sortBy(-_._3).take(10).foreach { case (id, nm, rt, sr, sw, sp) =>
+          System.err.println(f"[scale]   stage $id%-5d exec=${rt / 1000.0}%8.1fs " +
+            f"shufR=${sr / 1e9}%7.2fGB shufW=${sw / 1e9}%7.2fGB spill=${sp / 1e9}%7.2fGB  $nm")
+        }
+      }
       System.err.println(f"[scale] serve $n done ${ok.map(_._2).getOrElse(-1.0)}%.1f s")
       // release the pass's checkpoint/shuffle references eagerly so
       // the cleaner can drop their disk files before the next pass

@@ -394,6 +394,42 @@ object SparkEntry {
       graft.sources.FilteredServe.searchFilteredBatchMixed(s, srpDir,
         queries, Seq("lang"), k = 5)
     }),
+    // PER-QUERY k on the batched filtered serve (r16): the reference's
+    // `limit` is a PER-CALL tool parameter (tools.yaml:19-21), so a
+    // mixed batch of callers arrives with per-caller k — carried as a
+    // `k` column through the batch plan's final rank cut (rk ≤ k_q).
+    // Covering regime at verify scale ⇒ each query's exact filtered
+    // top-k_q, which the oracle replays with the same per-query bound.
+    "v45_filtered_batch_perk" -> ((s, d) => {
+      val srpDir = graft.sources.SrpStore.storeFor(s, d)
+      graft.sources.FilteredServe.ensureMeta(s, d, srpDir)
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull &&
+          size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      val queries = emb.filter(col("vec_id") % JoinQueryFilter === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+          (lit(2) + col("vec_id") % 7 % 4).cast("int").as("k"))
+      graft.sources.FilteredServe.searchFilteredBatchFrom(s, srpDir,
+        queries, Seq(graft.sources.MetaTerm.Eq("lang", "en")), k = 5,
+        kCol = Some("k"))
+    }),
+    // per-query k on the HETEROGENEOUS-predicate batch (r16): each
+    // caller carries its own filter AND its own limit — v44's grouped
+    // plan with the k column threaded through every group's rank cut
+    "v46_filtered_mixed_perk" -> ((s, d) => {
+      val srpDir = graft.sources.SrpStore.storeFor(s, d)
+      graft.sources.FilteredServe.ensureMeta(s, d, srpDir)
+      val emb = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull &&
+          size(col("embedding")) === graft.operators.SrpBanded.Dim)
+      val queries = emb.filter(col("vec_id") % JoinQueryFilter === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+          (lit(2) + col("vec_id") % 7 % 4).cast("int").as("k"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("query_id"), col("lang")), Seq("query_id"))
+      graft.sources.FilteredServe.searchFilteredBatchMixedOps(s, srpDir,
+        queries, Seq("lang" -> "="), k = 5, kCol = Some("k"))
+    }),
     // v22 served from a persisted residual-code store: partition-
     // pruned probe over 8-byte codes, same results as in-memory
     "v24_ivfpq_residual_stored" -> ((s, d) =>
@@ -730,5 +766,45 @@ object SparkEntry {
          |      list_cosine_similarity(m.v, q.v) DESC, m.vec_id) AS rk
          |  FROM m JOIN q ON m.lang = q.lang)
          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // per-query k: covering ⇒ exact filtered top-k_q per query, the
+    // per-caller-limit contract (k_q = 2 + (id % 7) % 4 ∈ {2..5})
+    "v45_filtered_batch_perk" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, v, 2 + (vec_id % 7) % 4 AS kq
+         |  FROM e WHERE vec_id % $JoinQueryFilter = 0),
+         |m AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = 'en')
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+         |  round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.query_id, m.vec_id, q.kq,
+         |    list_cosine_similarity(m.v, q.v) AS sim,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      list_cosine_similarity(m.v, q.v) DESC, m.vec_id) AS rk
+         |  FROM m, q)
+         |WHERE rk <= kq ORDER BY query_id, rk""".stripMargin,
+    // heterogeneous predicates AND per-query limits in one batch
+    "v46_filtered_mixed_perk" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT e.vec_id AS query_id, e.v, d.lang,
+         |    2 + (e.vec_id % 7) % 4 AS kq
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE e.vec_id % $JoinQueryFilter = 0),
+         |m AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, d.lang FROM e JOIN documents d ON e.vec_id = d.doc_id)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+         |  round(sim, 6) AS sim
+         |FROM (
+         |  SELECT q.query_id, m.vec_id, q.kq,
+         |    list_cosine_similarity(m.v, q.v) AS sim,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      list_cosine_similarity(m.v, q.v) DESC, m.vec_id) AS rk
+         |  FROM m JOIN q ON m.lang = q.lang)
+         |WHERE rk <= kq ORDER BY query_id, rk""".stripMargin,
   )
 }

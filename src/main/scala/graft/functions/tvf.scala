@@ -95,6 +95,25 @@ object tvf {
 
   private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Append the serve's per-request COVERAGE to a filtered TVF's
+    * output (r16): `cov_tier`, `cov_matching`, `cov_w`, `cov_ratio` —
+    * the [[graft.sources.FilteredServe.Coverage]] record the serve
+    * just wrote on THIS thread (the TVF builder invokes the serve
+    * synchronously at analysis time, so the thread-local read pairs
+    * with exactly this request's serve). A W-bound serve is thereby
+    * visible to the SQL caller in the row itself, not only in the
+    * gateway's global counters. Constant per statement, so the
+    * columns cost nothing at scale. */
+  private def withCoverage(df: DataFrame): DataFrame = {
+    val cov = graft.sources.FilteredServe.lastCoverageHere
+    df.select(col("*"),
+      org.apache.spark.sql.functions.lit(cov.tier).as("cov_tier"),
+      org.apache.spark.sql.functions.lit(cov.matching).as("cov_matching"),
+      org.apache.spark.sql.functions.lit(cov.w).as("cov_w"),
+      org.apache.spark.sql.functions.lit(cov.ratio).as("cov_ratio"))
+  }
+  private def col(c: String) = org.apache.spark.sql.functions.col(c)
+
   /** Trailing predicate literals → the typed-term conjunction every
     * filtered serve takes (ONE parser, so the family TVFs cannot
     * drift). Two spellings per term, mixable in one call:
@@ -175,11 +194,11 @@ object tvf {
         require(xs.length >= 7,
           s"graft_filtered_search(corpus_dir, srp_dir, edge_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.FilteredServe.searchFilteredTerms(spark,
+        planOf(withCoverage(graft.sources.FilteredServe.searchFilteredTerms(spark,
           litStr(xs(0), "corpus_dir"), litStr(xs(1), "srp_dir"),
           litStr(xs(2), "edge_dir"),
           FakeEmbedder.embed(litStr(xs(3), "query_text")), termsOf(xs.drop(5)),
-          k = litLong(xs(4), "k").toInt))
+          k = litLong(xs(4), "k").toInt)))
       }),
     ("graft_code_filtered_search",
       "graft_code_filtered_search(code_dir, meta_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered code-scan ANN",
@@ -187,10 +206,10 @@ object tvf {
         require(xs.length >= 6,
           s"graft_code_filtered_search(code_dir, meta_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.CodeStore.searchFilteredTerms(spark,
+        planOf(withCoverage(graft.sources.CodeStore.searchFilteredTerms(spark,
           litStr(xs(0), "code_dir"), litStr(xs(1), "meta_dir"),
           FakeEmbedder.embed(litStr(xs(2), "query_text")), termsOf(xs.drop(4)),
-          k = litLong(xs(3), "k").toInt))
+          k = litLong(xs(3), "k").toInt)))
       }),
     ("graft_hnsw_filtered_search",
       "graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered hierarchical ANN",
@@ -198,10 +217,10 @@ object tvf {
         require(xs.length >= 6,
           s"graft_hnsw_filtered_search(hnsw_dir, meta_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.HnswStore.searchFilteredTerms(spark,
+        planOf(withCoverage(graft.sources.HnswStore.searchFilteredTerms(spark,
           litStr(xs(0), "hnsw_dir"), litStr(xs(1), "meta_dir"),
           FakeEmbedder.embed(litStr(xs(2), "query_text")), termsOf(xs.drop(4)),
-          k = litLong(xs(3), "k").toInt))
+          k = litLong(xs(3), "k").toInt)))
       }),
     ("graft_ivfpq_filtered_search",
       "graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col1, [op1,] val1, ...) - metadata-filtered quantization ANN",
@@ -209,12 +228,12 @@ object tvf {
         require(xs.length >= 7,
           s"graft_ivfpq_filtered_search(pq_dir, meta_dir, corpus_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.IvfPqStore.searchFilteredResidualTerms(spark,
+        planOf(withCoverage(graft.sources.IvfPqStore.searchFilteredResidualTerms(spark,
           litStr(xs(0), "pq_dir"), litStr(xs(1), "meta_dir"),
           graft.Tables.embeddings(spark, litStr(xs(2), "corpus_dir")),
           "embedding", "vec_id",
           FakeEmbedder.embed(litStr(xs(3), "query_text")), termsOf(xs.drop(5)),
-          k = litLong(xs(4), "k").toInt))
+          k = litLong(xs(4), "k").toInt)))
       }),
     ("graft_meta_filtered_search",
       "graft_meta_filtered_search(meta_dir, query_text, k, col1, [op1,] val1, ...) - filtered ANN from the meta artifacts alone (exact or code tier)",
@@ -222,10 +241,38 @@ object tvf {
         require(xs.length >= 5,
           s"graft_meta_filtered_search(meta_dir, query_text, k, col, [op,] val, ...): got ${xs.length} args")
         val spark = SparkSession.active
-        planOf(graft.sources.FilteredServe.searchFilteredMetaTerms(spark,
+        planOf(withCoverage(graft.sources.FilteredServe.searchFilteredMetaTerms(spark,
           litStr(xs(0), "meta_dir"),
           FakeEmbedder.embed(litStr(xs(1), "query_text")), termsOf(xs.drop(3)),
-          k = litLong(xs(2), "k").toInt))
+          k = litLong(xs(2), "k").toInt)))
+      }),
+    ("graft_filtered_search_batch",
+      "graft_filtered_search_batch(meta_dir, query_table, k, col1, [op1,] val1, ...) - the BATCHED filtered serve from SQL: one set-based plan over a registered query table",
+      (xs: Seq[Expression]) => {
+        require(xs.length >= 5,
+          s"graft_filtered_search_batch(meta_dir, query_table, k, col, [op,] val, ...): got ${xs.length} args")
+        val spark = SparkSession.active
+        // the query table is a VIEW NAME (Spark's table-function
+        // registry takes literal args, not table args): rows carry
+        // `query_id` plus either `q_vec` (embedding-shaped) or
+        // `query_text` (embedded through the seam, exactly like the
+        // single-query TVFs); an optional `k` column carries each
+        // caller's own limit (tools.yaml:19-21's per-call `limit`) and
+        // overrides the statement-level k per query
+        val qt = spark.table(litStr(xs(1), "query_table"))
+        val base =
+          if (qt.columns.contains("q_vec")) qt
+          else {
+            require(qt.columns.contains("query_text"),
+              "query_table must carry 'q_vec' or 'query_text'")
+            qt.withColumn("q_vec", FakeEmbedder.embedCol(col("query_text")))
+          }
+        val kCol = if (qt.columns.contains("k")) Some("k") else None
+        val queries = base.select((Seq(col("query_id"), col("q_vec")) ++
+          kCol.map(col)): _*)
+        planOf(withCoverage(graft.sources.FilteredServe.searchFilteredBatchFrom(
+          spark, litStr(xs(0), "meta_dir"), queries, termsOf(xs.drop(3)),
+          k = litLong(xs(2), "k").toInt, kCol = kCol)))
       }),
     ("graft_dedup_check",
       "graft_dedup_check(sig_dir, doc_id, text) - near-dups of one document vs the persisted signature store",

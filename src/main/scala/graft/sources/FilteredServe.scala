@@ -183,7 +183,12 @@ object FilteredServe {
   def shortlistWidth(matching: Long): Int = {
     val policy = math.max(CodeShortlist.toLong, matching / ShortlistRatio)
     val cap = math.max(MaxShortlist.toLong, matching / MinCoverageRatio)
-    math.min(policy, cap).toInt
+    // clamped: past ~2.75e11 matching the narrower bound (matching/128)
+    // no longer fits an Int — min against Int.MaxValue instead of a
+    // silent negative-overflow .toInt (the callers that enforce
+    // [[CodeScanMax]] never get near this; the batch wOverride escape
+    // hatch has no ceiling above it, so the clamp is load-bearing there)
+    math.min(Int.MaxValue.toLong, math.min(policy, cap)).toInt
   }
 
   /** the BATCHED serve's W policy — the single-query COVERAGE-KEYED
@@ -235,11 +240,24 @@ object FilteredServe {
       matching > 0L && w < matching / MinCoverageRatio
   }
   @volatile private[graft] var lastServeCoverage: Coverage = Coverage("none", 0L, 0L)
+  // the PER-REQUEST form (r16): filtered serves execute their planner
+  // on the calling thread, so a gateway worker reads ITS OWN request's
+  // coverage here even while other requests serve concurrently — the
+  // global volatile above stays as the single-threaded spec hook
+  private val lastServeCoverageTL = new ThreadLocal[Coverage] {
+    override def initialValue(): Coverage = Coverage("none", 0L, 0L)
+  }
+  /** the coverage of the last filtered serve ON THIS THREAD — what a
+    * gateway attaches to the response it is building (tier, matching,
+    * W, ratio), closing the observability loop per request instead of
+    * only in the global counters */
+  def lastCoverageHere: Coverage = lastServeCoverageTL.get()
   private val coverageServes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val coverageBelowFloor = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def recordCoverage(tier: String, matching: Long, w: Long): Unit = {
     val c = Coverage(tier, matching, w)
     lastServeCoverage = c
+    lastServeCoverageTL.set(c)
     coverageServes.incrementAndGet(): Unit
     if (c.belowFloor) coverageBelowFloor.incrementAndGet(): Unit
   }
@@ -299,9 +317,18 @@ object FilteredServe {
     // values are path strings anyway, every read path casts to string,
     // and upsertMeta reads update values as strings — an int-typed
     // declaration would build a store whose first upsert throws
-    val docsS = docs.select((col("vec_id") +:
+    val docsS = docs.select((col("vec_id").cast("long").as("vec_id") +:
       (metaCols ++ rangeCols).map(c => col(c).cast("string").as(c))): _*)
-    val joined = emb.join(docsS, Seq("vec_id"))
+    // the NON-declared columns are schema-pinned too: readByVal reads
+    // byval with vec_id=long / embedding=array<float>, and parquet will
+    // not read a DOUBLE page as FloatType — so the write side must
+    // GUARANTEE those types, or a store built from an array<double>
+    // embeddings frame (or int ids) fails every subsequent read. The
+    // code sketch is computed AFTER the cast so keys always reflect the
+    // float values the rerank will score.
+    val embS = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val joined = embS.join(docsS, Seq("vec_id"))
     // value-partitioned embedding copy: the selective path's pruned
     // exact scan (partition count = distinct value combinations — the
     // tenant/category layout a production corpus already has). Rows
@@ -421,8 +448,13 @@ object FilteredServe {
     val upd = updates
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === SrpBanded.Dim)
-      .select((Seq(col("vec_id"), col("embedding"),
-        SrpBanded.bandKeysCol(col("embedding"), SrpBanded.Dim, CodeRpb)
+      // same write-side type pinning as writeMetaFrom: the merged byval
+      // must keep the long/array<float> schema readByVal enforces, and
+      // keys are computed from the float-cast values the store ranks
+      .select((Seq(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        SrpBanded.bandKeysCol(col("embedding").cast("array<float>"),
+          SrpBanded.Dim, CodeRpb)
           .as("keys")) ++
         // string-cast like the store itself (writeMetaFrom): an
         // int-typed updates frame must merge, not throw on getString
@@ -1052,21 +1084,51 @@ object FilteredServe {
   /** The batch rerank tail shared by every batched filtered shape:
     * exact cosine over the shortlist joined to `emb`'s embeddings,
     * query vectors under the SHUFFLE_HASH no-query-broadcast contract,
-    * per-query (sim DESC, vec_id) top-k, rounded emission. */
+    * per-query (sim DESC, vec_id) top-k, rounded emission.
+    *
+    * PER-QUERY k (r16): `kCol` names a column of `queries` carrying
+    * each caller's own limit — the reference's `limit` is a per-call
+    * tool parameter (tools.yaml:19-21), so a mixed batch arrives with
+    * per-caller k. The LITERAL cut at `k` (the batch's max) stays
+    * first so Catalyst still rewrites the rank filter to
+    * WindowGroupLimit (a column bound would defeat the rewrite); the
+    * per-query bound then trims the ≤ |Q|·k survivors map-side. */
   private def rerankTopK(short: DataFrame, emb: DataFrame,
-                         queries: DataFrame, k: Int): DataFrame = {
+                         queries: DataFrame, k: Int,
+                         kCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
+    val qsel = queries.select((Seq(col("query_id"), col("q_vec")) ++
+      kCol.map(c => col(c).cast("int").as("__kq"))): _*)
     short.join(emb, Seq("vec_id"))
-      .join(queries.select(col("query_id"), col("q_vec")).hint("shuffle_hash"),
-        Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
+      .join(qsel.hint("shuffle_hash"), Seq("query_id"))
+      .select((Seq(col("query_id"), col("vec_id"),
+        vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim")) ++
+        kCol.map(_ => col("__kq"))): _*)
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= k)
+      .filter(kCol.map(_ => col("rk") <= col("__kq")).getOrElse(lit(true)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Validate a per-query-k column and return the batch's max k (the
+    * WindowGroupLimit literal): one small aggregate job over the query
+    * frame. Null or non-positive per-query limits are REFUSED loudly —
+    * a null k would silently drop its query from the output. */
+  private def perQueryKMax(queries: DataFrame, kCol: String): Int = {
+    val kq = col(kCol).cast("int")
+    val agg = queries.agg(
+      max(kq).as("mx"), min(kq).as("mn"),
+      sum(when(kq.isNull, 1L).otherwise(0L)).as("nulls")).head()
+    require(agg.isNullAt(2) || agg.getLong(2) == 0L,
+      s"per-query k column '$kCol' carries nulls — every query must " +
+        "declare its own positive limit")
+    require(!agg.isNullAt(0) && agg.getInt(1) >= 1,
+      s"per-query k column '$kCol' must be ≥ 1 for every query " +
+        s"(min=${if (agg.isNullAt(1)) "none" else agg.getInt(1).toString})")
+    agg.getInt(0)
   }
 
   /** The BATCH shortlist stage: (query_id, vec_id, ham) pairs →
@@ -1114,25 +1176,57 @@ object FilteredServe {
     * smaller than the query-CODES broadcast the pair stream itself
     * already carries (the v29/v38 model-broadcast license; never the
     * forbidden query-embedding broadcast). */
-  private[graft] def batchHistogramShortlist(pairs: DataFrame, w: Int): DataFrame = {
+  private[graft] def batchHistogramShortlist(pairs: DataFrame, w: Int): DataFrame =
+    batchHistogramShortlistW(pairs, lit(w.toLong))
+
+  /** [[batchHistogramShortlist]] with W keyed PER QUERY to that
+    * query's own matching count (r16 — the mixed joined plan's W fix):
+    * each query's pair total m_q is the per-query histogram's own
+    * count sum, and W_q = the single-query [[shortlistWidth]] policy
+    * over m_q — so a diverse joined batch budgets each query exactly
+    * as its own single-query code-tier serve would, instead of keying
+    * every query's W to the whole corpus (matching/16 vs corpus/128:
+    * the old bound was both a recall under- and a cost over-shoot for
+    * selective callers in a broad batch). Still one |Q|·≤193-counter
+    * aggregate; the histogram carries m_q for free. */
+  private[graft] def batchHistogramShortlistPerQuery(pairs: DataFrame): DataFrame = {
+    // shortlistWidth over col("m"), in long arithmetic (m ≤ CodeScanMax
+    // enforced by the envelope guard upstream, so no Int overflow here)
+    val m = col("__m")
+    val policy = greatest(lit(CodeShortlist.toLong),
+      floor(m / lit(ShortlistRatio)).cast("long"))
+    val cap = greatest(lit(MaxShortlist.toLong),
+      floor(m / lit(MinCoverageRatio)).cast("long"))
+    batchHistogramShortlistW(pairs, least(policy, cap))
+  }
+
+  /** the shared histogram-threshold core: `wExpr` may be a literal
+    * (the single-predicate batch) or an expression over `__m`, the
+    * per-query pair total (the per-query-W form) */
+  private def batchHistogramShortlistW(pairs: DataFrame, wExpr: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = pairs.groupBy(col("query_id"), col("ham"))
       .agg(count(lit(1)).as("cnt"))
     val wc = Window.partitionBy(col("query_id")).orderBy(col("ham"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wq = Window.partitionBy(col("query_id"))
     val thr = hist.withColumn("cum", sum(col("cnt")).over(wc))
-      .filter(col("cum") >= lit(w.toLong))
+      .withColumn("__m", sum(col("cnt")).over(wq))
+      .withColumn("__w", wExpr)
+      .filter(col("cum") >= col("__w"))
       .groupBy(col("query_id"))
-      .agg(min_by(struct(col("ham"), col("cnt"), col("cum")), col("ham")).as("t"))
+      .agg(min_by(struct(col("ham"), col("cnt"), col("cum"), col("__w")),
+        col("ham")).as("t"))
       .select(col("query_id"), col("t.ham").as("__hstar"),
         (col("t.cum") - col("t.cnt")).as("__below"),
-        col("t.cnt").as("__atH"), col("t.cum").as("__cumH"))
+        col("t.cnt").as("__atH"), col("t.cum").as("__cumH"),
+        col("t.__w").as("__w"))
     pairs.join(broadcast(thr), Seq("query_id"), "left")
       .filter(col("__hstar").isNull || col("ham") < col("__hstar") ||
         (col("ham") === col("__hstar") &&
-          (col("__cumH") <= lit(4L * w) ||
+          (col("__cumH") <= lit(4L) * col("__w") ||
            pmod(xxhash64(col("vec_id")), col("__atH")) <
-             least(col("__atH"), (lit(w.toLong) - col("__below")) * 2))))
+             least(col("__atH"), (col("__w") - col("__below")) * 2))))
       .select(col("query_id"), col("vec_id"))
   }
 
@@ -1182,13 +1276,46 @@ object FilteredServe {
 
   /** The batch plan over an explicit (query_id, q_vec) frame and a
     * typed-term conjunction — the single-predicate building block the
-    * mixed-predicate serve ([[searchFilteredBatchMixed]]) unions. */
+    * mixed-predicate serve ([[searchFilteredBatchMixed]]) unions.
+    *
+    * ENVELOPE (r16): the batch is the CODE tier set-based — its pair
+    * stream is |Q| × matching 64 B rows — so it carries the same
+    * `codeScanMax` ceiling the single-query planner enforces
+    * ([[searchFilteredByTerms]]'s tier dispatch). Past it the serve
+    * REFUSES loudly (recorded in the coverage counters first) instead
+    * of silently committing to an unbounded pair scan the single-query
+    * planner was designed to avoid: a very-broad predicate (the
+    * reference's `withdrawn = 0` matches ~40% of its corpus) must be
+    * served per-request through the walk tier
+    * ([[searchFilteredTerms]]), narrowed, or explicitly accepted by
+    * passing `wOverride` (the probe escape hatch, which also fixes W).
+    *
+    * PER-QUERY k (r16): `kCol` names a `queries` column carrying each
+    * caller's own limit (tools.yaml:19-21's per-call `limit`); rows
+    * rank per query as before and cut at `rk ≤ k_q`. `k` is ignored
+    * when `kCol` is set — the WindowGroupLimit literal comes from one
+    * small max-aggregate over the query frame. */
   def searchFilteredBatchFrom(spark: SparkSession, metaDir: String,
                               queries: DataFrame, terms: Seq[MetaTerm],
                               k: Int,
-                              wOverride: Option[Int] = None): DataFrame = {
+                              wOverride: Option[Int] = None,
+                              kCol: Option[String] = None,
+                              codeScanMax: Long = CodeScanMax): DataFrame = {
     val matching = plannerCount(spark, metaDir, terms)
+    if (wOverride.isEmpty && matching > codeScanMax) {
+      recordCoverage("code_batch_refused", matching, 0L)
+      lastFilteredPath = "code_batch_refused"
+      throw new IllegalArgumentException(
+        s"batched filtered serve refused: the predicate matches ~$matching " +
+          s"rows, past the code tier's envelope (codeScanMax=$codeScanMax) — " +
+          "the batch pair stream would scan |Q| × matching 64 B code rows " +
+          "where the single-query planner dispatches to the O(budget) walk. " +
+          "Serve these queries per-request through the walk tier " +
+          "(searchFilteredTerms), narrow the predicate, or pass wOverride " +
+          "to accept the scan cost explicitly.")
+    }
     val w = wOverride.getOrElse(shortlistWidthBatch(matching))
+    val kMax = kCol.map(perQueryKMax(queries, _)).getOrElse(k)
     val qFlat = flattenQueryCodes(queries)
     val cFlat = flattenRowCodes(byValMatching(spark, metaDir, terms))
     lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
@@ -1197,7 +1324,7 @@ object FilteredServe {
         .select(col("query_id"), col("vec_id"), hamCol.as("ham")), w)
     lastFilteredPath = s"code_batch:$w"
     recordCoverage(s"code_batch:$w", matching, w.toLong)
-    rerankTopK(short, byValPrunedTerms(spark, metaDir, terms), queries, k)
+    rerankTopK(short, byValPrunedTerms(spark, metaDir, terms), queries, kMax, kCol)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -1268,7 +1395,9 @@ object FilteredServe {
                                   queries: DataFrame,
                                   predOps: Seq[(String, String)],
                                   k: Int = 5,
-                                  maxGroups: Int = MaxMixedGroups): DataFrame = {
+                                  maxGroups: Int = MaxMixedGroups,
+                                  kCol: Option[String] = None,
+                                  codeScanMax: Long = CodeScanMax): DataFrame = {
     require(predOps.nonEmpty, "mixed batch needs at least one predicate column")
     require(predOps.map(_._1).distinct.size == predOps.size,
       "one operator per predicate column in a mixed batch (the value " +
@@ -1287,7 +1416,8 @@ object FilteredServe {
       if ((op == "=" || op == "==") && partCols.contains(c)) MetaTerm.Eq(c, v)
       else MetaTerm.Cmp(c, op, v)
     val qs = queries.select((Seq(col("query_id"), col("q_vec")) ++
-        predCols.map(c => col(c).cast("string").as(c))): _*)
+        predCols.map(c => col(c).cast("string").as(c)) ++
+        kCol.map(col)): _*)
       .localCheckpoint(true) // each group's plan re-reads the slice
     // a null predicate value is unanswerable, not an empty group: the
     // equality group filter (and any comparison) matches no rows, so
@@ -1306,7 +1436,7 @@ object FilteredServe {
     val out =
       if (comboProbe.length > maxGroups) {
         lastMixedBatchPath = s"joined:${comboProbe.length}+"
-        mixedJoinedPlan(spark, metaDir, qs, predOps, k)
+        mixedJoinedPlan(spark, metaDir, qs, predOps, k, kCol, codeScanMax)
       } else {
         val groups = comboProbe
           .map(r => predCols.indices.map(i => predCols(i) -> r.getString(i)).toSeq)
@@ -1315,11 +1445,12 @@ object FilteredServe {
         val plans = groups.map { combo =>
           val g = qs.filter(combo.map { case (c, v) => col(c) === lit(v) }
               .reduce(_ && _))
-            .select(col("query_id"), col("q_vec"))
+            .select((Seq(col("query_id"), col("q_vec")) ++ kCol.map(col)): _*)
           val terms = predOps.map { case (c, op) =>
             termOf(c, op, combo.collectFirst { case (`c`, v) => v }.get)
           }
-          searchFilteredBatchFrom(spark, metaDir, g, terms, k)
+          searchFilteredBatchFrom(spark, metaDir, g, terms, k, kCol = kCol,
+            codeScanMax = codeScanMax)
         }
         plans.reduce(_ unionByName _)
       }
@@ -1338,14 +1469,41 @@ object FilteredServe {
     * only when the row matches THAT query's own predicate (evaluated
     * per-pair with [[termCol]]'s semantics: numeric compare when the
     * query's value parses numeric, lexicographic otherwise). Shortlist
-    * and rerank are [[searchFilteredBatchFrom]]'s stages unchanged; W
-    * keys to the corpus count (an upper bound of every per-query
-    * matching count — wider than needed only raises recall). */
+    * and rerank are [[searchFilteredBatchFrom]]'s stages, with W keyed
+    * PER QUERY (r16): each query's own matching count is its pair
+    * total, read for free from the per-query Hamming histogram, and
+    * W_q follows the single-query [[shortlistWidth]] policy over it —
+    * a selective caller in a diverse batch is budgeted exactly like
+    * its own single-query serve, never like the whole corpus (the old
+    * totalCount-keyed W was corpus/128 per query: a recall UNDER-shoot
+    * vs the policy's matching/16 for selective callers, and a rerank
+    * cost OVER-shoot for everyone).
+    *
+    * ENVELOPE (r16): the full-store pair stream is |Q| × corpus rows,
+    * so the shape carries the code tier's ceiling on the CORPUS count
+    * — past [[CodeScanMax]] total rows it refuses loudly like
+    * [[searchFilteredBatchFrom]] does on its matching count (a batch
+    * that diverse against a corpus that broad must serve per-request
+    * through the walk tier, or group below [[MaxMixedGroups]] combos
+    * so each group's own envelope check applies). */
   private def mixedJoinedPlan(spark: SparkSession, metaDir: String,
                               qs: DataFrame, predOps: Seq[(String, String)],
-                              k: Int): DataFrame = {
+                              k: Int, kCol: Option[String] = None,
+                              codeScanMax: Long = CodeScanMax): DataFrame = {
     val predCols = predOps.map(_._1)
-    val w = shortlistWidthBatch(totalCount(spark, metaDir))
+    val total = totalCount(spark, metaDir)
+    if (total > codeScanMax) {
+      recordCoverage("code_batch_joined_refused", total, 0L)
+      lastFilteredPath = "code_batch_joined_refused"
+      throw new IllegalArgumentException(
+        s"mixed joined batch refused: the store holds $total rows, past " +
+          s"the code tier's envelope (codeScanMax=$codeScanMax) for a " +
+          "full-store |Q| × corpus pair scan. Group the batch below " +
+          s"maxGroups=$MaxMixedGroups distinct predicate combos (each " +
+          "group then partition-prunes and checks its own matching " +
+          "envelope), or serve per-request through the walk tier.")
+    }
+    val kMax = kCol.map(perQueryKMax(qs, _)).getOrElse(k)
     val qFlat = flattenQueryCodes(
       qs.select((Seq(col("query_id"), col("q_vec")) ++
         predCols.map(c => col(c).as(s"__q_$c"))): _*),
@@ -1385,12 +1543,15 @@ object FilteredServe {
           .otherwise(cmp(op)(col(c), col(s"__q_$c")))
       }
     }.reduce(_ && _)
-    val short = batchShortlist(
+    val short = batchHistogramShortlistPerQuery(
       cFlat.crossJoin(broadcast(qFlat))
         .filter(pairPred)
-        .select(col("query_id"), col("vec_id"), hamCol.as("ham")), w)
-    recordCoverage(s"code_batch_joined:$w", totalCount(spark, metaDir), w.toLong)
-    rerankTopK(short, raw.select(col("vec_id"), col("embedding")), qs, k)
+        .select(col("query_id"), col("vec_id"), hamCol.as("ham")))
+    // per-query W follows the single-query policy over each query's own
+    // matching count, so no query is below the coverage floor by
+    // construction — recorded with the policy bound at the corpus count
+    recordCoverage("code_batch_joined:perq", total, shortlistWidth(total).toLong)
+    rerankTopK(short, raw.select(col("vec_id"), col("embedding")), qs, kMax, kCol)
   }
 
   /** The family-generic filtered-serve core — a three-tier

@@ -42,11 +42,13 @@ object FilteredProbeStream {
   def probeBatchTerms(spark: SparkSession, d: String, srpDir: String,
                  edgeDir: String,
                  queries: Seq[(Long, Array[Float], Seq[graft.sources.MetaTerm])],
-                 k: Int): DataFrame = {
+                 k: Int,
+                 exactScanMax: Long = FilteredServe.ExactScanMax,
+                 codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame = {
     import spark.implicits._
     val perQuery = queries.map { case (qid, qv, terms) =>
       FilteredServe.searchFilteredTerms(spark, d, srpDir, edgeDir, qv,
-        terms, k = k)
+        terms, k = k, exactScanMax = exactScanMax, codeScanMax = codeScanMax)
         .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
           col("rk"), col("sim"))
     }
@@ -81,12 +83,28 @@ object FilteredProbeStream {
     * by the term conjunction itself (same-threshold callers share one
     * typed batch plan — the searchFilteredBatchMixedOps grouping, here
     * on the stream's micro-batch), the covering test rides an UPPER
-    * BOUND of the matching count, and non-covering groups keep the
-    * per-request typed serve. */
+    * BOUND of the matching count, and groups outside both set-based
+    * regimes keep the per-request typed serve.
+    *
+    * r16: set-based serving extends past the covering regime — a
+    * group whose PLANNER estimate lands in the CODE band (the regime
+    * where the per-request serve itself runs the approximate code
+    * tier) takes the batch plan too: both paths run the same tier at
+    * the same coverage-keyed W policy, so amortizing is recall-neutral
+    * by construction (and measured within 0.007 of single-query
+    * recall at the 4M-matching decade,
+    * docs/filtered_scale_r15b_10000x_final.json). Groups the
+    * per-request planner would serve EXACTLY (below `exactScanMax`
+    * and not covering) keep the per-request serve — batching them
+    * would silently trade exact for approximate. The tier decision
+    * uses the same [[FilteredServe.plannerCount]] the per-request
+    * planner reads, so the two paths cannot disagree about the tier. */
   def probeBatchGroupedTerms(spark: SparkSession, d: String, srpDir: String,
                  edgeDir: String,
                  queries: Seq[(Long, Array[Float], Seq[graft.sources.MetaTerm])],
-                 k: Int): DataFrame = {
+                 k: Int,
+                 exactScanMax: Long = FilteredServe.ExactScanMax,
+                 codeScanMax: Long = FilteredServe.CodeScanMax): DataFrame = {
     import spark.implicits._
     FilteredServe.ensureMeta(spark, d, srpDir)
     val partCols = FilteredServe.storeMetaCols(spark, srpDir).toSet
@@ -110,11 +128,18 @@ object FilteredProbeStream {
           else FilteredServe.totalCount(spark, srpDir)
         val covering = matchingUb > 0 &&
           FilteredServe.shortlistWidth(matchingUb) >= matchingUb
-        if (qs.size >= 2 && covering) {
+        // the code band rides the PLANNER estimate — the same number
+        // the per-request tier dispatch reads, so a batched group runs
+        // exactly the tier its members would have run per-request
+        val est = FilteredServe.plannerCount(spark, srpDir, terms)
+        val codeBand = est > exactScanMax && est <= codeScanMax
+        if (qs.size >= 2 && (covering || codeBand)) {
           val qdf = qs.map { case (qid, qv, _) => (qid, qv) }
             .toDF("query_id", "q_vec")
-          FilteredServe.searchFilteredBatchFrom(spark, srpDir, qdf, terms, k)
-        } else probeBatchTerms(spark, d, srpDir, edgeDir, qs, k)
+          FilteredServe.searchFilteredBatchFrom(spark, srpDir, qdf, terms, k,
+            codeScanMax = codeScanMax)
+        } else probeBatchTerms(spark, d, srpDir, edgeDir, qs, k,
+          exactScanMax, codeScanMax)
       }
     if (parts.isEmpty)
       Seq.empty[(Long, Long, Int, Double)]

@@ -53,7 +53,8 @@ object ServeGateway {
       "customer support policy for refunds",
       "streaming ingestion with upserts")
 
-    def serve(tag: String, reqs: Seq[String] = requests)
+    def serve(tag: String, reqs: Seq[String] = requests,
+              cov: Boolean = false)
              (f: String => Array[org.apache.spark.sql.Row]): Unit = {
       println(s"== $tag")
       reqs.foreach { text =>
@@ -61,7 +62,16 @@ object ServeGateway {
         val rows = f(text)
         val ms = (System.nanoTime() - t0) / 1e6
         val top = rows.headOption.map(_.mkString("(", ", ", ")")).getOrElse("-")
-        println(f"  $ms%8.1f ms  k=${rows.length}%-3d top=$top  q=\"${text.take(40)}\"")
+        // PER-REQUEST coverage (r16): the serve just ran on THIS
+        // thread, so the thread-local Coverage is this request's own —
+        // what a real gateway attaches to the response body (the
+        // "this answer was W-bound" signal, per request, not only the
+        // global counters)
+        val covStr = if (cov) {
+          val c = graft.sources.FilteredServe.lastCoverageHere
+          f"  cov=${c.tier}/${c.matching}/${c.w}(${c.ratio}%.3f)"
+        } else ""
+        println(f"  $ms%8.1f ms  k=${rows.length}%-3d top=$top$covStr  q=\"${text.take(40)}\"")
       }
     }
 
@@ -106,21 +116,21 @@ object ServeGateway {
       val srpDir = graft.sources.SrpStore.storeFor(spark, sfDir)
       val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sfDir)
       graft.sources.FilteredServe.ensureMeta(spark, sfDir, srpDir)
-      serve("filtered-search via FilteredServe.searchFiltered (lang=en)") { text =>
+      serve("filtered-search via FilteredServe.searchFiltered (lang=en)", cov = true) { text =>
         graft.sources.FilteredServe.searchFiltered(spark, sfDir, srpDir,
           edgeDir, embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
       }
-      serve("filtered-search via CodeStore.searchFiltered (lang=en)") { text =>
+      serve("filtered-search via CodeStore.searchFiltered (lang=en)", cov = true) { text =>
         graft.sources.CodeStore.searchFiltered(spark, codeDir, srpDir,
           embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
       }
-      serve("filtered-search via HnswStore.searchFiltered (lang=en)") { text =>
+      serve("filtered-search via HnswStore.searchFiltered (lang=en)", cov = true) { text =>
         graft.sources.HnswStore.searchFiltered(spark, hnswDir, srpDir,
           embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
       }
       val pqDir = graft.sources.IvfPqStore.residualStoreFor(spark, sfDir)
       val emb = graft.Tables.embeddings(spark, sfDir)
-      serve("filtered-search via IvfPqStore.searchFilteredResidual (lang=en)") { text =>
+      serve("filtered-search via IvfPqStore.searchFilteredResidual (lang=en)", cov = true) { text =>
         graft.sources.IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
           emb, "embedding", "vec_id",
           embedder.embed(text), Seq("lang" -> "en"), k = 10).collect()
@@ -128,7 +138,7 @@ object ServeGateway {
       // the reference's own tool predicate from a store DECLARED over
       // its columns (withdrawn/type) — the r3 serve as an endpoint
       val refMeta = graft.operators.ReferenceParity.refMetaStoreFor(spark, sfDir)
-      serve("find_similar live policies via searchFilteredMeta (withdrawn=0, type=POLICY)") { text =>
+      serve("find_similar live policies via searchFilteredMeta (withdrawn=0, type=POLICY)", cov = true) { text =>
         graft.sources.FilteredServe.searchFilteredMeta(spark, refMeta,
           embedder.embed(text),
           Seq("withdrawn" -> "0", "type" -> "POLICY"), k = 10).collect()
@@ -137,7 +147,7 @@ object ServeGateway {
       // country = ..., sql/02_schema.sql's numeric/date columns) as an
       // endpoint — typed terms through the same three-tier planner
       val rangeMeta = graft.sources.FilteredServe.refMetaStoreFor(spark, sfDir)
-      serve("find_similar with range predicate via searchFilteredMetaTerms (country=EN, num_claims>=22)") { text =>
+      serve("find_similar with range predicate via searchFilteredMetaTerms (country=EN, num_claims>=22)", cov = true) { text =>
         graft.sources.FilteredServe.searchFilteredMetaTerms(spark, rangeMeta,
           embedder.embed(text),
           Seq(graft.sources.MetaTerm.Eq("country", "EN"),

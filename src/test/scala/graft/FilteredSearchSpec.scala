@@ -1101,4 +1101,239 @@ class FilteredSearchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shortlistWidth clamps to Int.MaxValue instead of overflowing negative") {
+    import FilteredServe._
+    assert(shortlistWidth(Long.MaxValue) == Int.MaxValue)
+    assert(shortlistWidth(300000000000L) == Int.MaxValue)
+    // the policy regime below the clamp is untouched
+    assert(shortlistWidth(4000000L) == 4000000 / 128)
+  }
+
+  test("batch envelope: past codeScanMax the batched serve refuses loudly; wOverride is the explicit escape hatch") {
+    import spark.implicits._
+    val (dir, aaRows, _) = bigMeta
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    val queries = aaRows.take(3).map { case (id, v) => (id, v) }
+      .toDF("query_id", "q_vec")
+    val below0 = FilteredServe.filteredServesBelowFloor
+    val e = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchFrom(spark, dir, queries, terms,
+        k = 5, codeScanMax = 100L)
+    }
+    assert(e.getMessage.contains("refused") && e.getMessage.contains("walk"),
+      s"refusal message unhelpful: ${e.getMessage.take(200)}")
+    assert(FilteredServe.lastFilteredPath == "code_batch_refused")
+    // counted in the coverage telemetry (w=0 → below floor), not silent
+    assert(FilteredServe.filteredServesBelowFloor == below0 + 1)
+    // wOverride = explicit acceptance: serves (and fixes W) past the bound
+    val rows = FilteredServe.searchFilteredBatchFrom(spark, dir, queries,
+      terms, k = 5, wOverride = Some(512), codeScanMax = 100L).collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("mixed batch envelope: the joined fallback refuses past the corpus bound, groups past their matching bound") {
+    import spark.implicits._
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("country", lit("EN"))
+    // joined shape (maxGroups = 0 forces it): the full-store pair
+    // stream carries the CORPUS-count ceiling
+    val e1 = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchMixedOps(spark, dir, queries,
+        Seq("country" -> "="), k = 5, maxGroups = 0, codeScanMax = 100L)
+    }
+    assert(e1.getMessage.contains("mixed joined batch refused"),
+      s"joined envelope not guarded: ${e1.getMessage.take(200)}")
+    // grouped shape: each group's plan checks its own matching count
+    val e2 = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchMixedOps(spark, dir, queries,
+        Seq("country" -> "="), k = 5, codeScanMax = 0L)
+    }
+    assert(e2.getMessage.contains("batched filtered serve refused"),
+      s"grouped envelope not guarded: ${e2.getMessage.take(200)}")
+  }
+
+  test("per-query k: each caller's own limit cuts its rows (covering => exact per-query top-k_q)") {
+    import spark.implicits._
+    val (dir, aaRows, _) = bigMeta
+    val matching = FilteredServe.matchCount(spark, dir, Seq("m" -> "aa"))
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    val qRows = Seq(0, 1111, 5555, 9999).map(aaRows)
+    val kOf = qRows.zipWithIndex.map { case ((qid, _), i) => qid -> (2 + i) }.toMap
+    val queries = qRows.zipWithIndex
+      .map { case ((id, v), i) => (id, v, 2 + i) }
+      .toDF("query_id", "q_vec", "k")
+    // covering W => the exact filtered ranking, cut at each query's own k
+    val got = FilteredServe.searchFilteredBatchFrom(spark, dir, queries,
+        terms, k = 0 /* ignored when kCol is set */,
+        wOverride = Some(matching.toInt), kCol = Some("k"))
+      .collect().map(_.toSeq).toSeq
+    qRows.foreach { case (qid, _) =>
+      assert(got.count(_.head == qid) == kOf(qid),
+        s"query $qid row count != its own k=${kOf(qid)}") }
+    // rows equal the fixed-k batch trimmed per query at k_q
+    val fixed = FilteredServe.searchFilteredBatchFrom(spark, dir,
+        queries.select(col("query_id"), col("q_vec")), terms, k = 5,
+        wOverride = Some(matching.toInt))
+      .collect().map(_.toSeq).toSeq
+    val want = fixed.filter(r =>
+      r(2).asInstanceOf[Int] <= kOf(r.head.asInstanceOf[Long]))
+    assert(got.toSet == want.toSet,
+      "per-query-k rows diverged from the fixed-k batch trimmed at k_q")
+  }
+
+  test("per-query k validation: null or non-positive limits refuse loudly") {
+    import spark.implicits._
+    val (dir, aaRows, _) = bigMeta
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    val qs = aaRows.take(2).map { case (id, v) => (id, v) }
+    val withNull = qs.zipWithIndex.map { case ((id, v), i) =>
+      (id, v, if (i == 0) null else "3") }
+      .toDF("query_id", "q_vec", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchFrom(spark, dir, withNull, terms,
+        k = 5, kCol = Some("k"))
+    }
+    assert(e1.getMessage.contains("nulls"))
+    val withZero = qs.zipWithIndex.map { case ((id, v), i) =>
+      (id, v, if (i == 0) 0 else 3) }
+      .toDF("query_id", "q_vec", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchFrom(spark, dir, withZero, terms,
+        k = 5, kCol = Some("k"))
+    }
+    assert(e2.getMessage.contains("\u2265 1") || e2.getMessage.contains(">= 1") ||
+      e2.getMessage.toLowerCase.contains("must be"))
+  }
+
+  test("mixed batch with per-query k: grouped and joined shapes honor each caller's own limit identically") {
+    import spark.implicits._
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        (lit(2) + col("vec_id") % 7 % 4).cast("int").as("k"))
+      .join(Tables.documents(spark, sf).select(
+        col("doc_id").as("query_id"),
+        upper(substring(col("lang"), 1, 2)).as("country")), Seq("query_id"))
+    def run(maxGroups: Int) = FilteredServe.searchFilteredBatchMixedOps(
+        spark, dir, queries, Seq("country" -> "="), k = 5,
+        maxGroups = maxGroups, kCol = Some("k"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val grouped = run(100)
+    assert(FilteredServe.lastMixedBatchPath.startsWith("grouped:"))
+    val joined = run(0)
+    assert(FilteredServe.lastMixedBatchPath.startsWith("joined:"))
+    assert(grouped == joined,
+      "per-query-k mixed batch: joined shape diverged from grouped")
+    // every query's rows respect its own k, and equal the no-kCol run
+    // trimmed at k_q (covering regime at spec scale => both exact)
+    val kOf = queries.select(col("query_id"), col("k")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fixed = FilteredServe.searchFilteredBatchMixedOps(
+        spark, dir, queries.drop("k"), Seq("country" -> "="), k = 5)
+      .collect().map(_.toSeq).toSeq
+      .filter(r => r(2).asInstanceOf[Int] <= kOf(r.head.asInstanceOf[Long]))
+      .sortBy(_.mkString("|"))
+    assert(grouped == fixed,
+      "per-query-k mixed rows != fixed-k mixed rows trimmed at k_q")
+  }
+
+  test("per-query-W histogram shortlist keys each query's W to its own matching count") {
+    import spark.implicits._
+    // q0: 100 pairs, m < CodeShortlist floor => W covers, ALL kept
+    val q0 = (0 until 100).map(i => (0L, i.toLong, i % 20))
+    // q1: 20000 pairs in 100 bins of 200 => W = max(512, 20000/16) =
+    // 1250; first cum >= 1250 is bin 6 (1400), 1400 <= 4W => the whole
+    // boundary bin rides: exactly ham <= 6 = 1400 pairs kept
+    val q1 = (0 until 20000).map(i => (1L, 1000000L + i, i / 200))
+    val pairs = (q0 ++ q1).toDF("query_id", "vec_id", "ham")
+    val got = FilteredServe.batchHistogramShortlistPerQuery(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(got(0L).size == 100, s"small query thinned: ${got(0L).size}")
+    assert(got(1L) == (0 until 1400).map(i => 1000000L + i).toSet,
+      s"large query W not keyed to its own matching count: ${got(1L).size}")
+  }
+
+  test("write-side type pinning: array<double> embeddings and int ids build a store the schema-enforced read serves") {
+    import spark.implicits._
+    val dim = graft.operators.SrpBanded.Dim
+    val rnd = new scala.util.Random(4242L)
+    val rows = (0 until 30).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1), "x"))
+    val dir = graft.sources.TempStores.track(
+      java.nio.file.Files.createTempDirectory("dblmeta").toString)
+    // embedding arrives as array<double>, vec_id as INT — the write
+    // side must normalize to the long/array<float> schema readByVal pins
+    FilteredServe.writeMetaFrom(spark, dir,
+      rows.map(r => (r._1, r._3)).toDF("vec_id", "m"), Seq("m"),
+      rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding"))
+    val qv = rows.head._2.map(_.toFloat)
+    val res = FilteredServe.searchFilteredMetaTerms(spark, dir, qv,
+      Seq(MetaTerm.Eq("m", "x")), k = 5).collect()
+    assert(res.nonEmpty && res.head.getLong(0) == 0L,
+      "double-built store failed to serve (self not ranked first)")
+    // brute force over the float-cast values the store holds
+    val want = rows.map { case (id, v, _) =>
+      (id.toLong, BigDecimal(graft.functions.vectors.cosine_sim_local(
+        v.map(_.toFloat), qv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s0) => (-s0, id) }.take(5)
+    assert(res.map(r => (r.getLong(0), r.getDouble(2))).toSeq == want,
+      "double-built store ranking diverged from float-cast brute force")
+    // an upsert in the same wide types merges instead of throwing
+    val upd = Seq((1000, Array.fill(dim)(rnd.nextDouble() * 2 - 1), "x"))
+      .toDF("vec_id", "embedding", "m")
+    FilteredServe.upsertMeta(spark, dir, upd)
+    assert(FilteredServe.matchCount(spark, dir, Seq("m" -> "x")) == 31L)
+    assert(FilteredServe.searchFilteredMetaTerms(spark, dir, qv,
+      Seq(MetaTerm.Eq("m", "x")), k = 31).collect()
+      .map(_.getLong(0)).contains(1000L))
+  }
+
+  test("streaming grouped probe extends set-based serving to the non-covering code band") {
+    val (dir, aaRows, _) = bigMeta
+    val matching = FilteredServe.matchCount(spark, dir, Seq("m" -> "aa"))
+    // really non-covering at this scale: W < matching
+    assert(FilteredServe.shortlistWidth(matching) < matching)
+    val terms: Seq[MetaTerm] = Seq(MetaTerm.Eq("m", "aa"))
+    val reqs = Seq(1L, 2L, 3L).zip(
+        Seq(aaRows(3), aaRows(77), aaRows(1234)))
+      .map { case (qid, (_, v)) => (qid, v, terms) }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // exactScanMax = 0 puts the group in the CODE band: the grouped
+    // probe takes the batch plan (same tier, same W policy as the
+    // per-request serves it amortizes)
+    val grouped = rows(graft.streaming.FilteredProbeStream
+      .probeBatchGroupedTerms(spark, sf, dir, "/nonexistent/edge-store",
+        reqs, k = 5, exactScanMax = 0L))
+    assert(FilteredServe.lastFilteredPath.startsWith("code_batch:"),
+      s"non-covering code-band group did not batch: ${FilteredServe.lastFilteredPath}")
+    val single = rows(graft.streaming.FilteredProbeStream
+      .probeBatchTerms(spark, sf, dir, "/nonexistent/edge-store",
+        reqs, k = 5, exactScanMax = 0L))
+    assert(grouped == single,
+      "non-covering batched group diverged from the per-request code serves")
+    // with the default planner the same group is EXACT-tier per
+    // request: batching it would trade exact for approximate — kept
+    // per-request
+    val dflt = rows(graft.streaming.FilteredProbeStream
+      .probeBatchGroupedTerms(spark, sf, dir, "/nonexistent/edge-store",
+        reqs, k = 5))
+    assert(FilteredServe.lastFilteredPath == "exact",
+      s"exact-tier group should stay per-request: ${FilteredServe.lastFilteredPath}")
+    val dfltSingle = rows(graft.streaming.FilteredProbeStream
+      .probeBatchTerms(spark, sf, dir, "/nonexistent/edge-store", reqs, k = 5))
+    assert(dflt == dfltSingle)
+  }
 }

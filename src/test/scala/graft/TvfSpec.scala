@@ -39,7 +39,7 @@ class TvfSpec extends AnyFunSuite {
 
     graft.sources.FilteredServe.ensureMeta(spark, sf, srpDir)
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_filtered_search('$sf', '$srpDir', '$edgeDir',
+      s"""SELECT vec_id, rk, sim FROM graft_filtered_search('$sf', '$srpDir', '$edgeDir',
          |'$queryText', 10, 'lang', 'de', 'source', 'src11')""".stripMargin)) ==
       rows(graft.sources.FilteredServe.searchFiltered(spark, sf, srpDir, edgeDir,
         q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
@@ -53,14 +53,14 @@ class TvfSpec extends AnyFunSuite {
     // exact; the tier dispatch itself is FilteredSearchSpec's job) —
     // what this test pins is SQL-vs-Scala row identity per family.
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_code_filtered_search('$codeDir', '$srpDir',
+      s"""SELECT vec_id, rk, sim FROM graft_code_filtered_search('$codeDir', '$srpDir',
          |'$queryText', 10, 'lang', 'en')""".stripMargin)) ==
       rows(graft.sources.CodeStore.searchFiltered(spark, codeDir, srpDir,
         q, Seq("lang" -> "en"), k = 10)),
       "graft_code_filtered_search diverged from CodeStore.searchFiltered")
 
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_hnsw_filtered_search('$hnswDir', '$srpDir',
+      s"""SELECT vec_id, rk, sim FROM graft_hnsw_filtered_search('$hnswDir', '$srpDir',
          |'$queryText', 10, 'lang', 'de', 'source', 'src11')""".stripMargin)) ==
       rows(graft.sources.HnswStore.searchFiltered(spark, hnswDir, srpDir,
         q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
@@ -68,7 +68,7 @@ class TvfSpec extends AnyFunSuite {
 
     val pqDir = graft.sources.IvfPqStore.residualStoreFor(spark, sf)
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_ivfpq_filtered_search('$pqDir', '$srpDir', '$sf',
+      s"""SELECT vec_id, rk, sim FROM graft_ivfpq_filtered_search('$pqDir', '$srpDir', '$sf',
          |'$queryText', 10, 'lang', 'fr')""".stripMargin)) ==
       rows(graft.sources.IvfPqStore.searchFilteredResidual(spark, pqDir, srpDir,
         Tables.embeddings(spark, sf), "embedding", "vec_id",
@@ -76,7 +76,7 @@ class TvfSpec extends AnyFunSuite {
       "graft_ivfpq_filtered_search diverged from IvfPqStore.searchFilteredResidual")
 
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_meta_filtered_search('$srpDir',
+      s"""SELECT vec_id, rk, sim FROM graft_meta_filtered_search('$srpDir',
          |'$queryText', 10, 'lang', 'de', 'source', 'src11')""".stripMargin)) ==
       rows(graft.sources.FilteredServe.searchFilteredMeta(spark, srpDir,
         q, Seq("lang" -> "de", "source" -> "src11"), k = 10)),
@@ -100,7 +100,7 @@ class TvfSpec extends AnyFunSuite {
     // SQL user of v43's capability no longer falls back to Scala
     val refMeta = graft.sources.FilteredServe.refMetaStoreFor(spark, sf)
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_meta_filtered_search('$refMeta', '$queryText',
+      s"""SELECT vec_id, rk, sim FROM graft_meta_filtered_search('$refMeta', '$queryText',
          |10, 'country', 'EN', 'num_claims', '>=', '22')""".stripMargin)) ==
       rows(graft.sources.FilteredServe.searchFilteredMetaTerms(spark, refMeta,
         q, Seq(MetaTerm.Eq("country", "EN"),
@@ -111,7 +111,7 @@ class TvfSpec extends AnyFunSuite {
     val srpDir = graft.sources.SrpStore.storeFor(spark, sf)
     val edgeDir = graft.sources.EdgeStore.refinedStoreFor(spark, sf)
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_filtered_search('$sf', '$srpDir', '$edgeDir',
+      s"""SELECT vec_id, rk, sim FROM graft_filtered_search('$sf', '$srpDir', '$edgeDir',
          |'$queryText', 10, 'lang', '!=', 'en', 'source', 'src11')""".stripMargin)) ==
       rows(graft.sources.FilteredServe.searchFilteredTerms(spark, sf, srpDir,
         edgeDir, q, Seq(MetaTerm.Cmp("lang", "!=", "en"),
@@ -119,14 +119,14 @@ class TvfSpec extends AnyFunSuite {
       "graft_filtered_search with a typed term diverged from the Scala call")
     // explicit '=' binds as the TYPED comparison (range-class legal)
     assert(rows(spark.sql(
-      s"""SELECT * FROM graft_meta_filtered_search('$refMeta', '$queryText',
+      s"""SELECT vec_id, rk, sim FROM graft_meta_filtered_search('$refMeta', '$queryText',
          |5, 'num_claims', '=', '22')""".stripMargin)) ==
       rows(graft.sources.FilteredServe.searchFilteredMetaTerms(spark, refMeta,
         q, Seq(MetaTerm.Cmp("num_claims", "=", "22")), k = 5)),
       "SQL '=' triple diverged from the typed-equality Scala call")
     // malformed trailing predicate fails analysis loudly
     val e = intercept[Exception] {
-      spark.sql(s"""SELECT * FROM graft_meta_filtered_search('$refMeta',
+      spark.sql(s"""SELECT vec_id, rk, sim FROM graft_meta_filtered_search('$refMeta',
         |'$queryText', 5, 'num_claims', '>=')""".stripMargin).collect()
     }
     assert(e.getMessage.contains("no value"),
@@ -242,5 +242,85 @@ class TvfSpec extends AnyFunSuite {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
     }
+  }
+
+  test("filtered TVFs surface per-request coverage columns (tier, matching, W, ratio)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.tvf.register(spark)
+    val srpDir = graft.sources.SrpStore.storeFor(spark, sf)
+    graft.sources.FilteredServe.ensureMeta(spark, sf, srpDir)
+    val df = spark.sql(
+      s"""SELECT * FROM graft_meta_filtered_search('$srpDir',
+         |'$queryText', 5, 'lang', 'de', 'source', 'src11')""".stripMargin)
+    assert(Seq("cov_tier", "cov_matching", "cov_w", "cov_ratio")
+      .forall(df.columns.contains),
+      s"coverage columns missing from ${df.columns.mkString(",")}")
+    val r = df.select(col("cov_tier"), col("cov_matching"), col("cov_ratio"))
+      .head()
+    // this predicate matches exactly 1 row at spec scale → exact tier,
+    // full coverage — the per-request record, visible in the row itself
+    assert(r.getString(0) == "exact", s"tier=${r.getString(0)}")
+    assert(r.getLong(1) ==
+      graft.sources.FilteredServe.matchCount(spark, srpDir,
+        Seq("lang" -> "de", "source" -> "src11")))
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("batched filtered serve through pure SQL equals the Scala batch, incl. per-query k") {
+    import org.apache.spark.sql.functions._
+    graft.functions.tvf.register(spark)
+    val srpDir = graft.sources.SrpStore.storeFor(spark, sf)
+    graft.sources.FilteredServe.ensureMeta(spark, sf, srpDir)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    queries.createOrReplaceTempView("tvf_batch_q")
+    val got = rows(spark.sql(
+      s"""SELECT query_id, neighbor_id, rk, sim
+         |FROM graft_filtered_search_batch('$srpDir', 'tvf_batch_q', 5,
+         |'lang', 'en')""".stripMargin))
+    val want = rows(graft.sources.FilteredServe.searchFilteredBatchFrom(
+      spark, srpDir, queries,
+      Seq(graft.sources.MetaTerm.Eq("lang", "en")), k = 5))
+    assert(got == want && got.nonEmpty,
+      s"SQL batch diverged from the Scala batch (sql=${got.size} scala=${want.size})")
+    // a `k` column in the view carries each caller's own limit
+    val qk = queries.withColumn("k", (lit(2) + col("query_id") % 7 % 4).cast("int"))
+    qk.createOrReplaceTempView("tvf_batch_qk")
+    val gotK = rows(spark.sql(
+      s"""SELECT query_id, neighbor_id, rk, sim
+         |FROM graft_filtered_search_batch('$srpDir', 'tvf_batch_qk', 5,
+         |'lang', 'en')""".stripMargin))
+    val wantK = rows(graft.sources.FilteredServe.searchFilteredBatchFrom(
+      spark, srpDir, qk, Seq(graft.sources.MetaTerm.Eq("lang", "en")),
+      k = 5, kCol = Some("k")))
+    assert(gotK == wantK && gotK.nonEmpty,
+      "SQL per-query-k batch diverged from the Scala call")
+    // per-query row counts really follow the k column
+    val kOf = qk.select(col("query_id"), col("k")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    gotK.groupBy(_.head).foreach { case (qid, rs) =>
+      assert(rs.size <= kOf(qid.asInstanceOf[Long]),
+        s"query $qid got ${rs.size} rows > its own k=${kOf(qid.asInstanceOf[Long])}")
+    }
+    // query_text views embed through the seam, same rows as q_vec views
+    val qt = queries.join(
+      Tables.documents(spark, sf)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text")),
+      Seq("query_id")).select(col("query_id"), col("query_text"))
+    qt.createOrReplaceTempView("tvf_batch_qt")
+    val gotT = rows(spark.sql(
+      s"""SELECT query_id, neighbor_id, rk, sim
+         |FROM graft_filtered_search_batch('$srpDir', 'tvf_batch_qt', 5,
+         |'lang', 'en')""".stripMargin))
+    val qEmb = qt.select(col("query_id"),
+      FakeEmbedder.embedCol(col("query_text")).as("q_vec"))
+    val wantT = rows(graft.sources.FilteredServe.searchFilteredBatchFrom(
+      spark, srpDir, qEmb,
+      Seq(graft.sources.MetaTerm.Eq("lang", "en")), k = 5))
+    assert(gotT == wantT && gotT.nonEmpty,
+      "query_text batch TVF diverged from the embedded Scala call")
   }
 }
