@@ -217,6 +217,16 @@ object SparkEntry {
     // contract — closes the 4-family × batch matrix
     "v38_hamming_batch" -> ((s, d) => graft.sources.CodeStore.searchBatch(
       s, graft.sources.CodeStore.storeFor(s, d), d, JoinQueryFilter)),
+    // PER-QUERY k on the UNFILTERED batch matrix (r16, completing the
+    // v45/v46 contract): the reference's `limit` is per-call, so the
+    // set-based serves take a per-caller limit too — here as an
+    // expression over query_id (k_q = 2 + (id % 7) % 4 ∈ {2..5}),
+    // trimmed after the literal WindowGroupLimit ceiling. Same kExpr
+    // seam on graphSearchBatch / Hnsw.searchBatch /
+    // searchResidualBatch (spec-pinned parity vs the fixed-k serve).
+    "v47_hamming_batch_perk" -> ((s, d) => graft.sources.CodeStore.searchBatch(
+      s, graft.sources.CodeStore.storeFor(s, d), d, JoinQueryFilter,
+      kExpr = Some(lit(2) + col("query_id") % 7 % 4))),
     // hierarchical descent with the layer-0 tail over the NN-Descent-
     // REFINED graph (v21's edges): better per-hop recall at identical
     // serve cost — the v25 move applied to the hierarchy
@@ -665,6 +675,9 @@ object SparkEntry {
       SrpBanded.queryBandKeys(FakeEmbedder.embed(SearchText)).map(_._2)),
     // batched code scan: query codes from the shared bands CTE
     "v38_hamming_batch" -> HammingIndex.searchBatchSql(JoinQueryFilter),
+    // per-query limit replayed as the same rk bound over query_id
+    "v47_hamming_batch_perk" -> HammingIndex.searchBatchSql(JoinQueryFilter,
+      perKSql = Some("2 + (query_id % 7) % 4")),
     "v22_ivfpq_residual" -> IvfPqResidual.searchSummarySql(FakeEmbedder.embed(SearchText)),
     // same oracle as v18: the stored build must return the same graph
     "v23_knn_graph_stored" -> SrpBanded.knnGraphSql(),

@@ -98,7 +98,13 @@ object HammingIndex {
     * path's [[SrpBanded.bandKeysCol]] by construction); per-query
     * Hamming shortlist, exact-cosine rerank, per-query top-k. */
   def searchBatchSql(queryMod: Int, k: Int = 5,
-                     shortlist: Int = Shortlist): String =
+                     shortlist: Int = Shortlist,
+                     perKSql: Option[String] = None): String = {
+    // per-query limit twin (r16): `perKSql` is a SQL expression over
+    // query_id, replayed as an extra rk bound exactly like the Scala
+    // path's kExpr filter (k stays the batch ceiling)
+    val kBound = perKSql
+      .map(e => s"rk <= $k AND rk <= ($e)").getOrElse(s"rk <= $k")
     s"""WITH ${SrpBanded.srpBandsCtes},
        |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qset AS MATERIALIZED (
@@ -123,7 +129,8 @@ object HammingIndex {
        |FROM (SELECT query_id, vec_id, sim,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
        |      FROM scored)
-       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+       |WHERE $kBound ORDER BY query_id, rk""".stripMargin
+  }
 
   /** DuckDB twin: the shared banding CTEs produce the identical
     * keys; the query's keys are interpolated as a literal VALUES

@@ -309,7 +309,8 @@ object Hnsw {
                   maxSteps: Int = BatchMaxSteps,
                   layerSource: Option[Int => DataFrame] = None,
                   graphSource: Option[DataFrame] = None,
-                  entryOverride: Option[(Long, Array[Float])] = None): DataFrame = {
+                  entryOverride: Option[(Long, Array[Float])] = None,
+                  kExpr: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val emb = cleanEmb(spark, d)
@@ -449,6 +450,10 @@ object Hnsw {
     val out = dedupRank(visited)
       .withColumnRenamed("rn", "rk")
       .filter(col("rk") <= k)
+      // per-query k over query_id — k stays the WindowGroupLimit
+      // literal (batch ceiling), kExpr trims per caller (r16, the
+      // FilteredServe kCol shape on the unfiltered matrix)
+      .filter(kExpr.map(col("rk") <= _).getOrElse(lit(true)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rk"))

@@ -1026,7 +1026,8 @@ object SrpBanded {
                        maxEntries: Int = 64, graphK: Int = 5,
                        probeRadius: Int = 2,
                        bandedSource: Option[Seq[(Int, Long)] => DataFrame] = None,
-                       rowsPerBand: Int = RowsPerBand): DataFrame = {
+                       rowsPerBand: Int = RowsPerBand,
+                       kExpr: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (emb, queriesRaw) = batchInputs(spark, d, queryMod)
     // the query slice is materialized ONCE (O(|Q|) rows) — every
@@ -1128,6 +1129,11 @@ object SrpBanded {
     val out = dedupRank(visited)
       .withColumnRenamed("rn", "rk")
       .filter(col("rk") <= k)
+      // PER-QUERY k (r16): kExpr = each caller's own limit over
+      // query_id; the literal k stays the WindowGroupLimit ceiling,
+      // the per-query bound trims map-side (the FilteredServe kCol
+      // shape on the unfiltered matrix)
+      .filter(kExpr.map(col("rk") <= _).getOrElse(lit(true)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rk"))

@@ -251,7 +251,8 @@ object CodeStore {
     * [[HammingIndex.searchBatchSql]]. */
   def searchBatch(spark: SparkSession, dir: String, d: String,
                   queryMod: Int, k: Int = 5,
-                  shortlist: Int = HammingIndex.Shortlist): DataFrame = {
+                  shortlist: Int = HammingIndex.Shortlist,
+                  kExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.Tables.embeddings(spark, d)
       .filter(col("embedding").isNotNull &&
@@ -301,6 +302,14 @@ object CodeStore {
         vectors.cosine_sim(col("embedding"), col("q_vec")).as("sim"))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= k)
+      // PER-QUERY k (r16): `kExpr` is each caller's own limit as an
+      // expression over query_id (tools.yaml:19-21's per-call `limit`
+      // on the set-based serve). The LITERAL cut at `k` stays first so
+      // Catalyst still rewrites the rank filter to WindowGroupLimit
+      // (k is the batch ceiling); the per-query bound then trims the
+      // ≤ |Q|·k survivors map-side — same two-stage shape as the
+      // filtered batch's kCol (FilteredServe.rerankTopK).
+      .filter(kExpr.map(col("rk") <= _).getOrElse(lit(true)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk"), round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rk"))

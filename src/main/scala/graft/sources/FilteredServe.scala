@@ -1121,7 +1121,12 @@ object FilteredServe {
     val kq = col(kCol).cast("int")
     val agg = queries.agg(
       max(kq).as("mx"), min(kq).as("mn"),
-      sum(when(kq.isNull, 1L).otherwise(0L)).as("nulls")).head()
+      sum(when(kq.isNull, 1L).otherwise(0L)).as("nulls"),
+      count(lit(1)).as("n")).head()
+    // an EMPTY batch is empty output, not a validation error (the
+    // no-kCol path serves it as such) — any positive literal cuts
+    // nothing from zero queries
+    if (agg.getLong(3) == 0L) return 1
     require(agg.isNullAt(2) || agg.getLong(2) == 0L,
       s"per-query k column '$kCol' carries nulls — every query must " +
         "declare its own positive limit")

@@ -234,7 +234,8 @@ object IvfPqStore {
     * ([[IvfPqResidual.batchSearchSql]]). */
   def searchResidualBatch(spark: SparkSession, dir: String, d: String,
                           queryMod: Int, topK: Int = 5, nprobe: Int = 4,
-                          rerank: Int = 4): DataFrame = {
+                          rerank: Int = 4,
+                          kExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.GraftBridge
     val (ivf, pq) = readModels(spark, dir)
@@ -288,6 +289,10 @@ object IvfPqStore {
         round(graft.functions.vectors.l2_dist(col("c_vec"), col("q_vec")), 6).as("score"))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= topK)
+      // per-query k over query_id — topK stays the WindowGroupLimit
+      // literal (the batch ceiling), kExpr trims per caller
+      // (the CodeStore.searchBatch r16 shape)
+      .filter(kExpr.map(col("rk") <= _).getOrElse(lit(true)))
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("score"))
       .orderBy(col("query_id"), col("rk"))
   }

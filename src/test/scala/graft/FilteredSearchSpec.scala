@@ -1211,6 +1211,20 @@ class FilteredSearchSpec extends AnyFunSuite {
       e2.getMessage.toLowerCase.contains("must be"))
   }
 
+  test("per-query k: an EMPTY batch serves as empty output, not a validation error") {
+    import spark.implicits._
+    val (dir, aaRows, _) = bigMeta
+    val terms = Seq(MetaTerm.Eq("m", "aa"))
+    // zero rows WITH a k column \u2014 the no-kCol path serves empty input
+    // as empty output, and the per-k path must not diverge into a
+    // misleading "must be >= 1" refusal (r16 self-review finding)
+    val empty = aaRows.take(1).map { case (id, v) => (id, v, 3) }
+      .toDF("query_id", "q_vec", "k").filter(lit(false))
+    val out = FilteredServe.searchFilteredBatchFrom(spark, dir, empty,
+      terms, k = 5, kCol = Some("k"))
+    assert(out.count() == 0L, "empty per-k batch should serve zero rows")
+  }
+
   test("mixed batch with per-query k: grouped and joined shapes honor each caller's own limit identically") {
     import spark.implicits._
     val dir = FilteredServe.refMetaStoreFor(spark, sf)

@@ -1266,4 +1266,41 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(storedHopPlan.nonEmpty && !storedHopPlan.contains("embeddings.parquet"),
       s"stored batch hop re-joins the corpus:\n$storedHopPlan")
   }
+
+  test("per-query k on the unfiltered batch matrix: kExpr == the fixed-k serve trimmed at each caller's own limit") {
+    import graft.operators.{Hnsw, SrpBanded}
+    // each caller's own limit as an expression over query_id — the
+    // v45/v47 contract (k_q = 2 + (id % 7) % 4 ∈ {2..5}, ceiling 5)
+    val kq = lit(2) + col("query_id") % 7 % 4
+    def kOf(qid: Long): Long = 2 + qid % 7 % 4
+    def trimmed(fixed: Array[org.apache.spark.sql.Row]) = fixed
+      .filter(r => r.getAs[Int]("rk") <= kOf(r.getAs[Long]("query_id")))
+      .map(_.toString).sorted
+    def check(tag: String, perk: Array[org.apache.spark.sql.Row],
+              fixed: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(perk.nonEmpty, s"$tag: empty per-k batch")
+      assert(perk.map(_.toString).sorted.sameElements(trimmed(fixed)),
+        s"$tag: per-query-k rows != fixed-k rows trimmed at k_q")
+      perk.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+        assert(rs.length <= kOf(q), s"$tag: query $q got ${rs.length} > k_q=${kOf(q)}")
+      }
+    }
+    check("v26 graph batch",
+      SrpBanded.graphSearchBatch(spark, sf, 50, kExpr = Some(kq)).collect(),
+      SrpBanded.graphSearchBatch(spark, sf, 50).collect())
+    check("v33 hnsw batch",
+      Hnsw.searchBatch(spark, sf, queryMod = 50, kExpr = Some(kq)).collect(),
+      Hnsw.searchBatch(spark, sf, queryMod = 50).collect())
+    val pqDir = graft.sources.IvfPqStore.residualStoreFor(spark, sf)
+    check("v29 ivfpq batch",
+      graft.sources.IvfPqStore.searchResidualBatch(spark, pqDir, sf,
+        queryMod = 50, kExpr = Some(kq)).collect(),
+      graft.sources.IvfPqStore.searchResidualBatch(spark, pqDir, sf,
+        queryMod = 50).collect())
+    val cDir = graft.sources.CodeStore.storeFor(spark, sf)
+    check("v38 code batch",
+      graft.sources.CodeStore.searchBatch(spark, cDir, sf, 50,
+        kExpr = Some(kq)).collect(),
+      graft.sources.CodeStore.searchBatch(spark, cDir, sf, 50).collect())
+  }
 }
