@@ -802,16 +802,34 @@ object CoreQueries {
       val blkCol = least(floor((col("p").cast("double") - lit(lo)) / lit(width)),
         lit(targetBlocks - 1)).cast("long")
       val blocked = cnt.withColumn("blk", blkCol)
+      // subtotals are ≤ targetBlocks rows — sort them on the driver
+      // instead of paying a range-partitioning exchange (plus its
+      // sampling job) for a 256-row orderBy (r16)
       val totals = blocked.groupBy(col("blk")).agg(sum(col("c")).as("blk_c"))
-        .orderBy(col("blk")).collect()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       var acc = 0L
-      val prefix = totals.map { r =>
-        val o = (r.getLong(0), acc); acc += r.getLong(1); o
-      }.toSeq
-      val offsets = prefix.toDF("blk", "blk_before")
+      val prefix = totals.map { case (blk, c) =>
+        val o = (blk, acc); acc += c; o
+      }
+      // Only the ≤ 9 blocks CONTAINING a decile threshold can hold a
+      // boundary value (row cc = blk_before + local_cc, so t ∈
+      // (cc−c, cc] forces blk_before < t ≤ blk_before + blk_c): the
+      // block membership is decided here from the already-collected
+      // subtotals, and the cumulative-count window below runs over
+      // just those blocks' values — ~9·(values/block) rows instead of
+      // every distinct value (r16; the boundary row set is unchanged).
+      val thresholdsSeq = (1 to 9).map(i => (i, (i * n + 9) / 10))
+      val cumBefore = prefix.toMap
+      val boundaryBlks = thresholdsSeq.map { case (_, t) =>
+        totals.find { case (blk, c) => cumBefore(blk) < t && t <= cumBefore(blk) + c }
+          .map(_._1).getOrElse(totals.last._1)
+      }.distinct
+      val offsets = prefix.filter(p => boundaryBlks.contains(p._1))
+        .toDF("blk", "blk_before")
       val wLocal = Window.partitionBy(col("blk")).orderBy(col("p"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = blocked
+        .filter(col("blk").isin(boundaryBlks: _*))
         .withColumn("local_cc", sum(col("c")).over(wLocal))
         .join(broadcast(offsets), Seq("blk"))
         .withColumn("cc", col("blk_before") + col("local_cc"))
@@ -824,7 +842,7 @@ object CoreQueries {
       }.size
       // thresholds t_i = ceil(i*N/10); row (p, cc) is boundary i iff
       // t_i lands in (cc - c, cc] — each i matched by exactly one row
-      val thresholds = (1 to 9).map(i => (i, (i * n + 9) / 10)).toDF("i", "t")
+      val thresholds = thresholdsSeq.toDF("i", "t")
       val bounds = cum.join(broadcast(thresholds),
           col("t") > col("cc") - col("c") && col("t") <= col("cc"))
         .select(col("i"), col("p").cast("double").as("bp"))

@@ -292,11 +292,22 @@ object Dedup {
     * prefix (safe direction), never shorten it. */
   private[graft] def jaccardCandidates(spark: SparkSession, d: String,
                                        threshold: Double = 0.3): DataFrame = {
-    val docs = hashedTokenSets(spark, d)
     // only (doc_id, lang, source, n, token-hash) rides the shuffles —
-    // never the text or the full token array
-    val tok = docs.select(col("doc_id"), col("lang"), col("source"),
-      size(col("toks")).as("n"), explode(col("toks")).as("t"))
+    // never the text or the full token array. The candidate stream
+    // needs DISTINCT token hashes, not sorted ones (ordering is only
+    // for the verify stage's merge walk), so it skips array_sort; and
+    // explode_outer instead of explode keeps Catalyst from
+    // synthesizing a `size(toks) > 0` guard below the projection —
+    // that guard re-evaluated the whole tokenization expression once
+    // in the filter and again in the project (r16; the dfreq equi-join
+    // on t drops the null rows explode_outer emits, so the candidate
+    // set is unchanged).
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(expr(
+          "transform(split(text, ' '), t -> xxhash64(t))")).as("dtoks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("dtoks")).as("n"), explode_outer(col("dtoks")).as("t"))
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val pref = tok.join(dfreq, "t")
       .withColumn("rn", row_number().over(
@@ -710,9 +721,14 @@ object Dedup {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
+    // multi-arg xxhash64 chains the three tokens' hashes (boundary-
+    // preserving — each arg seeds the next) instead of allocating a
+    // concatenated trigram string per gram; the hash is internal (only
+    // join equality matters, the oracle joins the strings), so the
+    // output is unchanged up to the same ~2^-64 collision class (r16)
     val allGrams = docs.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(0, size(toks)-3), " +
-        "i -> xxhash64(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))).as("ng"))
+        "i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"))).as("ng"))
     // Document-frequency cap — the 100 TB guard: a stop-gram appearing
     // in df docs creates O(df²) join rows while carrying no
     // contamination signal. ON by default (the shipped plan is the

@@ -208,13 +208,21 @@ object FilteredServe {
   /** which plan the last serve took ("exact" | "walk:<f>" |
     * "fallback") — spec hook */
   @volatile private[graft] var lastFilteredPath: String = ""
+  // The plan hooks are LAZY thunks (r16): `queryExecution.executedPlan`
+  // forces a full physical-planning pass of a subtree the enclosing
+  // plan re-plans anyway — eagerly stringifying it put ~one Catalyst
+  // run per predicate group on the serve's critical path purely for
+  // the spec hooks. Specs read the defs; serving only stores a thunk.
+  @volatile private[graft] var lastByValPlanThunk: () => String = () => ""
+  @volatile private[graft] var lastByIdPlanThunk: () => String = () => ""
+  @volatile private[graft] var lastCodeScanPlanThunk: () => String = () => ""
   /** executed plan of the last pruned byval read — spec hook */
-  @volatile private[graft] var lastByValPlan: String = ""
+  private[graft] def lastByValPlan: String = lastByValPlanThunk()
   /** executed plan of the last pruned byid read — spec hook */
-  @volatile private[graft] var lastByIdPlan: String = ""
+  private[graft] def lastByIdPlan: String = lastByIdPlanThunk()
   /** executed plan of the last code-tier shortlist scan — spec hook
     * (the column-pruning claim: no embedding bytes in ReadSchema) */
-  @volatile private[graft] var lastCodeScanPlan: String = ""
+  private[graft] def lastCodeScanPlan: String = lastCodeScanPlanThunk()
 
   /** Per-serve COVERAGE telemetry — the "is this predicate's recall
     * W-bound?" signal a 100 TB operator acts on (pgvector-class
@@ -366,6 +374,7 @@ object FilteredServe {
     statsCache.remove(srpDir): Unit
     rstatsCache.remove(srpDir): Unit
     metaVerified.remove(srpDir): Unit
+    byValDfCache.invalidate(_ == srpDir)
   }
 
   /** equi-width bins per range-column histogram */
@@ -487,6 +496,8 @@ object FilteredServe {
       // (exception, not JVM death), the next serve must re-check the
       // commit marker and rebuild, not trust a stale "verified"
       metaVerified.remove(srpDir): Unit
+      // the cached analyzed scan's file index is about to go stale
+      byValDfCache.invalidate(_ == srpDir)
       val touchedPred = touched.map(vs =>
         cols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
         .reduce(_ || _)
@@ -557,6 +568,7 @@ object FilteredServe {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$srpDir/meta/stats")
       statsCache.remove(srpDir): Unit
+      byValDfCache.invalidate(_ == srpDir)
     }
     org.apache.spark.sql.GraftBridge.unpersistPlanRdds(upd)
     touched
@@ -576,8 +588,21 @@ object FilteredServe {
     * pre-r13 `keys` guard in ensureMeta/upsertMeta must keep its raw
     * footer read.) */
   private[graft] def readByVal(spark: SparkSession, srpDir: String): DataFrame =
-    readByValAs(spark, srpDir,
-      storeMetaCols(spark, srpDir), storeRangeCols(spark, srpDir))
+    // memoize the ANALYZED scan (plan + file index), not data: every
+    // spark.read.parquet builds a fresh InMemoryFileIndex — a full
+    // driver-side directory listing of the value-partitioned store —
+    // and the batched serves call this once per predicate group per
+    // serve (the grouped mixed batch paid it 2× per group). Entries
+    // are invalidated wherever the byval files are rewritten
+    // (writeMetaFrom, upsertMeta) and on corpus invalidation (r16).
+    byValDfCache.getOrElseUpdate(spark, srpDir) {
+      readByValAs(spark, srpDir,
+        storeMetaCols(spark, srpDir), storeRangeCols(spark, srpDir))
+    }
+
+  /** analyzed-scan memo for [[readByVal]] — plan reuse only, nothing
+    * persisted (no onEvict needed) */
+  private val byValDfCache = new graft.SessionCache[String, DataFrame](16)
 
   /** [[readByVal]] with the declared columns already in hand (the
     * upsert path, where the stats artifact is mid-rewrite) */
@@ -624,6 +649,7 @@ object FilteredServe {
     statsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
     metaVerified.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
     rstatsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
+    byValDfCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
   }
 
   private def statsEntry(spark: SparkSession,
@@ -886,7 +912,7 @@ object FilteredServe {
                        terms: Seq[MetaTerm]): DataFrame = {
     val pruned = byValMatching(spark, srpDir, terms)
       .select(col("vec_id"), col("embedding"))
-    lastByValPlan = pruned.queryExecution.executedPlan.toString
+    lastByValPlanThunk = () => pruned.queryExecution.executedPlan.toString
     pruned
   }
 
@@ -908,7 +934,7 @@ object FilteredServe {
       .filter(col("mb").isin(mbs: _*) && col("vec_id").isin(ids: _*) &&
         termsCol(terms))
       .select(col("vec_id"))
-    lastByIdPlan = read.queryExecution.executedPlan.toString
+    lastByIdPlanThunk = () => read.queryExecution.executedPlan.toString
     read.collect().map(_.getLong(0)).toSet
   }
 
@@ -965,7 +991,7 @@ object FilteredServe {
     val scan = byValMatching(spark, metaDir, terms)
       .select(col("vec_id"),
         graft.operators.HammingIndex.hammingCol(qk).as("ham"))
-    lastCodeScanPlan = scan.queryExecution.executedPlan.toString
+    lastCodeScanPlanThunk = () => scan.queryExecution.executedPlan.toString
     // bounded driver state: the W shortlist ids. Small W takes the
     // single-scan orderBy/limit (its per-partition top-W merge is
     // parts×W driver rows — fine below MaxShortlist); the matching-
@@ -1305,7 +1331,8 @@ object FilteredServe {
                               k: Int,
                               wOverride: Option[Int] = None,
                               kCol: Option[String] = None,
-                              codeScanMax: Long = CodeScanMax): DataFrame = {
+                              codeScanMax: Long = CodeScanMax,
+                              kMaxOverride: Option[Int] = None): DataFrame = {
     val matching = plannerCount(spark, metaDir, terms)
     if (wOverride.isEmpty && matching > codeScanMax) {
       recordCoverage("code_batch_refused", matching, 0L)
@@ -1320,10 +1347,16 @@ object FilteredServe {
           "to accept the scan cost explicitly.")
     }
     val w = wOverride.getOrElse(shortlistWidthBatch(matching))
-    val kMax = kCol.map(perQueryKMax(queries, _)).getOrElse(k)
+    // kMaxOverride: the mixed serve validates + maxes the per-query k
+    // column ONCE over the whole batch instead of one aggregate job per
+    // predicate group — a larger WindowGroupLimit literal only admits
+    // rows the per-query `rk ≤ k_q` trim then cuts, so rows are
+    // identical (r16)
+    val kMax = kMaxOverride.getOrElse(
+      kCol.map(perQueryKMax(queries, _)).getOrElse(k))
     val qFlat = flattenQueryCodes(queries)
     val cFlat = flattenRowCodes(byValMatching(spark, metaDir, terms))
-    lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
+    lastCodeScanPlanThunk = () => cFlat.queryExecution.executedPlan.toString
     val short = batchShortlist(
       cFlat.crossJoin(broadcast(qFlat))
         .select(col("query_id"), col("vec_id"), hamCol.as("ham")), w)
@@ -1438,10 +1471,15 @@ object FilteredServe {
     // unbounded combo universe on the driver
     val comboProbe = qs.select(predCols.map(col): _*).distinct()
       .limit(maxGroups + 1).collect()
+    // validate + max the per-query k column once for the whole batch
+    // (each group's WindowGroupLimit literal may exceed its own max —
+    // the per-query rk ≤ k_q trim cuts the same rows either way)
+    val kMaxAll = kCol.map(perQueryKMax(qs, _))
     val out =
       if (comboProbe.length > maxGroups) {
         lastMixedBatchPath = s"joined:${comboProbe.length}+"
-        mixedJoinedPlan(spark, metaDir, qs, predOps, k, kCol, codeScanMax)
+        mixedJoinedPlan(spark, metaDir, qs, predOps, k, kCol, codeScanMax,
+          kMaxOverride = kMaxAll)
       } else {
         val groups = comboProbe
           .map(r => predCols.indices.map(i => predCols(i) -> r.getString(i)).toSeq)
@@ -1455,7 +1493,7 @@ object FilteredServe {
             termOf(c, op, combo.collectFirst { case (`c`, v) => v }.get)
           }
           searchFilteredBatchFrom(spark, metaDir, g, terms, k, kCol = kCol,
-            codeScanMax = codeScanMax)
+            codeScanMax = codeScanMax, kMaxOverride = kMaxAll)
         }
         plans.reduce(_ unionByName _)
       }
@@ -1494,7 +1532,8 @@ object FilteredServe {
   private def mixedJoinedPlan(spark: SparkSession, metaDir: String,
                               qs: DataFrame, predOps: Seq[(String, String)],
                               k: Int, kCol: Option[String] = None,
-                              codeScanMax: Long = CodeScanMax): DataFrame = {
+                              codeScanMax: Long = CodeScanMax,
+                              kMaxOverride: Option[Int] = None): DataFrame = {
     val predCols = predOps.map(_._1)
     val total = totalCount(spark, metaDir)
     if (total > codeScanMax) {
@@ -1508,7 +1547,8 @@ object FilteredServe {
           "group then partition-prunes and checks its own matching " +
           "envelope), or serve per-request through the walk tier.")
     }
-    val kMax = kCol.map(perQueryKMax(qs, _)).getOrElse(k)
+    val kMax = kMaxOverride.getOrElse(
+      kCol.map(perQueryKMax(qs, _)).getOrElse(k))
     val qFlat = flattenQueryCodes(
       qs.select((Seq(col("query_id"), col("q_vec")) ++
         predCols.map(c => col(c).as(s"__q_$c"))): _*),
@@ -1518,7 +1558,7 @@ object FilteredServe {
       raw.select((Seq(col("vec_id"), col("keys")) ++
         predCols.map(col)): _*),
       extra = predCols)
-    lastCodeScanPlan = cFlat.queryExecution.executedPlan.toString
+    lastCodeScanPlanThunk = () => cFlat.queryExecution.executedPlan.toString
     // per-pair predicate: data column vs the query's own value column,
     // with termCol's value-typed semantics decided per pair
     def cmp(op: String)(l: Column, r: Column): Column = op match {

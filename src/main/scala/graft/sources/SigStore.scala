@@ -236,7 +236,7 @@ object SigStore {
       .filter(col("__ver").isin(vers: _*) &&
         col("db").isin(dbs: _*) && col("doc_id").isin(ids: _*))
       .select(col("doc_id"), col("text"))
-    lastDocsPlan = pruned.queryExecution.executedPlan.toString
+    lastDocsPlanThunk = () => pruned.queryExecution.executedPlan.toString
     pruned
   }
 
@@ -281,9 +281,15 @@ object SigStore {
     * for the crossover and PartitionFilters specs (the
     * [[SrpStore.lastBatchBandingSource]] pattern) */
   private[graft] var lastProbeSource: String = ""
-  private[graft] var lastPrunedPlan: String = ""
+  // plan hooks are LAZY (r16): eagerly planning + stringifying the
+  // pruned scan — whose probe predicate carries the batch's whole
+  // band-key IN set — put a Catalyst run and a multi-KB toString on
+  // the serve's critical path purely for the spec assertions
+  private[graft] var lastPrunedPlanThunk: () => String = () => ""
+  private[graft] def lastPrunedPlan: String = lastPrunedPlanThunk()
   private[graft] var lastTextSource: String = ""
-  private[graft] var lastDocsPlan: String = ""
+  private[graft] var lastDocsPlanThunk: () => String = () => ""
+  private[graft] def lastDocsPlan: String = lastDocsPlanThunk()
 
   def incrementalNearDup(spark: SparkSession, storeDir: String,
                          batch: DataFrame,
@@ -293,20 +299,23 @@ object SigStore {
     val batchSigs = bandedSigs(batchDocs).localCheckpoint(true)
 
     val distinctKeys = batchSigs.select(col("band"), col("band_key")).distinct()
-    val nKeys = distinctKeys.count()
+    // ONE bounded collect decides the crossover AND supplies the probe
+    // keys (r16; was a count job followed by a second collect job):
+    // ≤ probeCollectMax+1 rows ever reach the driver either way
+    val keyProbe = distinctKeys.limit(probeCollectMax.toInt + 1).collect()
     val storedRows =
-      if (nKeys == 0) {
+      if (keyProbe.isEmpty) {
         // empty (or all-too-short) batch: no probes, no pairs — an
         // empty reduce in probePred would otherwise throw
         lastProbeSource = "empty"
         sigFrame(spark, storeDir).filter(lit(false))
-      } else if (nKeys <= probeCollectMax) {
-        val keysByBand = distinctKeys.collect()
+      } else if (keyProbe.length <= probeCollectMax) {
+        val keysByBand = keyProbe
           .map(r => (r.getInt(0), r.getLong(1)))
           .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).toSeq }
         val pruned = sigFrame(spark, storeDir).filter(probePred(keysByBand, groups))
         lastProbeSource = "pruned"
-        lastPrunedPlan = pruned.queryExecution.executedPlan.toString
+        lastPrunedPlanThunk = () => pruned.queryExecution.executedPlan.toString
         pruned
       } else {
         // saturated batch: one shuffle join, no driver-side key set
