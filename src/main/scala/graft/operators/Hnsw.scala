@@ -374,8 +374,21 @@ object Hnsw {
         vectors.cosine_sim(typedLit(entryEmb), col("q_vec")).as("sim"))
       .toDF(cols3: _*)
     var path = state
-    for (l <- MaxLevel to 1 by -1; _ <- 1 to maxSteps) {
-      val g = layerSource.map(_(l)).getOrElse(layerGraph(spark, d, l))
+    for (l <- MaxLevel to 1 by -1) {
+      // one edge-side fetch + broadcast decision per LAYER (r16): the
+      // layer graph is step-invariant, so its row count — cheap, the
+      // frame is a checkpoint or a stored read — is paid once, and a
+      // known-small layer broadcasts EXPLICITLY. AQE reached the same
+      // BHJ at runtime, but only after materializing shuffle stages
+      // for BOTH join sides per step (a checkpoint carries no size
+      // stats, so the static planner could never pick the broadcast);
+      // the hint removes those dead per-step exchanges. Plan-only:
+      // inner-join rows are identical either way, and past
+      // [[EdgeBroadcastMaxRows]] the shape is untouched — production
+      // layer-1 graphs are corpus-sized and keep the shuffle.
+      val g = SrpBanded.maybeBroadcastEdges(
+        layerSource.map(_(l)).getOrElse(layerGraph(spark, d, l)))
+      for (_ <- 1 to maxSteps) {
       // dst_emb rides in the edge row → score what was joined, no
       // corpus access. Duplicate (query_id, vec_id) rows (several
       // frontier members sharing a neighbor) carry bit-identical
@@ -386,7 +399,10 @@ object Hnsw {
         .select(col("query_id"), col("dst").as("vec_id"),
           col("dst_emb").as("c_vec"))
       val stepScored = scoreEdges(neigh).toDF(cols3: _*)
-      lastStepPlan = stepScored.queryExecution.executedPlan.toString
+      // lazy thunk: eagerly planning + stringifying the step subtree
+      // put one Catalyst run per walk step on the serve path purely
+      // for the spec hook (r16)
+      lastStepPlanThunk = () => stepScored.queryExecution.executedPlan.toString
       // ONE eager checkpoint per step: the scoring join stays inline
       // in the dedup+rank stage (its inputs — state and the layer
       // edges — are already checkpoint/cache-rooted, so the lineage
@@ -398,9 +414,13 @@ object Hnsw {
       intermediates += cand
       state = cand
       path = path.unionByName(state)
+      }
     }
-    // layer-0: the v26 hop tail seeded with each query's walk path
-    val graph = graphSource.getOrElse(SrpBanded.materializedGraph(spark, d, graphK))
+    // layer-0: the v26 hop tail seeded with each query's walk path —
+    // same per-layer broadcast decision as the walk (layer 0 is the
+    // full corpus graph, so at scale it stays on the shuffle path)
+    val graph = SrpBanded.maybeBroadcastEdges(
+      graphSource.getOrElse(SrpBanded.materializedGraph(spark, d, graphK)))
     val seed = dedupRank(path)
       .filter(col("rn") <= maxEntries)
       .select(col("query_id"), col("vec_id"), col("sim"))
@@ -426,7 +446,7 @@ object Hnsw {
         .select(col("query_id"), col("dst").as("vec_id"),
           col("dst_emb").as("c_vec"))
       val hopScored = scoreEdges(neigh).toDF(cols3: _*)
-      lastHopPlan = hopScored.queryExecution.executedPlan.toString
+      lastHopPlanThunk = () => hopScored.queryExecution.executedPlan.toString
       // = scored(frontier ∪ neighbors) deduped WITH its per-query
       // rank, in one exchange (and, as in the walk, one checkpoint
       // per hop — the scoring join rides inline); the beam cut is
@@ -471,9 +491,13 @@ object Hnsw {
   private val cpLock = new Object
 
   /** executed plans of the last batch walk step / layer-0 hop scoring
-    * stage — spec hooks for the no-corpus-scan contract */
-  @volatile var lastStepPlan: String = ""
-  @volatile var lastHopPlan: String = ""
+    * stage — spec hooks for the no-corpus-scan contract. LAZY thunks
+    * (r16): stringifying the executed plan eagerly cost one Catalyst
+    * planning pass per walk step / hop on the serve path. */
+  @volatile var lastStepPlanThunk: () => String = () => ""
+  @volatile var lastHopPlanThunk: () => String = () => ""
+  def lastStepPlan: String = lastStepPlanThunk()
+  def lastHopPlan: String = lastHopPlanThunk()
 
   // ---------------------------------------------------------------
   // DuckDB twin

@@ -1021,6 +1021,37 @@ object SrpBanded {
     batchScorePairs(emb, queries)(budgeted)
   }
 
+  /** Edge-row threshold for the EXPLICIT broadcast of a walk/hop edge
+    * table (r16): a checkpoint- or store-backed edge frame carries no
+    * size statistics, so the static planner always plans its join as a
+    * shuffle — AQE then materializes shuffle stages for BOTH sides of
+    * every step before converting to the broadcast it would have
+    * picked statically. Below this row bound (~edge row = 16 B ids +
+    * the in-row dst_emb) the serve counts the frame once per layer and
+    * pins the broadcast itself, deleting the dead per-step exchanges;
+    * above it — every production-scale layer-0/1 graph — the shuffle
+    * plan is untouched. Plan-only: inner-join rows are identical. */
+  val EdgeBroadcastMaxRows = 65536L
+
+  /** [[EdgeBroadcastMaxRows]] applied: one cheap count (the frame is a
+    * localCheckpoint or a pruned store read), then an explicit
+    * broadcast hint or the frame unchanged. Counts are memoized by
+    * FRAME IDENTITY — every caller hands the session-cached layer /
+    * graph instance, so one count job per (corpus, layer), not one per
+    * serve. A stale entry is impossible: cache keys are the immutable
+    * cached frames themselves (a rewritten store produces a new frame
+    * object through its own invalidated cache). */
+  private val edgeCountCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Long]())
+  private[graft] def maybeBroadcastEdges(g: DataFrame): DataFrame = {
+    if (edgeCountCache.size() > 64) edgeCountCache.clear()
+    val n = Option(edgeCountCache.get(g)).map(_.longValue()).getOrElse {
+      val c = g.count(); edgeCountCache.put(g, c): Unit; c
+    }
+    if (n <= EdgeBroadcastMaxRows) broadcast(g) else g
+  }
+
   def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
                        k: Int = 5, beam: Int = 8, iters: Int = 2,
                        maxEntries: Int = 64, graphK: Int = 5,
@@ -1034,7 +1065,11 @@ object SrpBanded {
     // stage below joins this checkpoint instead of re-scanning the
     // corpus for the slice
     val queries = queriesRaw.localCheckpoint(true)
-    val graph = materializedGraph(spark, d, graphK)
+    // size-keyed explicit broadcast of the hop edge table (see
+    // [[maybeBroadcastEdges]]) — AQE converted these joins at runtime
+    // anyway, but only after materializing both sides' shuffle stages
+    // per hop
+    val graph = maybeBroadcastEdges(materializedGraph(spark, d, graphK))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     // hop scoring reads the candidate embedding from the edge rows it

@@ -89,6 +89,7 @@ object HnswStore {
   graft.Tables.onInvalidate { p =>
     frameCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
     entryCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+    layerSliceCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
 
   /** Merge-on-read view of the hierarchy: committed versions only,
@@ -274,10 +275,19 @@ object HnswStore {
                   maxEntries: Int = 64): DataFrame = {
     val layers = layersFrame(spark, dir)
     Hnsw.searchBatch(spark, d, queryMod, k, beam, iters, maxEntries,
-      layerSource = Some(l => layers.filter(col("layer") === l)),
+      // per-layer slices memoized so the walk's size-keyed broadcast
+      // decision (SrpBanded.maybeBroadcastEdges, identity-keyed count
+      // memo) pays its count once per (store, layer), not per serve
+      layerSource = Some(l => layerSliceCache.getOrElseUpdate(spark, (dir, l)) {
+        layers.filter(col("layer") === l)
+      }),
       graphSource = Some(EdgeStore.read(spark, s"$dir/l0")),
       entryOverride = Some(storedEntry(spark, dir)))
   }
+
+  /** stable per-(store, layer) slice instances of [[layersFrame]] —
+    * plan reuse only, nothing persisted */
+  private val layerSliceCache = new graft.SessionCache[(String, Int), DataFrame](16)
 
   /** Incremental hierarchy maintenance — the upsert analogue
     * [[EdgeStore.upsert]] provides for the flat graph, applied to
