@@ -313,13 +313,37 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select(col("lang"), col("source"), col("t"), col("doc_id"))
-    val a = pref.select(col("lang"), col("source"), col("t"), col("doc_id").as("id_a"))
-    val b = pref.select(col("lang"), col("source"), col("t"), col("doc_id").as("id_b"))
+      .select(col("lang"), col("source"), col("t"), col("doc_id"),
+        col("rn"), col("n"))
+    val a = pref.select(col("lang"), col("source"), col("t"),
+      col("doc_id").as("id_a"), col("rn").as("pa"), col("n").as("na"))
+    val b = pref.select(col("lang"), col("source"), col("t"),
+      col("doc_id").as("id_b"), col("rn").as("pb"), col("n").as("nb"))
+    // Dedup multi-token matches via an aggregate that ALSO carries the
+    // PPJoin filter inputs (r16): per-doc prefix positions follow ONE
+    // global token order (df asc, t asc — df is a per-token global
+    // count), so the pair's smallest common token has both min(pa) and
+    // min(pb), and — PPJoin's positional bound — every common token
+    // other than it sits strictly after both positions:
+    //   |A ∩ B| ≤ 1 + min(na − pa₀, nb − pb₀).
+    // J ≥ τ needs |A ∩ B| ≥ τ·(na+nb)/(1+τ) and min/max ≥ τ (the
+    // length filter the verify stage used to apply AFTER attaching the
+    // token arrays); both necessary conditions now cut the candidate
+    // stream BEFORE the two token-array joins. The exact merge-walk
+    // verify is unchanged, so rows are identical — the 1e-9 slack on
+    // the positional compare keeps float-boundary pairs (the ceil
+    // trick's safe direction).
     a.join(b, Seq("lang", "source", "t"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double") >= threshold)
+      .filter((lit(1) + least(col("na") - col("pa0"), col("nb") - col("pb0")))
+        .cast("double") >=
+        lit(threshold) / (lit(1.0) + threshold) * (col("na") + col("nb")) - lit(1e-9))
       .select(col("lang"), col("source"), col("id_a"), col("id_b"))
-      .distinct()
   }
 
   /** d4: exact token-set Jaccard within (lang, source) blocks —
@@ -338,8 +362,8 @@ object Dedup {
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
         col("toks_a"), col("toks_b"),
         size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
-      .filter(least(col("na"), col("nb")).cast("double") /
-        greatest(col("na"), col("nb")).cast("double") >= threshold)
+      // the size-ratio prefilter now runs inside jaccardCandidates,
+      // BEFORE the token arrays are attached (r16)
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
         graft.functions.text.sorted_intersect_count(col("toks_a"), col("toks_b")).as("inter"),
         col("na"), col("nb"))

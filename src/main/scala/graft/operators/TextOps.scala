@@ -636,17 +636,29 @@ object TextOps {
       val blkCol = least(floor((col("quality") - lit(lo)) / lit(width)),
         lit(targetBlocks - 1)).cast("long")
       val blocked = scored.withColumn("blk", blkCol)
+      // subtotals are ≤ targetBlocks rows — driver-sorted instead of a
+      // range-partitioning exchange + sampling job (r16, the q33 move)
       val totals = blocked.groupBy(col("blk")).agg(count(lit(1)).as("blk_c"))
-        .orderBy(col("blk")).collect()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       var acc = 0L
-      val prefix = totals.map { r =>
-        val o = (r.getLong(0), acc); acc += r.getLong(1); o
-      }.toSeq
-      val offsets = prefix.toDF("blk", "blk_before")
+      val prefix = totals.map { case (blk, c) =>
+        val o = (blk, acc); acc += c; o
+      }
+      // only the ONE block containing global rank `cut` can hold the
+      // boundary pair (rank = blk_before + within-block rank, so
+      // blk_before < cut ≤ blk_before + blk_c) — decided here from the
+      // collected subtotals; the rank window then runs over that
+      // block's rows alone (r16; the boundary row is unchanged)
+      val cumBefore = prefix.toMap
+      val boundaryBlk = totals.collectFirst {
+        case (blk, c) if cumBefore(blk) < cut && cut <= cumBefore(blk) + c => blk
+      }.getOrElse(totals.last._1)
+      val offsets = prefix.filter(_._1 == boundaryBlk).toDF("blk", "blk_before")
       val wLocal = Window.partitionBy(col("blk"))
         .orderBy(col("quality"), col("doc_id"))
       // global rank = driver-prefixed block offset + within-block rank
       val boundary = blocked
+        .filter(col("blk") === boundaryBlk)
         .withColumn("rnk_local", row_number().over(wLocal))
         .join(broadcast(offsets), Seq("blk"))
         .filter(col("blk_before") + col("rnk_local") === cut)

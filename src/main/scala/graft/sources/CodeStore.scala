@@ -122,8 +122,10 @@ object CodeStore {
     resolvedFrame(spark, dir)
 
   /** executed plans of the last serve — spec hooks */
-  @volatile var lastScanPlan: String = ""
-  @volatile var lastFetchPlan: String = ""
+  @volatile var lastScanPlanThunk: () => String = () => ""
+  def lastScanPlan: String = lastScanPlanThunk()
+  @volatile var lastFetchPlanThunk: () => String = () => ""
+  def lastFetchPlan: String = lastFetchPlanThunk()
 
   /** v37: v36 served entirely from the store — code scan over the
     * 8-byte rows, pb-pruned embedding point-fetch for the shortlist,
@@ -135,7 +137,7 @@ object CodeStore {
     val qk = SrpBanded.queryBandKeys(queryVec).map(_._2)
     val scan = codesFrame(spark, dir)
       .select(col("vec_id"), HammingIndex.hammingCol(qk).as("ham"))
-    lastScanPlan = scan.queryExecution.executedPlan.toString
+    lastScanPlanThunk = () => scan.queryExecution.executedPlan.toString
     // bounded driver state: the shortlist ids (≤ shortlist rows) —
     // the same O(k) license every single-query serve here documents
     val ids = scan.orderBy(col("ham").asc, col("vec_id").asc)
@@ -144,7 +146,7 @@ object CodeStore {
     val fetch = fullFrame(spark, dir)
       .filter(col("pb").isin(pbs: _*) && col("vec_id").isin(ids: _*))
       .select(col("vec_id"), col("embedding"))
-    lastFetchPlan = fetch.queryExecution.executedPlan.toString
+    lastFetchPlanThunk = () => fetch.queryExecution.executedPlan.toString
     HammingIndex.rerank(fetch, queryVec, k)
   }
 

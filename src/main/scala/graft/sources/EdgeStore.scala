@@ -118,7 +118,8 @@ object EdgeStore {
 
   /** executed plan of the last pruned hop read — spec hook for the
     * partition-pruning assertion */
-  @volatile var lastEdgePlan: String = ""
+  @volatile var lastEdgePlanThunk: () => String = () => ""
+  def lastEdgePlan: String = lastEdgePlanThunk()
 
   /** Pruned point read: the frontier's out-edges (dst + in-row
     * embedding). `pb ∈ frontier-pbs` prunes in the file index before
@@ -129,7 +130,7 @@ object EdgeStore {
     val step = resolvedFrame(spark, dir)
       .filter(col("pb").isin(pbs: _*) && col("src").isin(frontier: _*))
       .select(col("src"), col("dst"), col("dst_emb"))
-    lastEdgePlan = step.queryExecution.executedPlan.toString
+    lastEdgePlanThunk = () => step.queryExecution.executedPlan.toString
     step
   }
 

@@ -128,7 +128,8 @@ object HnswStore {
 
   /** executed plan of the last descent-step layer read — spec hook
     * for the partition-pruning assertion */
-  @volatile var lastLayerPlan: String = ""
+  @volatile var lastLayerPlanThunk: () => String = () => ""
+  def lastLayerPlan: String = lastLayerPlanThunk()
   /** which layers the last serve's descent answered from the driver
     * cache — spec hook for the local-descent contract */
   @volatile var lastLocalLayers: Set[Int] = Set.empty
@@ -204,7 +205,7 @@ object HnswStore {
           val step = layers
             .filter(col("layer") === l && col("pb").isin(pbs: _*) &&
               col("src").isin(frontier: _*))
-          lastLayerPlan = step.queryExecution.executedPlan.toString
+          lastLayerPlanThunk = () => step.queryExecution.executedPlan.toString
           Hnsw.fetchScoredDf(step, queryVec)
       }
   }

@@ -352,7 +352,8 @@ object SrpStore {
         bucketPred(keys)
 
   /** executed plan of the last pruned bulk banding read — spec hook */
-  @volatile var lastPrunedBandingPlan: String = ""
+  @volatile var lastPrunedBandingPlanThunk: () => String = () => ""
+  def lastPrunedBandingPlan: String = lastPrunedBandingPlanThunk()
 
   /** Pruned bulk banding read for the batched stored serve (v27): the
     * union of probed (band, bk) buckets across the query set, read
@@ -372,7 +373,7 @@ object SrpStore {
       .filter(layoutPred(storeShift(spark, dir), keys))
       .select(col("vec_id"), col("band").cast("int").as("band"),
         col("bk").cast("long").as("bk"))
-    lastPrunedBandingPlan = pruned.queryExecution.executedPlan.toString
+    lastPrunedBandingPlanThunk = () => pruned.queryExecution.executedPlan.toString
     pruned
   }
 
@@ -428,7 +429,8 @@ object SrpStore {
   /** which seed source the last single-query serve took — spec hook */
   @volatile var lastSeedSource: String = ""
   /** executed plan of the last pruned banded seed scan — spec hook */
-  @volatile var lastSeedScanPlan: String = ""
+  @volatile var lastSeedScanPlanThunk: () => String = () => ""
+  def lastSeedScanPlan: String = lastSeedScanPlanThunk()
 
   /** driver image of a small store: bucket membership + the one
     * embedding copy (the v2 on-disk split, mirrored in memory) */
@@ -516,7 +518,7 @@ object SrpStore {
   def scoredPool(spark: SparkSession, dir: String,
                  queryVec: Array[Float], probeRadius: Int = 2): DataFrame = {
     val pruned = prunedSeedRows(spark, dir, queryVec, probeRadius)
-    lastSeedScanPlan = pruned.queryExecution.executedPlan.toString
+    lastSeedScanPlanThunk = () => pruned.queryExecution.executedPlan.toString
     val ids = pruned.select(col("vec_id")).distinct()
     embedFrame(spark, dir)
       .join(ids, Seq("vec_id"))

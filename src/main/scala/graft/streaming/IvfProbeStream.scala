@@ -28,7 +28,8 @@ import graft.functions.{vectors, FakeEmbedder}
 object IvfProbeStream {
 
   /** last probe's physical plan, for pruning assertions in specs */
-  @volatile private[graft] var lastProbePlan: String = ""
+  @volatile private[graft] var lastProbePlanThunk: () => String = () => ""
+  private[graft] def lastProbePlan: String = lastProbePlanThunk()
 
   /** One batch of queries against the store: the shared kernel of the
     * stream and its batch twin. */
@@ -54,7 +55,7 @@ object IvfProbeStream {
       .select(col("query_id"), explode(col("topk")).as("p"))
       .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
         col("p.score").as("score"))
-    lastProbePlan = res.queryExecution.executedPlan.toString
+    lastProbePlanThunk = () => res.queryExecution.executedPlan.toString
     res
   }
 
