@@ -320,7 +320,6 @@ object Hnsw {
     val queries = emb.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       .localCheckpoint(true)
-    val scoreEdges = batchScoreEdges(queries) _
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     // ONE exchange per walk/hop step instead of two: the union is
@@ -335,11 +334,34 @@ object Hnsw {
     // so keeping any one row per pair equals the old distinct.
     val wd = Window.partitionBy(col("query_id"), col("vec_id"))
       .orderBy(col("sim"))
-    def dedupRank(df: DataFrame): DataFrame = df
-      .repartition(col("query_id"))
+    def dedupRankNoShuffle(df: DataFrame): DataFrame = df
       .withColumn("__dup", row_number().over(wd))
       .filter(col("__dup") === 1).drop("__dup")
       .withColumn("rn", row_number().over(wq))
+    def dedupRank(df: DataFrame): DataFrame =
+      dedupRankNoShuffle(df.repartition(col("query_id")))
+    // ONE exchange per walk step / hop (r16, down from two): the union
+    // of the SCORED state (sim in-row) with the UNSCORED neighbor rows
+    // (their c_vec rides from the edge rows) is hash-repartitioned on
+    // query_id once; the SHUFFLE_HASH scoring join then sees its
+    // streamed side already partitioned (only the small queries side
+    // exchanges), sims fill in as coalesce(sim, cosine(c_vec, q_vec))
+    // — bit-identical doubles, state rows keep their carried value —
+    // and both dedup/rank windows reuse the same partitioning. Same
+    // rows as score-then-union: the union is a bag union and cosine
+    // over the same floats reproduces every duplicate's sim exactly.
+    def scoreDedupRank(stateScored: DataFrame, neighUnscored: DataFrame): DataFrame =
+      dedupRankNoShuffle(
+        stateScored
+          .withColumn("c_vec", lit(null).cast("array<float>"))
+          .unionByName(neighUnscored
+            .select(col("query_id"), col("vec_id"),
+              lit(null).cast("double").as("sim"), col("c_vec")))
+          .repartition(col("query_id"))
+          .join(queries.hint("shuffle_hash"), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            coalesce(col("sim"),
+              vectors.cosine_sim(col("c_vec"), col("q_vec"))).as("sim")))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     intermediates += queries
     // entry: query-independent — memoized per corpus ([[entryFor]]) or
@@ -393,21 +415,21 @@ object Hnsw {
       // corpus access. Duplicate (query_id, vec_id) rows (several
       // frontier members sharing a neighbor) carry bit-identical
       // sims, so the former pre-score distinct() is deferred to the
-      // step's single dedupRank exchange below — scoring a dup is a
+      // step's single dedupRank exchange — scoring a dup is a
       // projection, cheaper than the extra exchange the distinct cost
       val neigh = state.join(g, state("vec_id") === g("src"))
         .select(col("query_id"), col("dst").as("vec_id"),
           col("dst_emb").as("c_vec"))
-      val stepScored = scoreEdges(neigh).toDF(cols3: _*)
+      val ranked = scoreDedupRank(state, neigh)
       // lazy thunk: eagerly planning + stringifying the step subtree
       // put one Catalyst run per walk step on the serve path purely
       // for the spec hook (r16)
-      lastStepPlanThunk = () => stepScored.queryExecution.executedPlan.toString
+      lastStepPlanThunk = () => ranked.queryExecution.executedPlan.toString
       // ONE eager checkpoint per step: the scoring join stays inline
       // in the dedup+rank stage (its inputs — state and the layer
       // edges — are already checkpoint/cache-rooted, so the lineage
       // is one join deep and nothing replays)
-      val cand = dedupRank(state.unionByName(stepScored))
+      val cand = ranked
         .filter(col("rn") <= descentBeam)
         .select(col("query_id"), col("vec_id"), col("sim"))
         .toDF(cols3: _*).localCheckpoint(true)
@@ -445,18 +467,16 @@ object Hnsw {
       val neigh = frontierS.join(graph, frontierS("vec_id") === graph("src"))
         .select(col("query_id"), col("dst").as("vec_id"),
           col("dst_emb").as("c_vec"))
-      val hopScored = scoreEdges(neigh).toDF(cols3: _*)
-      lastHopPlanThunk = () => hopScored.queryExecution.executedPlan.toString
       // = scored(frontier ∪ neighbors) deduped WITH its per-query
-      // rank, in one exchange (and, as in the walk, one checkpoint
-      // per hop — the scoring join rides inline); the beam cut is
-      // then a plain filter. The LAST hop is left lazy: it feeds only
-      // the final ranking pass, which consumes it inline from
+      // rank, in one exchange (the r16 scoreDedupRank shape — the
+      // scoring join rides on the union's partitioning); the beam cut
+      // is then a plain filter. The LAST hop is left lazy: it feeds
+      // only the final ranking pass, which consumes it inline from
       // checkpoint-rooted inputs (r10 job-count cut, the v26 shape).
-      val candR = dedupRank(
-          frontierS.select(col("query_id"), col("vec_id"), col("sim"))
-            .unionByName(hopScored))
+      val candR = scoreDedupRank(
+          frontierS.select(col("query_id"), col("vec_id"), col("sim")), neigh)
         .toDF("query_id", "vec_id", "sim", "rn")
+      lastHopPlanThunk = () => candR.queryExecution.executedPlan.toString
       val cand =
         if (i < iters) {
           val c = candR.localCheckpoint(true)
