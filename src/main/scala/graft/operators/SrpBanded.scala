@@ -1041,14 +1041,47 @@ object SrpBanded {
     * serve. A stale entry is impossible: cache keys are the immutable
     * cached frames themselves (a rewritten store produces a new frame
     * object through its own invalidated cache). */
+  // access-ordered LRU (r17, ADVICE): overflow drops the ELDEST entry
+  // only, never the hot ones; DataFrame keeps Object equality, so keys
+  // stay identity-keyed like the former IdentityHashMap. Corpus
+  // invalidation clears the map so identity-keyed entries for dead
+  // frames never linger as strong DataFrame references.
   private val edgeCountCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[DataFrame, java.lang.Long]())
-  private[graft] def maybeBroadcastEdges(g: DataFrame): DataFrame = {
-    if (edgeCountCache.size() > 64) edgeCountCache.clear()
-    val n = Option(edgeCountCache.get(g)).map(_.longValue()).getOrElse {
-      val c = g.count(); edgeCountCache.put(g, c): Unit; c
+    new java.util.LinkedHashMap[DataFrame, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, java.lang.Long]): Boolean = size() > 64
     }
+  graft.Tables.onInvalidate { _ =>
+    edgeCountCache.synchronized(edgeCountCache.clear())
+  }
+  /** bytes past which a FILE-BACKED edge frame is treated as corpus-
+    * sized WITHOUT a count job (r17, ADVICE): the store-backed layer-0
+    * graph is the whole corpus's edges — an eager count there is a full
+    * edge-store scan on the first serve of a session, counter to the
+    * serve-cost-independent-of-N design. 64 MB of compressed parquet
+    * cannot hold ≤ [[EdgeBroadcastMaxRows]] = 65536 rows of the edge
+    * shape (two 8 B ids + the in-row dst_emb ≈ 18 MB RAW at the bound),
+    * so past it the frame is decided "large" from the file index alone
+    * — driver metadata the scan already listed, no job. Wrong only in
+    * the safe direction (a pathological small-but-fat frame keeps its
+    * shuffle plan; rows identical). */
+  private val EdgeCountSkipBytes = 64L << 20
+  private def fileBackedBytes(g: DataFrame): Option[BigInt] = {
+    val sizes = g.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        BigInt(l.relation.sizeInBytes)
+    }
+    if (sizes.isEmpty) None else Some(sizes.sum)
+  }
+  private[graft] def maybeBroadcastEdges(g: DataFrame): DataFrame = {
+    val n = edgeCountCache.synchronized(Option(edgeCountCache.get(g)))
+      .map(_.longValue()).getOrElse {
+        val c =
+          if (fileBackedBytes(g).exists(_ > EdgeCountSkipBytes)) Long.MaxValue
+          else g.count()
+        edgeCountCache.synchronized(edgeCountCache.put(g, c)): Unit
+        c
+      }
     if (n <= EdgeBroadcastMaxRows) broadcast(g) else g
   }
 

@@ -374,7 +374,7 @@ object FilteredServe {
     statsCache.remove(srpDir): Unit
     rstatsCache.remove(srpDir): Unit
     metaVerified.remove(srpDir): Unit
-    byValDfCache.invalidate(_ == srpDir)
+    byValDfCache.invalidate(_._1 == srpDir)
   }
 
   /** equi-width bins per range-column histogram */
@@ -497,7 +497,7 @@ object FilteredServe {
       // commit marker and rebuild, not trust a stale "verified"
       metaVerified.remove(srpDir): Unit
       // the cached analyzed scan's file index is about to go stale
-      byValDfCache.invalidate(_ == srpDir)
+      byValDfCache.invalidate(_._1 == srpDir)
       val touchedPred = touched.map(vs =>
         cols.zip(vs).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
         .reduce(_ || _)
@@ -568,7 +568,7 @@ object FilteredServe {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$srpDir/meta/stats")
       statsCache.remove(srpDir): Unit
-      byValDfCache.invalidate(_ == srpDir)
+      byValDfCache.invalidate(_._1 == srpDir)
     }
     org.apache.spark.sql.GraftBridge.unpersistPlanRdds(upd)
     touched
@@ -594,15 +594,28 @@ object FilteredServe {
     // and the batched serves call this once per predicate group per
     // serve (the grouped mixed batch paid it 2× per group). Entries
     // are invalidated wherever the byval files are rewritten
-    // (writeMetaFrom, upsertMeta) and on corpus invalidation (r16).
-    byValDfCache.getOrElseUpdate(spark, srpDir) {
+    // (writeMetaFrom, upsertMeta) and on corpus invalidation (r16),
+    // AND keyed on the stats commit marker's mtime (r17, ADVICE): an
+    // out-of-band rewrite that bypasses this JVM's invalidation hooks
+    // still bumps the marker, so its stale file listing MISSES — one
+    // cheap getFileStatus per call, never a re-listing.
+    byValDfCache.getOrElseUpdate(spark, (srpDir, statsMarkerMtime(spark, srpDir))) {
       readByValAs(spark, srpDir,
         storeMetaCols(spark, srpDir), storeRangeCols(spark, srpDir))
     }
 
+  /** mtime of the store's stats commit marker (0 when missing) — the
+    * out-of-band-rewrite cache key for [[readByVal]] */
+  private def statsMarkerMtime(spark: SparkSession, srpDir: String): Long =
+    try Hfs.fs(spark, srpDir)
+      .getFileStatus(new org.apache.hadoop.fs.Path(s"$srpDir/meta/stats/_SUCCESS"))
+      .getModificationTime
+    catch { case _: java.io.IOException => 0L }
+
   /** analyzed-scan memo for [[readByVal]] — plan reuse only, nothing
-    * persisted (no onEvict needed) */
-  private val byValDfCache = new graft.SessionCache[String, DataFrame](16)
+    * persisted (no onEvict needed); keyed (store dir, stats marker
+    * mtime) so out-of-band rewrites miss */
+  private val byValDfCache = new graft.SessionCache[(String, Long), DataFrame](16)
 
   /** [[readByVal]] with the declared columns already in hand (the
     * upsert path, where the stats artifact is mid-rewrite) */
@@ -649,7 +662,7 @@ object FilteredServe {
     statsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
     metaVerified.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
     rstatsCache.filterInPlace((k, _) => !k.startsWith(p) && !p.startsWith(k))
-    byValDfCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+    byValDfCache.invalidate(k => k._1.startsWith(p) || p.startsWith(k._1))
   }
 
   private def statsEntry(spark: SparkSession,

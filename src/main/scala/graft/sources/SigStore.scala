@@ -299,17 +299,21 @@ object SigStore {
     val batchSigs = bandedSigs(batchDocs).localCheckpoint(true)
 
     val distinctKeys = batchSigs.select(col("band"), col("band_key")).distinct()
+    // limit() takes an Int: a Long cap at/above Int.MaxValue must
+    // SATURATE (take the joined path), not overflow to a negative
+    // limit that fails the serve at runtime (r17, ADVICE)
+    val cap = math.min(probeCollectMax, (Int.MaxValue - 1).toLong).toInt
     // ONE bounded collect decides the crossover AND supplies the probe
     // keys (r16; was a count job followed by a second collect job):
-    // ≤ probeCollectMax+1 rows ever reach the driver either way
-    val keyProbe = distinctKeys.limit(probeCollectMax.toInt + 1).collect()
+    // ≤ cap+1 rows ever reach the driver either way
+    val keyProbe = distinctKeys.limit(cap + 1).collect()
     val storedRows =
       if (keyProbe.isEmpty) {
         // empty (or all-too-short) batch: no probes, no pairs — an
         // empty reduce in probePred would otherwise throw
         lastProbeSource = "empty"
         sigFrame(spark, storeDir).filter(lit(false))
-      } else if (keyProbe.length <= probeCollectMax) {
+      } else if (keyProbe.length <= cap) {
         val keysByBand = keyProbe
           .map(r => (r.getInt(0), r.getLong(1)))
           .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).toSeq }
@@ -357,9 +361,9 @@ object SigStore {
         when(!col("new_a"), col("id_a")),
         when(!col("new_b"), col("id_b")))).as("doc_id"))
       .filter(col("doc_id").isNotNull).distinct()
-    val collectedIds = storedIds.limit(probeCollectMax.toInt + 1).collect()
+    val collectedIds = storedIds.limit(cap + 1).collect()
     val storedTexts =
-      if (collectedIds.length <= probeCollectMax) {
+      if (collectedIds.length <= cap) {
         lastTextSource = "pruned"
         docsForIds(spark, storeDir, collectedIds.map(_.getLong(0)).toSeq)
       } else {
