@@ -204,13 +204,25 @@ object Dedup {
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
       .select(col("doc_id"), expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
-    // one wide aggregate: 60 per-bit majority counters per doc
-    val bitSums = (0 until bits).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // PACKED majority aggregate (r17): two 32-bit one-counters per
+    // long lane halve the 60-column buffer to 30 sums + one count —
+    // exact integer equivalence with the former ±1 counters:
+    //   sum(±1) > 0  ⟺  2·count_ones > n
+    // (the lanes cannot carry into each other below 2^32 tokens per
+    // doc — a per-doc row count, far past any real document).
+    val lanes = bits / 2
+    val bitSums = (0 until lanes).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1) | shiftleft(shiftright(h, ${j + lanes}) & 1, 32)"))
+        .as(s"s$j"))
+    val aggs = bitSums :+ count(lit(1)).as("n")
+    val sums = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val sh = sums.select(col("doc_id"),
-      (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sh"))
+      (0 until bits).map { b =>
+        val ones =
+          if (b < lanes) col(s"s$b").bitwiseAND(lit(0xFFFFFFFFL))
+          else shiftrightunsigned(col(s"s${b - lanes}"), 32)
+        when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as("sh"))
     // degenerate-bucket cap, same rationale (and default posture) as
     // [[minhashLsh]]'s: template-alike corpora concentrate docs into a
     // few band values (measured at sf0.1: one 1582-doc bucket = 1.25M

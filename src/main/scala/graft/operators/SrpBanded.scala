@@ -1073,8 +1073,8 @@ object SrpBanded {
     }
     if (sizes.isEmpty) None else Some(sizes.sum)
   }
-  private[graft] def maybeBroadcastEdges(g: DataFrame): DataFrame = {
-    val n = edgeCountCache.synchronized(Option(edgeCountCache.get(g)))
+  private def edgeRowCount(g: DataFrame): Long =
+    edgeCountCache.synchronized(Option(edgeCountCache.get(g)))
       .map(_.longValue()).getOrElse {
         val c =
           if (fileBackedBytes(g).exists(_ > EdgeCountSkipBytes)) Long.MaxValue
@@ -1082,8 +1082,39 @@ object SrpBanded {
         edgeCountCache.synchronized(edgeCountCache.put(g, c)): Unit
         c
       }
-    if (n <= EdgeBroadcastMaxRows) broadcast(g) else g
+  private[graft] def edgesSmall(g: DataFrame): Boolean =
+    edgeRowCount(g) <= EdgeBroadcastMaxRows
+  /** broadcast-eligible FILE-BACKED edge frames, materialized once
+    * (r17): the stored batch serve (v34) rebuilds the layer broadcast
+    * per walk step, and each rebuild re-reads the store's parquet —
+    * 12+ scans per serve. A frame the size gate already licensed to
+    * broadcast (≤ [[EdgeBroadcastMaxRows]] rows) is bounded, so it is
+    * checkpointed once per (session, frame) and every step's broadcast
+    * builds from in-memory blocks. In-memory frames (layer checkpoints,
+    * materializedGraph) pass through — they are already block-backed. */
+  private val edgeCkptCache =
+    new java.util.LinkedHashMap[DataFrame, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, DataFrame]): Boolean = size() > 16
+    }
+  graft.Tables.onInvalidate { _ =>
+    edgeCkptCache.synchronized {
+      // invalidation semantics (SessionCache.invalidate): the data the
+      // checkpoints point at was rewritten — release their blocks
+      edgeCkptCache.values().forEach(v =>
+        org.apache.spark.sql.GraftBridge.unpersistPlanRdds(v))
+      edgeCkptCache.clear()
+    }
   }
+  private[graft] def maybeBroadcastEdges(g: DataFrame): DataFrame =
+    if (!edgesSmall(g)) g
+    else if (fileBackedBytes(g).isEmpty) broadcast(g)
+    else broadcast(
+      edgeCkptCache.synchronized(Option(edgeCkptCache.get(g))).getOrElse {
+        val built = g.localCheckpoint(true)
+        edgeCkptCache.synchronized(edgeCkptCache.put(g, built)): Unit
+        built
+      })
 
   def graphSearchBatch(spark: SparkSession, d: String, queryMod: Int,
                        k: Int = 5, beam: Int = 8, iters: Int = 2,

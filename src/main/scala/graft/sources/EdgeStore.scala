@@ -112,9 +112,19 @@ object EdgeStore {
       resolved.filter(col("dst").isNotNull)
     }
 
-  /** Bulk handle: the resolved (src, dst, dst_emb) edge set. */
+  /** Bulk handle: the resolved (src, dst, dst_emb) edge set. STABLE
+    * per (session, dir) — consumers key identity-memoized decisions on
+    * the frame (SrpBanded.maybeBroadcastEdges' count cache), and a
+    * fresh `.select` wrapper per call made every such memo miss (r17:
+    * one count job per v34 serve). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    resolvedFrame(spark, dir).select(col("src"), col("dst"), col("dst_emb"))
+    readCache.getOrElseUpdate(spark, dir) {
+      resolvedFrame(spark, dir).select(col("src"), col("dst"), col("dst_emb"))
+    }
+  private val readCache = new graft.SessionCache[String, DataFrame](8)
+  graft.Tables.onInvalidate { p =>
+    readCache.invalidate(k => k.startsWith(p) || p.startsWith(k))
+  }
 
   /** executed plan of the last pruned hop read — spec hook for the
     * partition-pruning assertion */

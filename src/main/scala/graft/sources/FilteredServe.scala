@@ -1470,26 +1470,51 @@ object FilteredServe {
         predCols.map(c => col(c).cast("string").as(c)) ++
         kCol.map(col)): _*)
       .localCheckpoint(true) // each group's plan re-reads the slice
+    // ONE bounded probe job (r17; was three — a null-predicate filter
+    // collect, a distinct-combo collect, and a per-query-k aggregate):
+    // grouping by the predicate combo enumerates ≤ maxGroups+1 combos
+    // AND carries each combo's k stats; a null predicate value forms
+    // its own combo, so the null refusal reads the same rows. The
+    // failure paths re-run the dedicated probes only to produce their
+    // (spec-pinned) messages.
+    val kInt = kCol.map(c => col(c).cast("int"))
+    val aggCols = count(lit(1)).as("__n") +: kInt.toSeq.flatMap(kc => Seq(
+      max(kc).as("__kmx"), min(kc).as("__kmn"),
+      sum(when(kc.isNull, 1L).otherwise(0L)).as("__knull")))
+    val comboProbe = qs.groupBy(predCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .limit(maxGroups + 1).collect()
+    val overflow = comboProbe.length > maxGroups
     // a null predicate value is unanswerable, not an empty group: the
     // equality group filter (and any comparison) matches no rows, so
-    // the query would vanish from the output with no error
-    val nullRows = qs.filter(predCols.map(c => col(c).isNull).reduce(_ || _))
-      .select(col("query_id")).limit(5).collect().map(_.getLong(0))
-    require(nullRows.isEmpty,
-      s"mixed batch queries carry null predicate values (query_ids " +
-        s"${nullRows.mkString(",")}${if (nullRows.length == 5) ",…" else ""}) — " +
-        "every query must carry a concrete value for each predicate column")
-    // bounded combo enumeration: collect at most maxGroups+1 rows —
-    // the guard decides the shape without ever materializing an
-    // unbounded combo universe on the driver
-    val comboProbe = qs.select(predCols.map(col): _*).distinct()
-      .limit(maxGroups + 1).collect()
+    // the query would vanish from the output with no error. Past the
+    // combo cap the collected combos may not include the null one, so
+    // the joined path keeps the dedicated filter probe.
+    if ((!overflow && comboProbe.exists(r => predCols.indices.exists(r.isNullAt)))
+        || overflow) {
+      val nullRows = qs.filter(predCols.map(c => col(c).isNull).reduce(_ || _))
+        .select(col("query_id")).limit(5).collect().map(_.getLong(0))
+      require(nullRows.isEmpty,
+        s"mixed batch queries carry null predicate values (query_ids " +
+          s"${nullRows.mkString(",")}${if (nullRows.length == 5) ",…" else ""}) — " +
+          "every query must carry a concrete value for each predicate column")
+    }
     // validate + max the per-query k column once for the whole batch
     // (each group's WindowGroupLimit literal may exceed its own max —
-    // the per-query rk ≤ k_q trim cuts the same rows either way)
-    val kMaxAll = kCol.map(perQueryKMax(qs, _))
+    // the per-query rk ≤ k_q trim cuts the same rows either way). The
+    // grouped path reads both off the combo probe; an invalid column
+    // (or the past-cap batch, whose probe is truncated) delegates to
+    // the dedicated aggregate for the exact validation + message.
+    val kMaxAll = kCol.map { c =>
+      val ok = !overflow && comboProbe.nonEmpty &&
+        comboProbe.forall(r => r.getLong(r.fieldIndex("__knull")) == 0L &&
+          !r.isNullAt(r.fieldIndex("__kmn")) &&
+          r.getInt(r.fieldIndex("__kmn")) >= 1)
+      if (ok) comboProbe.map(_.getAs[Int]("__kmx")).max
+      else perQueryKMax(qs, c)
+    }
     val out =
-      if (comboProbe.length > maxGroups) {
+      if (overflow) {
         lastMixedBatchPath = s"joined:${comboProbe.length}+"
         mixedJoinedPlan(spark, metaDir, qs, predOps, k, kCol, codeScanMax,
           kMaxOverride = kMaxAll)
