@@ -1211,6 +1211,35 @@ class FilteredSearchSpec extends AnyFunSuite {
       e2.getMessage.toLowerCase.contains("must be"))
   }
 
+  test("mixed batch per-query k validation: null / non-positive limits refuse through the fused probe (r17)") {
+    // the combo probe now carries the k stats; an invalid k column must
+    // still surface perQueryKMax's exact refusals (the probe delegates
+    // on any suspect stats rather than validating approximately)
+    import spark.implicits._
+    val dir = FilteredServe.refMetaStoreFor(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === graft.operators.SrpBanded.Dim)
+    val base = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("country", lit("EN"))
+    val e1 = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchMixedOps(spark, dir,
+        base.withColumn("k",
+          when(col("query_id") === 100L, lit(null: Integer)).otherwise(lit(3))),
+        Seq("country" -> "="), k = 5, kCol = Some("k"))
+    }
+    assert(e1.getMessage.contains("nulls"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      FilteredServe.searchFilteredBatchMixedOps(spark, dir,
+        base.withColumn("k",
+          when(col("query_id") === 100L, lit(0)).otherwise(lit(3))),
+        Seq("country" -> "="), k = 5, kCol = Some("k"))
+    }
+    assert(e2.getMessage.contains("≥ 1") || e2.getMessage.contains(">= 1") ||
+      e2.getMessage.toLowerCase.contains("must be"), e2.getMessage)
+  }
+
   test("per-query k: an EMPTY batch serves as empty output, not a validation error") {
     import spark.implicits._
     val (dir, aaRows, _) = bigMeta

